@@ -1,0 +1,270 @@
+"""Flagship queries: popularity ranking + category difficulty.
+
+These re-express the reference's two multi-CTE analytics reports on
+the fixture schema:
+
+- ``flagship_popularity`` ⇐ ``getAppsByPopularity()``
+  (reference src/utils/lib.ts:337-415). Entity mapping (FIXTURES.md
+  §C): App→part, CategoryAppPositionHistory/RecommendedAppHistory→
+  lineitem (category=l_suppkey, position=l_linenumber,
+  capturedAt=l_shipdate), Developer/Category→supplier,
+  AppSnapshot→latest lineitem row per part.
+- ``category_difficulty`` ⇐ ``getCategoriesByDifficulty()``
+  (reference src/utils/lib.ts:425-496). Category→nation,
+  App→customer, reviews→order spend.
+
+Both exercise: COUNT DISTINCT group sizes (A1), weighted
+reciprocal-rank sums with base-10 log weights (A2/A3, PG LOG=log10!),
+sorted distinct aggs (A4), latest-per-key dedup (W2), global-max
+normalization with NULLIF guards (W1/F2), multi-way LEFT joins
+(J5-J10), COALESCE defaulting (F1), TO_CHAR date formatting (F5), and
+a global ORDER BY on the computed score (O1).
+
+Scale shape: every CTE is a two-phase hash aggregate shuffling only
+its group key; the dimension join (supplier) is broadcast; the global
+max is a 1-row aggregate broadcast back (never a MAX() OVER ()
+single-partition window); the final 4-way left join runs under AQE
+which broadcasts every post-aggregation side small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.functions.pg_compat import (
+    log10_1p,
+    pg_normalize,
+    to_char_mmddyyyy,
+)
+from prisma_migrator_spark.operators.aggregates import distinct_string_agg
+from prisma_migrator_spark.operators.dedup import latest_per_key
+from prisma_migrator_spark.operators.scoring import (
+    group_sizes,
+    weighted_reciprocal_rank,
+    with_global_max,
+)
+from prisma_migrator_spark.plans.registry import query
+
+REC_WEIGHT = 0.7  # reference src/utils/lib.ts:338
+CAT_WEIGHT = 0.3  # reference src/utils/lib.ts:339
+
+_POPULARITY_ORACLE = """
+WITH category_sizes AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS total_apps
+  FROM lineitem GROUP BY l_suppkey
+), rank_scores AS (
+  SELECT li.l_partkey,
+         SUM((1.0 / (li.l_linenumber + 1)) * LOG10(cs.total_apps + 1))
+           AS weighted_category_score
+  FROM lineitem li JOIN category_sizes cs ON li.l_suppkey = cs.l_suppkey
+  GROUP BY li.l_partkey
+), recommendation_metrics AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS INT) AS recommendation_count,
+         SUM(1.0 / (l_linenumber + 1)) AS weighted_recommendation_score
+  FROM lineitem GROUP BY l_partkey
+), app_categories AS (
+  SELECT li.l_partkey,
+         STRING_AGG(DISTINCT s.s_name, ';' ORDER BY s.s_name) AS categories
+  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  GROUP BY li.l_partkey
+), latest_snapshots AS (
+  SELECT * FROM (
+    SELECT li.*, ROW_NUMBER() OVER (
+        PARTITION BY l_partkey
+        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+    FROM lineitem li) t
+  WHERE rn = 1
+), scores AS (
+  SELECT p.p_partkey, p.p_name,
+         COALESCE(rm.weighted_recommendation_score, 0) AS rec_score,
+         COALESCE(rs.weighted_category_score, 0) AS cat_score,
+         COALESCE(rm.recommendation_count, 0) AS recommendation_count,
+         MAX(COALESCE(rm.weighted_recommendation_score, 0)) OVER () AS max_rec,
+         MAX(COALESCE(rs.weighted_category_score, 0)) OVER () AS max_cat
+  FROM part p
+  LEFT JOIN recommendation_metrics rm ON p.p_partkey = rm.l_partkey
+  LEFT JOIN rank_scores rs ON p.p_partkey = rs.l_partkey
+)
+SELECT sc.p_partkey AS app_key,
+       sc.p_name AS app_name,
+       COALESCE(s.s_name, '') AS developer_name,
+       COALESCE(STRFTIME(ls.l_shipdate, '%m-%d-%Y'), '') AS latest_ship_date,
+       CAST(COALESCE(ls.l_quantity, 0) AS INT) AS review_count,
+       ROUND(COALESCE(ls.l_extendedprice, 0), 2) AS rating,
+       COALESCE(ac.categories, '') AS categories,
+       CAST(sc.recommendation_count AS INT) AS recommendation_count,
+       ROUND(0.7 * COALESCE(NULLIF(sc.rec_score, 0) / NULLIF(sc.max_rec, 1), 0)
+           + 0.3 * COALESCE(NULLIF(sc.cat_score, 0) / NULLIF(sc.max_cat, 1), 0),
+           6) AS popularity_score
+FROM scores sc
+LEFT JOIN latest_snapshots ls ON sc.p_partkey = ls.l_partkey
+LEFT JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+LEFT JOIN app_categories ac ON sc.p_partkey = ac.l_partkey
+ORDER BY popularity_score DESC, app_key
+"""
+
+
+@query("flagship_popularity", oracle=_POPULARITY_ORACLE)
+def flagship_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apps(parts) ranked by 0.7·normalized recommendation score +
+    0.3·normalized category-rank score (reference lib.ts:337-415)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    # category_sizes: apps per category (lib.ts:342-346 / A1)
+    sizes = group_sizes(li, ["l_suppkey"], "l_partkey", out="total_apps")
+
+    # rank_scores: reciprocal-rank weighted by log10(category size)
+    # (lib.ts:348-353 / A2). sizes is small (one row per category) →
+    # broadcast to keep the lineitem side shuffle-free here.
+    rank_scores = weighted_reciprocal_rank(
+        li.join(F.broadcast(sizes), "l_suppkey"),
+        ["l_partkey"],
+        "l_linenumber",
+        weight=log10_1p(F.col("total_apps")),
+        out="weighted_category_score",
+    ).withColumnRenamed("l_partkey", "p_partkey")
+
+    # recommendation_metrics: weighted in-degree (lib.ts:355-362 / A3)
+    rec_metrics = li.groupBy("l_partkey").agg(
+        F.count("*").cast("int").alias("recommendation_count"),
+        F.sum(F.lit(1.0) / (F.col("l_linenumber") + F.lit(1))).alias(
+            "weighted_recommendation_score"
+        ),
+    ).withColumnRenamed("l_partkey", "p_partkey")
+
+    # app_categories: sorted distinct category names (lib.ts:363-369 / A4)
+    app_categories = distinct_string_agg(
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey),
+        ["l_partkey"],
+        "s_name",
+        sep=";",
+        out="categories",
+    ).withColumnRenamed("l_partkey", "p_partkey")
+
+    # latest_snapshots: DISTINCT ON (handle) ORDER BY capturedAt DESC
+    # (lib.ts:370-375 / W2) with pinned deterministic tiebreak.
+    latest = latest_per_key(
+        li, ["l_partkey"], "l_shipdate", tiebreakers=["l_orderkey", "l_linenumber"]
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_suppkey",
+        "l_shipdate",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+    # scores: left-join metrics onto the full app list, attach global
+    # maxima (MAX() OVER () rewritten as scalar agg + broadcast, W1).
+    scores = (
+        part.select("p_partkey", "p_name")
+        .join(rec_metrics, "p_partkey", "left")
+        .join(rank_scores, "p_partkey", "left")
+        .withColumn(
+            "rec_score", F.coalesce("weighted_recommendation_score", F.lit(0.0))
+        )
+        .withColumn("cat_score", F.coalesce("weighted_category_score", F.lit(0.0)))
+        .withColumn(
+            "recommendation_count",
+            F.coalesce("recommendation_count", F.lit(0)).cast("int"),
+        )
+    )
+    scores = with_global_max(scores, "rec_score", "max_rec")
+    scores = with_global_max(scores, "cat_score", "max_cat")
+
+    popularity = F.round(
+        F.lit(REC_WEIGHT) * pg_normalize(F.col("rec_score"), F.col("max_rec"))
+        + F.lit(CAT_WEIGHT) * pg_normalize(F.col("cat_score"), F.col("max_cat")),
+        6,
+    )
+
+    return (
+        scores.join(latest, "p_partkey", "left")
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .join(app_categories, "p_partkey", "left")
+        .select(
+            F.col("p_partkey").alias("app_key"),
+            F.col("p_name").alias("app_name"),
+            F.coalesce("s_name", F.lit("")).alias("developer_name"),
+            F.coalesce(to_char_mmddyyyy(F.col("l_shipdate")), F.lit("")).alias(
+                "latest_ship_date"
+            ),
+            F.coalesce("l_quantity", F.lit(0.0)).cast("int").alias("review_count"),
+            F.round(F.coalesce("l_extendedprice", F.lit(0.0)), 2).alias("rating"),
+            F.coalesce("categories", F.lit("")).alias("categories"),
+            F.col("recommendation_count"),
+            popularity.alias("popularity_score"),
+        )
+        .orderBy(F.desc("popularity_score"), "app_key")
+    )
+
+
+_DIFFICULTY_ORACLE = """
+WITH customer_spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey
+), popularity_scores AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+         COALESCE(cs.total_spend, 0) AS total_spend
+  FROM customer c LEFT JOIN customer_spend cs ON c.c_custkey = cs.o_custkey
+)
+SELECT n.n_name AS category_name,
+       CAST(COUNT(DISTINCT ps.c_custkey) AS INT) AS app_count,
+       ROUND(AVG(ps.c_acctbal), 6) AS avg_popularity,
+       ROUND(SUM(ps.total_spend), 2) AS total_reviews,
+       ROUND(LOG10(COUNT(DISTINCT ps.c_custkey) + 1)
+             * AVG(ps.c_acctbal)
+             * LOG10(SUM(ps.total_spend) + 1), 6) AS difficulty_score
+FROM popularity_scores ps
+JOIN nation n ON ps.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY difficulty_score DESC, category_name
+"""
+
+
+@query("category_difficulty", oracle=_DIFFICULTY_ORACLE)
+def category_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categories(nations) ranked by the reference's difficulty score
+    LOG10(count+1) * AVG(popularity) * LOG10(SUM(reviews)+1)
+    (reference src/utils/lib.ts:478-491 / A5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend")
+    )
+    pop = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .withColumn("total_spend", F.coalesce("total_spend", F.lit(0.0)))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "total_spend")
+    )
+    agg = (
+        pop.join(F.broadcast(nation), pop.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").cast("int").alias("app_count"),
+            F.avg("c_acctbal").alias("avg_pop_raw"),
+            F.sum("total_spend").alias("total_spend_raw"),
+        )
+    )
+    return agg.select(
+        F.col("n_name").alias("category_name"),
+        F.col("app_count"),
+        F.round("avg_pop_raw", 6).alias("avg_popularity"),
+        F.round("total_spend_raw", 2).alias("total_reviews"),
+        F.round(
+            log10_1p(F.col("app_count").cast("double"))
+            * F.col("avg_pop_raw")
+            * log10_1p(F.col("total_spend_raw")),
+            6,
+        ).alias("difficulty_score"),
+    ).orderBy(F.desc("difficulty_score"), "category_name")

@@ -1,0 +1,61 @@
+"""Replica of the round driver: plain SparkSession (driver's own config,
+NOT our factory), entry() smoke at sf0.001, queries vs oracle at sf0.01."""
+import sys, time, math, datetime as dt
+from collections import Counter
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb, os
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+# 1) smoke
+df = e.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={df.columns}")
+print("  top1:", rows[0])
+
+# 2) correctness at sf0.01 (driver scale)
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, dt.datetime): return v.isoformat()
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal): return round(float(v), 9)
+    except Exception: pass
+    return v
+
+qs, oracles = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:
+    qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
+ok = bad = 0
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    sdf = fn(spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        print(f"  {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+        continue
+    cur = con.execute(oracles[name]); o_cols=[d[0] for d in cur.description]; o_rows=cur.fetchall()
+    so = sorted(range(len(s_cols)), key=lambda i: s_cols[i]); oo = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    sh = Counter(tuple(norm(r[i]) for i in so) for r in s_rows)
+    oh = Counter(tuple(norm(r[i]) for i in oo) for r in o_rows)
+    match = sorted(s_cols)==sorted(o_cols) and sh==oh
+    ok += match; bad += (not match)
+    print(f"  {name}: {'MATCH' if match else 'MISMATCH'} {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+    if not match:
+        print("   oracle-only:", list((oh-sh).items())[:2]); print("   spark-only:", list((sh-oh).items())[:2])
+print(f"RESULT: {ok} match, {bad} mismatch")
