@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle keyed
+  by a 128-bit hash; group sizes are tiny so no skew.
+- **MinHash + LSH**: shingle → H min-hashes per doc (one explode +
+  one groupBy) → band buckets → candidate pairs via self-join on the
+  band value. The self-join is keyed on band buckets, so its cost is
+  Σ bucket², not n² — the whole point of LSH. Verification (exact
+  Jaccard) runs only on candidates.
+- **SimHash**: per-token hash bits summed per doc (explode + groupBy);
+  near-dup = signatures within Hamming distance d. Bits derive from
+  md5 hex (engine-portable) rather than a JVM-private hash so the
+  DuckDB oracle can reproduce them bit-for-bit.
+- **n-gram Jaccard**: exact set overlap via a shingle-keyed join —
+  |A∩B| from co-occurring shingles, |A∪B| = |A|+|B|−|A∩B|.
+- **embedding cosine**: near-dup pairs above a cosine threshold; the
+  scale path buckets candidates first (see similarity.lsh_buckets).
+
+All hashes are md5-derived → deterministic across engines, runs, and
+partitionings (no JVM hash seeding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.llm.text import content_fingerprint, normalized_text
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by content fingerprint: canonical id (min),
+    group size. ``group_size > 1`` rows are duplicate clusters."""
+    return (
+        df.select(id_col, content_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("int").alias("group_size"),
+        )
+    )
+
+
+def dedupe_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct content (the min-id row)."""
+    fp = content_fingerprint(F.col(text_col)).alias("__fp")
+    w_min = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document (exploded)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(id_col, F.explode(gram).alias("shingle"))
+        .where(F.size(words) >= k)
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """H seeded min-hashes per doc over its shingle set. md5-seeded:
+    h_i(s) = min(md5('<i>:' || s)) — portable and deterministic."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair (id_a < id_b), with the signature-agreement
+    fraction as the Jaccard estimate."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)],
+                         F.explode(bands).alias("band"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(num_hashes)],
+            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(num_hashes)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for every pair sharing ≥1
+    shingle. Join is shingle-keyed (cost Σ df(shingle)², not n²)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Bit j of token t = high bit of hex digit j of md5(t) — a portable
+    1-bit projection both Spark and the DuckDB oracle compute
+    identically. Document bit j = sign of Σ_tokens (±1). Emitted as a
+    16-char '0'/'1' string (hash-stable)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    tok = df.select(id_col, F.explode(words).alias("t")).withColumn(
+        "h", F.md5(F.col("t"))
+    )
+    HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*HIGH), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)]
+    )
+    return sums.select(id_col, bits.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``bucket_col`` (e.g. an LSH
+    bucket or a label) restricts candidates to same-bucket pairs —
+    the Σ bucket² scale path; None = full n² (small inputs only)."""
+    from prisma_migrator_spark.llm.similarity import cosine
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

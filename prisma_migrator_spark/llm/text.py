@@ -1,0 +1,123 @@
+"""Text analysis operators: tokens, quality, language-ID, fingerprints.
+
+All pure built-in Column expressions / aggregations — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. At 100 TB these are
+embarrassingly parallel map-side transforms (no shuffle at all except
+the explicit groupBys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny built-in stopword lists for the heuristic scorers. Marker
+#: words per language for the n-gram/stopword language-ID heuristic.
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+]
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy count: word-piece-sized chunks — splits on
+    whitespace AND punctuation, counting ~4-char subword units.
+    Deterministic stand-in for a real tokenizer (not installed)."""
+    # explicit char class (not \p{Punct}): Java and RE2 regex agree on
+    # it, so the DuckDB oracle computes the identical split
+    words = F.split(F.lower(F.trim(text)), r"[\s.,;:!?]+")
+    # each word contributes ceil(len/4) subword units, min 1
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(F.length(w) == 0, 0).otherwise(
+            F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+        ),
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[.,;:!?]"))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Occurrences of stopword tokens (array-filter, no explode)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/stopword/punctuation quality heuristic in [0, 1]:
+    0.5·min(tokens/100, 1) + 0.4·stopword_ratio + 0.1·(1 if has
+    sentence punctuation). The weights are arbitrary but fixed; the
+    point is the *shape* (cheap columnar quality filter)."""
+    n = token_count(text).cast("double")
+    stop_ratio = stopword_count(text) / F.greatest(n, F.lit(1.0))
+    return (
+        F.lit(0.5) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * stop_ratio
+        + F.lit(0.1) * F.when(punct_count(text) > 0, 1.0).otherwise(0.0)
+    )
+
+
+def marker_count(text: Column, markers: list[str]) -> Column:
+    sw = F.array(*[F.lit(w) for w in markers])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: argmax of per-language marker
+    counts; ties broken by fixed language order; all-zero → 'und'."""
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in reversed priority so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        cnt = marker_count(text, LANG_MARKERS[lang])
+        result = F.when(cnt >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(
+            result
+        )
+        best = F.greatest(best, cnt)
+    return result
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed — the canonical form
+    fingerprints and exact dedup key on."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_fingerprint(text: Column) -> Column:
+    """MD5 of the normalized text — the exact-dedup key (document
+    fingerprinting via a content hash)."""
+    return F.md5(normalized_text(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subwords"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        content_fingerprint(t).alias("fingerprint"),
+    )

@@ -9,4 +9,6 @@ from prisma_migrator_spark.plans.registry import ORACLES, QUERIES, query  # noqa
 
 # Import for registration side effects.
 from prisma_migrator_spark.plans import core  # noqa: E402,F401
+from prisma_migrator_spark.plans import events  # noqa: E402,F401
 from prisma_migrator_spark.plans import flagship  # noqa: E402,F401
+from prisma_migrator_spark.plans import llm  # noqa: E402,F401

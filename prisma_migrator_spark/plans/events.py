@@ -1,0 +1,137 @@
+"""Event-time window queries over the ``events`` table (extensions).
+
+Window bounds are emitted as epoch microseconds (bigint) — engine-
+neutral, hash-stable. DuckDB oracles reconstruct the same windows
+with ``time_bucket`` / lag-based sessionization, proving the Spark
+window semantics rather than restating them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.plans.registry import query
+from prisma_migrator_spark.streaming.windows import (
+    session_windows,
+    sliding_windows,
+    tumbling_windows,
+)
+
+_TUMBLING_ORACLE = """
+SELECT EPOCH_US(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       EPOCH_US(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("events_tumbling_hourly", oracle=_TUMBLING_ORACLE)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_windows(
+        ev,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_micros("w.start").alias("window_start_us"),
+        F.unix_micros("w.end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# Sliding 1h/30m: every event belongs to exactly 2 windows — the
+# 30-minute bucket it falls in and the one 30 minutes earlier.
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events
+)
+SELECT EPOCH_US(w_start) AS window_start_us,
+       EPOCH_US(w_start + INTERVAL '1 hour') AS window_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_1h_30m", oracle=_SLIDING_ORACLE)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_windows(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        ],
+    )
+    return out.select(
+        F.unix_micros("w.start").alias("window_start_us"),
+        F.unix_micros("w.end").alias("window_end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+# Session windows (30 min gap per user). Spark's session end = last
+# event + gap; the oracle reproduces that with lag + cumulative sum.
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       EPOCH_US(MIN(ts)) AS session_start_us,
+       EPOCH_US(MAX(ts) + INTERVAL '30 minutes') AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_session_30m", oracle=_SESSION_ORACLE)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = session_windows(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.unix_micros("w.end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )

@@ -1,0 +1,296 @@
+"""Registry entries for the LLM-pipeline extensions over the
+``documents`` and ``embeddings`` fixtures.
+
+Oracles reproduce the exact same md5-derived hashing and double-
+precision arithmetic in DuckDB, so these are *verified* down to the
+hash bits, not just smoke-tested. Entries whose semantics DuckDB
+cannot express (Pandas-UDF feature extraction, LSH ANN with engine-
+internal ordering) are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.llm.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+)
+from prisma_migrator_spark.llm.similarity import topk_bruteforce, topk_lsh
+from prisma_migrator_spark.llm.text import text_stats
+from prisma_migrator_spark.plans.registry import query
+
+# --- text analysis -----------------------------------------------------
+
+_TEXT_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         string_split_regex(lower(trim(text)), '[\s.,;:!?]+') AS pw
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(w) AS n_tokens,
+         CAST(LIST_SUM(LIST_TRANSFORM(pw,
+              x -> CASE WHEN LENGTH(x) = 0 THEN 0
+                        ELSE CAST(CEIL(LENGTH(x) / 4.0) AS INT) END)) AS INT)
+           AS n_subwords,
+         LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+              ['the','a','an','and','or','of','to','in','is','it',
+               'for','on','with','as','at','by','this','that'], t)))
+           AS n_stopwords,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['the','and','of','to','is'], t))) AS c_en,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS c_de,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['el','la','los','que','es'], t))) AS c_es,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['le','les','des','est','une'], t))) AS c_fr,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM toks
+)
+SELECT doc_id, n_chars, n_tokens, n_subwords, n_punct, n_stopwords,
+       ROUND(0.5 * LEAST(n_tokens / 100.0, 1.0)
+           + 0.4 * (n_stopwords / GREATEST(CAST(n_tokens AS DOUBLE), 1.0))
+           + 0.1 * (CASE WHEN n_punct > 0 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       CASE WHEN GREATEST(c_en, c_de, c_es, c_fr) < 1 THEN 'und'
+            WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr) THEN 'en'
+            WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr) THEN 'de'
+            WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       fingerprint
+FROM base
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+# --- dedup family ------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS INT) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("exact_dedup_groups", oracle=_EXACT_DEDUP_ORACLE)
+def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+_SHINGLE_SQL = r"""
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+"""
+
+_MINHASH_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+)
+SELECT doc_id,
+       MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+       MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+       MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+       MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+FROM sh GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures", oracle=_MINHASH_ORACLE)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingles(docs, k=3), num_hashes=8)
+
+
+_LSH_PAIRS_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, band FROM sigs,
+  LATERAL UNNEST(['0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+                  '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS u(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+        + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+        + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) AS agree
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(agree / 8.0, 6) AS jaccard_est FROM pairs
+"""
+
+
+@query("minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=8)
+    return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
+
+
+_NGRAM_JACCARD_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.05
+"""
+
+
+@query("ngram_jaccard_pairs", oracle=_NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(shingles(docs, k=3), min_jaccard=0.05)
+
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, md5(t) AS h FROM toks
+), sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM sums
+""".replace(
+    "{sums}",
+    ",\n    ".join(
+        "SUM(CASE WHEN substring(h, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+        for j in range(16)
+    ),
+).replace(
+    "{bits}",
+    " || ".join("(CASE WHEN s%d > 0 THEN '1' ELSE '0' END)" % j for j in range(16)),
+)
+
+
+@query("simhash16", oracle=_SIMHASH_ORACLE)
+def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+# --- embedding similarity ---------------------------------------------
+
+_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+@query("embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, bucket_col="label", min_cosine=0.35)
+
+
+_TOPK_ORACLE = """
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 10
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("topk_cosine_bruteforce", oracle=_TOPK_ORACLE)
+def topk_cosine_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return topk_bruteforce(emb, probes, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query("topk_cosine_lsh")  # rows-only: ANN recall checked in pytest
+def topk_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return topk_lsh(emb, probes, k=5)
+
+
+# --- multimodal plumbing ----------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+@query("multimodal_meta", oracle=_MULTIMODAL_ORACLE)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prisma_migrator_spark.llm.multimodal import attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@query("multimodal_features")  # rows-only: Pandas-UDF path
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs), fake=True)
