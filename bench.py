@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver) — measures engine time, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prisma_migrator_spark.plans import QUERIES  # noqa: E402
+from prisma_migrator_spark.session import get_spark  # noqa: E402
+
+#: Representative slice of the registry: the two flagship reports, the
+#: heavy window/dedup/similarity extensions, and the core operator
+#: shapes that dominate real workloads.
+HEADLINE = [
+    "flagship_popularity",
+    "category_difficulty",
+    "latest_per_key_lineitem",
+    "distinct_pair_agg",
+    "semi_join_orders",
+    "events_tumbling_hourly",
+    "events_session_30m",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "topk_cosine_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("pms-bench")
+
+    # one warm-up pass so JVM/codegen startup isn't attributed to q1
+    QUERIES["category_sizes"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,21 +58,38 @@ def dedupe_exact(
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document (exploded)."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
+    """Word k-gram shingles per document (exploded).
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct for
+    consumers insensitive to shingle multiplicity (MIN-based minhash),
+    which then run with zero extra shuffles before their own groupBy.
+
+    The token array is materialized as a column BEFORE the k-gram
+    lambda: nesting the split inside ``transform`` makes Spark
+    re-evaluate the regexp+split per element (O(tokens²) regex work
+    per doc — measured 10x slowdown). The repartition spreads the
+    CPU-heavy explode across all cores even when the source is a
+    single file; at scale the source has many splits and this is
+    shuffle-free round-robin of small rows.
+    """
+    tokenized = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        id_col, F.split(normalized_text(F.col(text_col)), " ").alias("__w")
+    )
+    w = F.col("__w")
     gram = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(k)]
-        ),
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
     )
-    return (
-        df.select(id_col, F.explode(gram).alias("shingle"))
-        .where(F.size(words) >= k)
-        .dropDuplicates([id_col, "shingle"])
+    exploded = tokenized.where(F.size(w) >= k).select(
+        id_col, F.explode(gram).alias("shingle")
     )
+    return exploded.dropDuplicates([id_col, "shingle"]) if distinct else exploded
 
 
 def minhash_signatures(
@@ -96,6 +113,10 @@ def lsh_candidate_pairs(
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair (id_a < id_b), with the signature-agreement
     fraction as the Jaccard estimate."""
+    # The signature frame is used three times (both join sides + the
+    # agreement re-join); persist it so the shingle->minhash pipeline
+    # runs once, not three times.
+    sigs = sigs.persist()
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -107,32 +128,42 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)],
-                         F.explode(bands).alias("band"))
-    left = banded.alias("a")
-    right = banded.alias("b")
+    # Self-join on (band) carrying ONLY ids: the pair-distinct then
+    # shuffles 2 ints per row instead of 2 ints + 2*H hashes.
+    banded = sigs.select(id_col, F.explode(bands).alias("band"))
     pairs = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(num_hashes)],
-            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(num_hashes)],
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
     )
     agree = sum(
         F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
     )
 
 

@@ -49,6 +49,15 @@ def weighted_reciprocal_rank(
     return df.groupBy(*group).agg(F.sum(term).alias(out))
 
 
+def with_global_maxes(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Attach the global max of several columns at once: ONE scalar
+    aggregate + ONE broadcast cross-join for all of them (calling
+    :func:`with_global_max` N times would rebuild ``df``'s lineage N
+    extra times — no ReusedExchange saves you across separate aggs)."""
+    maxima = df.agg(*[F.max(c).alias(out) for c, out in cols.items()])
+    return df.crossJoin(F.broadcast(maxima))
+
+
 def with_global_max(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """Attach the global max of ``col`` to every row.
 

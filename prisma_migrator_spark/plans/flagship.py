@@ -43,7 +43,7 @@ from prisma_migrator_spark.operators.dedup import latest_per_key
 from prisma_migrator_spark.operators.scoring import (
     group_sizes,
     weighted_reciprocal_rank,
-    with_global_max,
+    with_global_maxes,
 )
 from prisma_migrator_spark.plans.registry import query
 
@@ -173,8 +173,13 @@ def flagship_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("recommendation_count", F.lit(0)).cast("int"),
         )
     )
-    scores = with_global_max(scores, "rec_score", "max_rec")
-    scores = with_global_max(scores, "cat_score", "max_cat")
+    # persist: the maxima aggregate + final join would otherwise each
+    # rebuild the whole part⟕metrics⟕ranks tree (no ReusedExchange
+    # across separate aggregations). One row per app — tiny at any sf.
+    scores = scores.persist()
+    scores = with_global_maxes(
+        scores, {"rec_score": "max_rec", "cat_score": "max_cat"}
+    )
 
     popularity = F.round(
         F.lit(REC_WEIGHT) * pg_normalize(F.col("rec_score"), F.col("max_rec"))

@@ -116,7 +116,7 @@ FROM sh GROUP BY doc_id
 @query("minhash_signatures", oracle=_MINHASH_ORACLE)
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(shingles(docs, k=3), num_hashes=8)
+    return minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
 
 
 _LSH_PAIRS_ORACLE = rf"""
@@ -150,7 +150,7 @@ SELECT id_a, id_b, ROUND(agree / 8.0, 6) AS jaccard_est FROM pairs
 @query("minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=8)
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
     return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
 
 
