@@ -226,6 +226,67 @@ def simhash16(
     return sums.select(id_col, bits.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: signatures within Hamming distance
+    ``max_hamming``, found via band-bucketing (never n²).
+
+    Pigeonhole guarantee: with 16 bits in ``16/band_bits`` bands, any
+    pair differing in ≤ (n_bands - 1) bits shares at least one intact
+    band — so 4-bit bands find ALL pairs with hamming ≤ 3. The
+    self-join is keyed on (band index, band value); cost is
+    Σ bucket², not n². At larger corpora use a wider simhash with
+    wider bands (same plan shape) so buckets stay small; the join
+    carries ids only (the 2×16-char signatures re-join after the
+    pair-distinct, exactly like :func:`lsh_candidate_pairs`).
+    """
+    sigs = simhash16(df, text_col, id_col).persist()
+    n_bands = 16 // band_bits
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.substring("simhash", b * band_bits + 1, band_bits),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(id_col, F.explode(bands).alias("band"))
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(16)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

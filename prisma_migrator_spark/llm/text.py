@@ -108,6 +108,34 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
+#: Rolling-hash parameters (Rabin–Karp polynomial hash over tokens).
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def token_hash(w: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as int.
+    Engine-agnostic (Spark and the DuckDB oracle agree bit-for-bit)."""
+    return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Rabin–Karp rolling hash over the normalized token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc·B + hash(t)) mod M)``.
+
+    Order-sensitive (unlike the content MD5) and incrementally
+    updatable — the classic document fingerprint for shift-tolerant
+    chunking. Pure ``F.aggregate`` fold: JVM-side, no UDF, no shuffle.
+    Max intermediate is (M·B + 2³²) < 2³⁶ — no 64-bit overflow.
+    """
+    words = F.split(normalized_text(text), " ")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(ROLL_BASE) + token_hash(w), F.lit(ROLL_MOD)),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -22,9 +22,10 @@ from prisma_migrator_spark.llm.dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash16,
+    simhash_near_dup_pairs,
 )
 from prisma_migrator_spark.llm.similarity import topk_bruteforce, topk_lsh
-from prisma_migrator_spark.llm.text import text_stats
+from prisma_migrator_spark.llm.text import rolling_fingerprint, text_stats
 from prisma_migrator_spark.plans.registry import query
 
 # --- text analysis -----------------------------------------------------
@@ -212,6 +213,47 @@ SELECT doc_id, {bits} AS simhash FROM sums
 def simhash16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs)
+
+
+_SIMHASH_NEAR_DUP_ORACLE = f"""
+WITH sims AS ({_SIMHASH_ORACLE}),
+banded AS (
+  SELECT doc_id, CAST(b AS VARCHAR) || '|' || substr(simhash, b*4 + 1, 4) AS band
+  FROM sims, LATERAL UNNEST([0, 1, 2, 3]) AS u(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, CAST(hamming(sa.simhash, sb.simhash) AS INT) AS hamming
+FROM pairs p
+JOIN sims sa ON sa.doc_id = p.id_a
+JOIN sims sb ON sb.doc_id = p.id_b
+WHERE hamming(sa.simhash, sb.simhash) <= 3
+"""
+
+
+@query("simhash_near_dup", oracle=_SIMHASH_NEAR_DUP_ORACLE)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3, band_bits=4)
+
+
+_ROLLING_FP_ORACLE = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list_transform(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS rolling_fp
+FROM documents
+"""
+
+
+@query("rolling_fingerprint", oracle=_ROLLING_FP_ORACLE)
+def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
 
 
 # --- embedding similarity ---------------------------------------------
