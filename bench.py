@@ -46,10 +46,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("pms-bench")
 
-    # one warm-up pass so JVM/codegen startup isn't attributed to q1
-    QUERIES["category_sizes"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up pass over the full set: JVM JIT + whole-stage-codegen
+    # compilation + shuffle-service spin-up are one-time session costs,
+    # not engine throughput — measure steady-state on the second pass.
+    # clearCache drops anything an operator persisted internally so the
+    # timed pass re-reads the parquet and re-runs every exchange.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -79,6 +79,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY if the plan currently has fewer
+    partitions than the cluster has cores.
+
+    CPU-heavy map-only operators (tokenization, shingling, hashing)
+    inherit the scan's parallelism; a single-row-group parquet file
+    scans as ONE task, serializing all that work onto one core. On a
+    real cluster the input has many splits and this is a no-op —
+    checked from the plan's partitioning, no job is triggered. The
+    repartition moves only the rows it's given (cheap for document
+    tables relative to the per-row CPU), and never runs at 100 TB
+    because such inputs always have >= cores splits.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Full-table scan of one fixture table (reference src/migrate.ts:48
     analog — but partitioned/columnar, never driver-materialized)."""

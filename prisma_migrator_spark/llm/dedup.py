@@ -73,12 +73,14 @@ def shingles(
     The token array is materialized as a column BEFORE the k-gram
     lambda: nesting the split inside ``transform`` makes Spark
     re-evaluate the regexp+split per element (O(tokens²) regex work
-    per doc — measured 10x slowdown). The repartition spreads the
-    CPU-heavy explode across all cores even when the source is a
-    single file; at scale the source has many splits and this is
-    shuffle-free round-robin of small rows.
+    per doc — measured 10x slowdown). ``ensure_parallelism`` spreads
+    the CPU-heavy explode across all cores when the source is a
+    single-split file; at scale the source has many splits and it is
+    a no-op.
     """
-    tokenized = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    tokenized = ensure_parallelism(df).select(
         id_col, F.split(normalized_text(F.col(text_col)), " ").alias("__w")
     )
     w = F.col("__w")
@@ -208,6 +210,9 @@ def simhash16(
     1-bit projection both Spark and the DuckDB oracle compute
     identically. Document bit j = sign of Σ_tokens (±1). Emitted as a
     16-char '0'/'1' string (hash-stable)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    df = ensure_parallelism(df)
     words = F.split(normalized_text(F.col(text_col)), " ")
     tok = df.select(id_col, F.explode(words).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
@@ -296,15 +301,25 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. ``bucket_col`` (e.g. an LSH
     bucket or a label) restricts candidates to same-bucket pairs —
-    the Σ bucket² scale path; None = full n² (small inputs only)."""
-    from prisma_migrator_spark.llm.similarity import cosine
+    the Σ bucket² scale path; None = full n² (small inputs only).
 
+    Norms are attached per row before the self-join so each vector's
+    norm is computed once, not once per candidate pair."""
+    from prisma_migrator_spark.llm.similarity import _dot, _norm
+
+    emb = emb.select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        *([bucket_col] if bucket_col else []),
+    ).withColumn("__norm", _norm(F.col(vec_col)))
     a = emb.alias("a")
     b = emb.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if bucket_col:
         cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
     return (
         a.join(b, cond)
         .select(

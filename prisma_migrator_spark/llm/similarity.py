@@ -53,20 +53,32 @@ def topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per probe (self-matches excluded).
-    Deterministic ranking: round(cosine, 6) desc, neighbor id asc."""
+    Deterministic ranking: round(cosine, 6) desc, neighbor id asc.
+
+    Norms are precomputed per side BEFORE the cross join — otherwise
+    each vector's norm is re-derived once per pair (|probes|× redundant
+    work on the corpus side, which is the whole dataset)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-    )
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("probe_vec"),
+    ).withColumn("probe_norm", _norm(F.col("probe_vec")))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("vec_norm", _norm(F.col("vec")))
     scored = (
         c.crossJoin(F.broadcast(p))
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("probe_vec"), F.col("vec"))
+                / (F.col("probe_norm") * F.col("vec_norm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -133,16 +145,18 @@ def topk_lsh(
     additionally probes every bucket within Hamming distance 1 —
     num_planes+1 probes per query, large recall gain for the cost of
     a wider (still tiny) broadcast of the probe set."""
-    cb = lsh_buckets(corpus, num_planes, dim, id_col, vec_col).select(
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    cb = lsh_buckets(ensure_parallelism(corpus), num_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
         "bucket",
-    )
+    ).withColumn("vec_norm", _norm(F.col("vec")))
     pb = lsh_buckets(probes, num_planes, dim, id_col, vec_col).select(
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
+        F.col(vec_col).cast("array<double>").alias("probe_vec"),
         "bucket",
-    )
+    ).withColumn("probe_norm", _norm(F.col("probe_vec")))
     if multiprobe >= 1:
         probe_buckets = F.array(
             F.col("bucket"), *[_flip(F.col("bucket"), i) for i in range(num_planes)]
@@ -154,7 +168,11 @@ def topk_lsh(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("probe_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("probe_vec"), F.col("vec"))
+                / (F.col("probe_norm") * F.col("vec_norm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

@@ -137,6 +137,9 @@ def rolling_fingerprint(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    df = ensure_parallelism(df)  # map-only: inherits scan parallelism
     t = F.col(text_col)
     return df.select(
         id_col,

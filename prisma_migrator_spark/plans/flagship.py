@@ -106,68 +106,88 @@ def flagship_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apps(parts) ranked by 0.7·normalized recommendation score +
     0.3·normalized category-rank score (reference lib.ts:337-415).
 
-    Scale shape — FUSED single-pass: the reference's five CTEs over the
-    fact table (rank_scores, recommendation_metrics, app_categories,
-    latest_snapshots ×2 shapes) all partition by the same key
-    (l_partkey), so they collapse into ONE groupBy over one scan:
+    Scale shape — ONE scan, ONE wide shuffle. The reference's five
+    CTEs over the fact table (category_sizes, rank_scores,
+    recommendation_metrics, app_categories, latest_snapshots) all
+    factor through a (category, app) pair-level partial aggregate:
 
+    - the row-level reciprocal-rank weight Σ 1/(pos+1)·log10(size+1)
+      distributes over pairs: log10 is constant within a pair, so the
+      per-pair Σ 1/(pos+1) pre-aggregate carries it (A2/A3);
+    - COUNT(DISTINCT app) per category (A1) becomes a plain COUNT over
+      pairs — no distinct-aggregate buffer;
     - latest-per-key (DISTINCT ON, W2) ⇒ ``max(struct(ts, tiebreak...,
       payload...))`` — struct ordering is lexicographic by field, so
-      the max struct IS the latest row, no window, no second shuffle;
-    - sorted distinct categories (A4) ⇒ ``array_sort(collect_set)`` in
-      the same agg;
-    - the two weighted scores (A2/A3) ⇒ plain sums in the same agg.
+      the max struct IS the latest row; max-of-max composes through
+      the pair level;
+    - sorted distinct categories (A4) ⇒ ``array_sort(collect_set)``
+      over pairs (each pair contributes its one category name).
 
-    Total data movement: one small shuffle for category sizes (then
-    broadcast), one wide shuffle of lineitem keyed l_partkey with
-    partial (map-side) aggregation, one broadcastable part join, one
-    1-row global-max aggregate broadcast back. A window-based
-    translation costs 4 extra lineitem shuffles — measured 3× slower
-    at sf0.1 and strictly worse at 100 TB.
+    Total data movement: one wide shuffle of lineitem keyed
+    (l_suppkey, l_partkey) with map-side combine; everything after
+    operates on |pairs| rows (≪ |lineitem|): a tiny category-size agg
+    broadcast back, a broadcast dim join, a second small shuffle to
+    l_partkey, a 1-row global-max aggregate broadcast back. The
+    window-based translation costs 4 extra lineitem scans+shuffles —
+    measured 3× slower at sf0.1 and strictly worse at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
 
-    # category_sizes: apps per category (lib.ts:342-346 / A1); one row
-    # per category -> broadcast back onto the fact table.
-    sizes = group_sizes(li, ["l_suppkey"], "l_partkey", out="total_apps")
+    recip = F.lit(1.0) / (F.col("l_linenumber") + F.lit(1))
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(recip).alias("recip_sum"),
+        F.count("*").alias("cnt"),
+        F.max(
+            F.struct(
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+            )
+        ).alias("pair_latest"),
+    )
 
-    # supplier is a dim table -> broadcast; left join preserves fact
-    # row multiplicity even for dangling FKs (collect_set skips null).
-    enriched = li.join(F.broadcast(sizes), "l_suppkey").join(
+    # category_sizes (lib.ts:342-346 / A1): COUNT(DISTINCT l_partkey)
+    # = COUNT(*) over the pair agg. One row per category -> broadcast.
+    sizes = pairs.groupBy("l_suppkey").agg(F.count("*").alias("total_apps"))
+
+    # supplier is a dim table -> broadcast; left join preserves pair
+    # multiplicity even for dangling FKs (collect_set skips null).
+    enriched = pairs.join(F.broadcast(sizes), "l_suppkey").join(
         F.broadcast(supp.select("s_suppkey", "s_name")),
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left",
     )
 
-    recip = F.lit(1.0) / (F.col("l_linenumber") + F.lit(1))
     agged = (
         enriched.groupBy("l_partkey")
         .agg(
             # rank_scores (lib.ts:348-353 / A2) — PG LOG = log10
-            F.sum(recip * log10_1p(F.col("total_apps"))).alias(
+            F.sum(F.col("recip_sum") * log10_1p(F.col("total_apps"))).alias(
                 "weighted_category_score"
             ),
             # recommendation_metrics (lib.ts:355-362 / A3)
-            F.count("*").cast("int").alias("recommendation_count"),
-            F.sum(recip).alias("weighted_recommendation_score"),
+            F.sum("cnt").cast("int").alias("recommendation_count"),
+            F.sum("recip_sum").alias("weighted_recommendation_score"),
             # app_categories (lib.ts:363-369 / A4), sorted for determinism
             F.concat_ws(";", F.array_sort(F.collect_set("s_name"))).alias(
                 "categories"
             ),
-            # latest_snapshots (lib.ts:370-375 / W2): max struct =
-            # ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber
-            # DESC LIMIT 1 per key; payload fields ride along after
-            # the (unique) tiebreakers.
+            # latest_snapshots (lib.ts:370-375 / W2): max of the pair
+            # maxima = ORDER BY l_shipdate DESC, l_orderkey DESC,
+            # l_linenumber DESC LIMIT 1 per app; the winning pair's
+            # s_name rides along after the (unique) tiebreakers.
             F.max(
                 F.struct(
-                    "l_shipdate",
-                    "l_orderkey",
-                    "l_linenumber",
-                    "s_name",
-                    "l_quantity",
-                    "l_extendedprice",
+                    F.col("pair_latest.l_shipdate").alias("l_shipdate"),
+                    F.col("pair_latest.l_orderkey").alias("l_orderkey"),
+                    F.col("pair_latest.l_linenumber").alias("l_linenumber"),
+                    F.col("s_name").alias("s_name"),
+                    F.col("pair_latest.l_quantity").alias("l_quantity"),
+                    F.col("pair_latest.l_extendedprice").alias("l_extendedprice"),
                 )
             ).alias("latest"),
         )
