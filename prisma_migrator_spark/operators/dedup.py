@@ -7,10 +7,15 @@
 explicit tiebreakers so results are stable across engines and runs
 (SURVEY §7.3 hard-part 2).
 
-Scale notes: a single window ``row_number() == 1`` is one shuffle on
-the partition key — the minimum possible; no global sort. At 100 TB
-this is the standard pattern and AQE handles skewed keys (e.g. one
-hot app handle) via skew-join/partition splitting.
+Scale notes: the primary plan is ``max(struct(order, tiebreak...,
+payload...))`` — struct comparison is lexicographic by field, so the
+max struct IS the first row under the requested ordering. As a
+hash-aggregate it gets a map-side partial pass: each input partition
+contributes ONE candidate row per key to the shuffle, so shuffled
+bytes ≈ |keys|, not |rows| — strictly better at 100 TB than the
+window form (which shuffles and per-partition sorts every row).
+Falls back to ``row_number() == 1`` only when a payload column is not
+orderable (MapType anywhere in its type tree).
 """
 
 from __future__ import annotations
@@ -19,6 +24,17 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _orderable(dt: DataType) -> bool:
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def latest_per_key(
@@ -32,8 +48,23 @@ def latest_per_key(
     ``ORDER BY order_col [DESC], *tiebreakers [DESC]``.
 
     Matches PG ``DISTINCT ON (keys) ... ORDER BY keys, order_col DESC``
-    with a pinned deterministic tiebreak.
+    with a pinned deterministic tiebreak. Null sort keys lose to
+    non-null under both plans (desc = NULLS LAST; struct comparison
+    orders null lowest).
     """
+    lead = [order_col, *tiebreakers]
+    payload = [c for c in df.columns if c not in keys and c not in lead]
+    fields = [(f.name, f.dataType) for f in df.select(*lead, *payload).schema.fields]
+    if all(_orderable(t) for _, t in fields):
+        agg = F.max if descending else F.min
+        best = agg(F.struct(*lead, *payload)).alias("__best")
+        out = df.groupBy(*keys).agg(best)
+        return out.select(
+            *[
+                F.col(c) if c in keys else F.col(f"__best.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
     direction = F.desc if descending else F.asc
     ordering = [direction(order_col)] + [direction(t) for t in tiebreakers]
     w = Window.partitionBy(*keys).orderBy(*ordering)
