@@ -123,6 +123,162 @@ def lsh_buckets(
     return emb.withColumn("bucket", F.concat(*bits))
 
 
+def _centroid_literals(cents: list[list[float]]) -> tuple[Column, Column]:
+    """Centroid matrix + per-centroid norms as literal columns. The
+    IVF 'model' is tiny (C·dim doubles) — holding it driver-side and
+    inlining it into the plan is the standard scale pattern: the
+    assignment becomes a map-only expression, no join, no shuffle."""
+    import math
+
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    norms = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in c)) or 1.0) for c in cents]
+    )
+    return mat, norms
+
+
+def _centroid_sims(vec: Column, vec_norm: Column, cents: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) for every centroid."""
+    mat, norms = _centroid_literals(cents)
+    idx = F.sequence(F.lit(1), F.lit(len(cents)))
+    return F.transform(
+        idx,
+        lambda i: _dot(vec, F.element_at(mat, i))
+        / (vec_norm * F.element_at(norms, i)),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``cluster_id`` = argmax-cosine centroid (map-only)."""
+    out = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).withColumn("__norm", _norm(F.col(vec_col)))
+    sims = _centroid_sims(F.col(vec_col), F.col("__norm"), cents)
+    return out.withColumn(
+        "cluster_id",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF codebook: md5-ordered seed sample (stable
+    pseudo-random, engine/run-invariant), then ``iters`` distributed
+    k-means refinements. Each refinement is two shuffles over
+    (cluster, dim) partial sums — never collects the corpus; only the
+    C·dim codebook ever reaches the driver."""
+    seeds = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("c"),
+            F.md5(F.col(id_col).cast("string")).alias("__r"),
+        )
+        .orderBy("__r")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r["c"]) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r["cluster_id"]: list(r["c"]) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file index): corpus vectors are
+    bucketed by nearest codebook centroid; each probe searches only
+    its ``nprobe`` nearest clusters. Candidate cost is
+    |probes|·nprobe·(n/C) instead of |probes|·n. At ingest the
+    cluster id is a stored column (map-only, like
+    :func:`lsh_buckets`); the candidate join shuffles on cluster_id."""
+    cents = train_ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    cb = ivf_assign(ensure_parallelism(corpus), cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("vec_norm"),
+        "cluster_id",
+    )
+    p = probes.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).withColumn("__norm", _norm(F.col(vec_col)))
+    sims = _centroid_sims(F.col(vec_col), F.col("__norm"), cents)
+    # nprobe nearest clusters: sort (sim, idx) structs desc, slice
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    sims,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    pb = p.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col("__norm").alias("probe_norm"),
+        F.explode(ranked["idx"]).alias("cluster_id"),
+    )
+    scored = (
+        cb.join(F.broadcast(pb), "cluster_id")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("probe_vec"), F.col("vec"))
+                / (F.col("probe_norm") * F.col("vec_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _flip(bucket: Column, i: int) -> Column:
     """Bucket id with bit i flipped (multi-probe neighbor)."""
     bit = F.substring(bucket, i + 1, 1)

@@ -304,6 +304,15 @@ def topk_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(emb, probes, k=5)
 
 
+@query("topk_cosine_ivf")  # rows-only: ANN recall checked in pytest
+def topk_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prisma_migrator_spark.llm.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return topk_ivf(emb, probes, k=5, n_centroids=16, nprobe=4)
+
+
 # --- multimodal plumbing ----------------------------------------------
 
 _MULTIMODAL_ORACLE = """

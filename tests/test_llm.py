@@ -81,6 +81,24 @@ def test_lang_id_on_real_text(spark):
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
 
 
+def test_ivf_ann_recall_floor(spark, sf_dir):
+    from prisma_migrator_spark.llm.similarity import topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20)
+    exact = topk_bruteforce(emb, probes, k=5).collect()
+    approx = topk_ivf(emb, probes, k=5, n_centroids=8, nprobe=3).collect()
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # searching 3/8 clusters: recall well above the 3/8 neighbor-
+    # co-residence baseline because near neighbors cluster together
+    assert recall > 0.3, f"recall={recall}"
+    # determinism: same call twice -> identical result
+    again = topk_ivf(emb, probes, k=5, n_centroids=8, nprobe=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
 def test_lsh_ann_recall_floor(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 20)
