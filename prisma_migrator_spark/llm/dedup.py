@@ -231,6 +231,80 @@ def simhash16(
     return sums.select(id_col, bits.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    node: ``(node, component)`` with component = min node id reachable.
+
+    Iterative min-label propagation: each round every node adopts
+    ``min(own label, neighbors' labels)``; converges in O(graph
+    diameter) rounds — duplicate clusters are near-cliques, so 2-4
+    rounds in practice. Each round is one join + one agg (both keyed
+    on node id) over the edge list; labels persist per round and the
+    previous round unpersists, so lineage and memory stay bounded.
+    This is the standard scale pattern (HashToMin) — no driver-side
+    graph, no GraphFrames dependency.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from near-dup candidate pairs: every node
+    that belongs to a multi-document cluster, labeled by its canonical
+    (min) member. Singleton documents don't appear — they are their
+    own canonical."""
+    return connected_components(pairs, src_col, dst_col).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -155,6 +155,54 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
 
 
+_NEAR_DUP_CLUSTERS_ORACLE = rf"""
+WITH RECURSIVE words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sigs AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, band FROM sigs,
+  LATERAL UNNEST(['0|' || h0 || '|' || h1, '1|' || h2 || '|' || h3,
+                  '2|' || h4 || '|' || h5, '3|' || h6 || '|' || h7]) AS u(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT + (a.h2 = b.h2)::INT
+        + (a.h3 = b.h3)::INT + (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT
+        + (a.h6 = b.h6)::INT + (a.h7 = b.h7)::INT) AS agree
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand WHERE agree / 8.0 >= 0.5
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand WHERE agree / 8.0 >= 0.5
+), reach AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("near_dup_clusters", oracle=_NEAR_DUP_CLUSTERS_ORACLE)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prisma_migrator_spark.llm.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    return near_dup_clusters(pairs)
+
+
 _NGRAM_JACCARD_ORACLE = rf"""
 WITH words AS ({_SHINGLE_SQL}),
 sh AS (

@@ -81,6 +81,22 @@ def test_lang_id_on_real_text(spark):
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
 
 
+def test_connected_components_path_and_clique(spark):
+    from prisma_migrator_spark.llm.dedup import connected_components
+
+    # path 1-2-3-4 (diameter 3 -> needs several propagation rounds),
+    # clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+            Row(id_a=10, id_b=11), Row(id_a=10, id_b=12), Row(id_a=11, id_b=12),
+            Row(id_a=20, id_b=21),
+        ]
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_ivf_ann_recall_floor(spark, sf_dir):
     from prisma_migrator_spark.llm.similarity import topk_ivf
 
