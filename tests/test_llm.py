@@ -81,6 +81,57 @@ def test_lang_id_on_real_text(spark):
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
 
 
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import read_events_stream, run_to_memory
+    from prisma_migrator_spark.streaming.stateful import running_user_totals
+
+    # stage as micros-timestamp parquet for a stream-compatible schema
+    src = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    stream = read_events_stream(spark, src)
+    run_to_memory(running_user_totals(stream), "running_totals", output_mode="update")
+    # last emission per user == full-history batch aggregate
+    mem = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS t"
+        " FROM running_totals GROUP BY user_id"
+    )
+    got = {r.user_id: (r.n, round(r.t, 6)) for r in mem.collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+    )
+    exp = {r.user_id: (r.n, round(r.t, 6)) for r in batch.collect()}
+    assert got == exp
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    from prisma_migrator_spark.llm.text import content_fingerprint
+    from prisma_migrator_spark.streaming.jobs import run_to_memory
+    from prisma_migrator_spark.streaming.stateful import streaming_dedup_first_seen
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox"),
+            Row(doc_id=2, text="  THE   quick brown  fox "),  # dup of 1
+            Row(doc_id=3, text="something else"),
+        ]
+    ).select("doc_id", content_fingerprint(F.col("text")).alias("fingerprint"))
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_to_memory(
+        streaming_dedup_first_seen(stream), "dedup_seen", output_mode="update"
+    )
+    rows = spark.sql("SELECT * FROM dedup_seen").collect()
+    by_fp: dict[str, list] = {}
+    for r in rows:
+        by_fp.setdefault(r.fingerprint, []).append(r.first_seen)
+    assert len(rows) == 3 and len(by_fp) == 2
+    for flags in by_fp.values():
+        assert sum(flags) == 1  # exactly one canonical per fingerprint
+
+
 def test_connected_components_path_and_clique(spark):
     from prisma_migrator_spark.llm.dedup import connected_components
 
