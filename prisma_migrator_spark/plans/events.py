@@ -135,3 +135,41 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_JSON_PROPS_ORACLE = r"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("events_json_props", oracle=_JSON_PROPS_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured read path: parse the JSON ``props`` column with
+    ``from_json`` into a typed struct, then aggregate the extracted
+    field. The reference only ever *writes* JSON (SURVEY §2.1 S8);
+    reading it back with schema projection is the Spark-native
+    completion of that surface — `from_json` is codegen'd JVM-side,
+    and at scale the parse happens once per row in the scan stage, no
+    shuffle before the aggregate's partial phase."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).getField("k").alias("k")
+    )
+    return (
+        parsed.where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
