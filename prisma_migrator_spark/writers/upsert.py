@@ -70,6 +70,36 @@ def _atomic_swap(tmp: str, target: str) -> None:
         os.rename(tmp, target)
 
 
+def _merge(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    update_cols: Sequence[str] | None,
+) -> DataFrame:
+    """The three ON CONFLICT shapes as one plan: DO UPDATE SET <all>,
+    DO UPDATE SET <subset>, DO NOTHING (``update_cols=[]``)."""
+    do_update = update_cols is None or len(update_cols) > 0
+    if do_update and update_cols is not None:
+        # Partial update: merge batch values into existing rows per key.
+        matched = existing.alias("e").join(
+            batch.alias("b"), keys, "inner"
+        ).select(
+            *[F.col(f"e.{c}").alias(c) for c in existing.columns if c not in update_cols and c not in keys],
+            *[F.col(f"b.{c}").alias(c) for c in update_cols],
+            *[F.col(f"e.{k}").alias(k) for k in keys],
+        ).select(*existing.columns)
+        unmatched_existing = anti_join(existing, batch, keys)
+        new_rows = anti_join(batch, existing, keys).select(*existing.columns)
+        return unmatched_existing.unionByName(matched).unionByName(new_rows)
+    if do_update:
+        # Full-row update: batch wins for matched keys.
+        kept = anti_join(existing, batch, keys)
+        return kept.unionByName(batch.select(*existing.columns))
+    # DO NOTHING: existing wins; only brand-new keys append.
+    new_rows = anti_join(batch, existing, keys).select(*existing.columns)
+    return existing.unionByName(new_rows)
+
+
 def upsert_parquet(
     spark: SparkSession,
     batch: DataFrame,
@@ -106,33 +136,68 @@ def upsert_parquet(
 
     existing = spark.read.parquet(path)
     do_update = update_cols is None or len(update_cols) > 0
-
-    if do_update and update_cols is not None:
-        # Partial update: merge batch values into existing rows per key.
-        matched = existing.alias("e").join(
-            batch.alias("b"), keys, "inner"
-        ).select(
-            *[F.col(f"e.{c}").alias(c) for c in existing.columns if c not in update_cols and c not in keys],
-            *[F.col(f"b.{c}").alias(c) for c in update_cols],
-            *[F.col(f"e.{k}").alias(k) for k in keys],
-        ).select(*existing.columns)
-        unmatched_existing = anti_join(existing, batch, keys)
-        new_rows = anti_join(batch, existing, keys).select(*existing.columns)
-        result = unmatched_existing.unionByName(matched).unionByName(new_rows)
-    elif do_update:
-        # Full-row update: batch wins for matched keys.
-        kept = anti_join(existing, batch, keys)
-        result = kept.unionByName(batch.select(*existing.columns))
-    else:
-        # DO NOTHING: existing wins; only brand-new keys append.
-        new_rows = anti_join(batch, existing, keys).select(*existing.columns)
-        result = existing.unionByName(new_rows)
+    result = _merge(existing, batch, keys, update_cols)
 
     staged = path + ".staging"
     result.write.mode("overwrite").parquet(staged)
     _atomic_swap(staged, path)
     total = spark.read.parquet(path).count()
     return {"path": path, "total": total, "mode": "update" if do_update else "insert_only"}
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_col: str,
+    update_cols: Sequence[str] | None = None,
+    order_col: str | None = None,
+) -> dict:
+    """Partition-pruned MERGE into a hive-partitioned parquet table —
+    the 100 TB upsert path.
+
+    ``upsert_parquet`` rewrites the whole table; here only the
+    partitions whose values appear in the batch are read (partition-
+    pruned scan) and rewritten (``partitionOverwriteMode=dynamic``
+    replaces exactly the partitions present in the output). A batch
+    touching 1 of 10,000 date partitions costs 1/10,000th of the
+    table, which is what makes keyed upsert viable at scale without a
+    MERGE-capable table format.
+
+    Requires the partition value to be STABLE per key (true for the
+    reference's history tables, keyed on ``(handle, capturedAt)`` with
+    the partition derived from capturedAt): a key that moved
+    partitions would leave its old row behind, exactly like a mutated
+    partition key in any hive-layout store.
+
+    The distinct partition list is collected to the driver — bounded
+    by the batch's partition fan-out, not table size.
+    """
+    keys = list(key_cols)
+    batch = (
+        latest_per_key(batch, keys, order_col)
+        if order_col
+        else batch.dropDuplicates(keys)
+    )
+    if not os.path.exists(path):
+        batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return {"path": path, "mode": "create", "partitions": "all"}
+
+    parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
+    result = _merge(existing, batch.select(*existing.columns), keys, update_cols)
+    # Spark refuses to overwrite a path its plan reads from; materialize
+    # the merged slice (only the affected partitions) to detach lineage.
+    result = result.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"path": path, "mode": "update", "partitions": len(parts)}
 
 
 def write_entity(

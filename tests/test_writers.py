@@ -103,6 +103,68 @@ def test_migrate_error_isolation(spark, sf_dir, tmp_path):
     assert not rep.ok
 
 
+def test_upsert_partitioned_prunes_and_merges(spark, tmp_path):
+    import glob
+
+    from prisma_migrator_spark.writers.upsert import upsert_partitioned
+
+    path = str(tmp_path / "pt.parquet")
+    base = _df(
+        spark,
+        [
+            {"k": 1, "v": "a", "pt": "d1"},
+            {"k": 2, "v": "b", "pt": "d1"},
+            {"k": 3, "v": "c", "pt": "d2"},
+            {"k": 4, "v": "d", "pt": "d3"},
+        ],
+    )
+    upsert_partitioned(spark, base, path, ["k"], "pt")
+
+    untouched_before = sorted(glob.glob(f"{path}/pt=d3/*.parquet"))
+    mtimes_before = [os.path.getmtime(f) for f in untouched_before]
+
+    batch = _df(
+        spark,
+        [
+            {"k": 2, "v": "B2", "pt": "d1"},  # update in d1
+            {"k": 9, "v": "z", "pt": "d2"},  # insert into d2
+        ],
+    )
+    rep = upsert_partitioned(spark, batch, path, ["k"], "pt")
+    assert rep["partitions"] == 2  # only d1 and d2 rewritten
+
+    got = {r["k"]: (r["v"], r["pt"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", "d1"), 2: ("B2", "d1"), 3: ("c", "d2"),
+        4: ("d", "d3"), 9: ("z", "d2"),
+    }
+    # d3's files were not rewritten
+    untouched_after = sorted(glob.glob(f"{path}/pt=d3/*.parquet"))
+    assert untouched_after == untouched_before
+    assert [os.path.getmtime(f) for f in untouched_after] == mtimes_before
+
+    # idempotent: same batch again -> same table
+    upsert_partitioned(spark, batch, path, ["k"], "pt")
+    again = {r["k"]: (r["v"], r["pt"]) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_upsert_partitioned_do_nothing(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import upsert_partitioned
+
+    path = str(tmp_path / "pt.parquet")
+    upsert_partitioned(
+        spark, _df(spark, [{"k": 1, "v": "a", "pt": "d1"}]), path, ["k"], "pt"
+    )
+    batch = _df(
+        spark,
+        [{"k": 1, "v": "CHANGED", "pt": "d1"}, {"k": 2, "v": "n", "pt": "d1"}],
+    )
+    upsert_partitioned(spark, batch, path, ["k"], "pt", update_cols=[])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "n"}  # existing wins, new key appended
+
+
 def test_csv_report(spark, tmp_path):
     from prisma_migrator_spark.functions.pg_compat import hyperlink
     from prisma_migrator_spark.sources.csv_report import write_csv_report
