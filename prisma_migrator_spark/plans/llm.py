@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
 from prisma_migrator_spark.llm.dedup import (
+    dedupe_exact,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     lsh_candidate_pairs,
@@ -74,6 +75,52 @@ FROM base
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_stats(docs)
+
+
+_CLEAN_CORPUS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         LEN(w) AS n_tokens,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'for','on','with','as','at','by','this','that'], t)))
+                 / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM toks
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.3
+), canonical AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+)
+SELECT k.doc_id, k.n_tokens, k.quality
+FROM kept k JOIN canonical c ON k.doc_id = c.doc_id
+"""
+
+
+@query("clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: quality-score
+    filter -> exact dedup (min-id canonical per content fingerprint)
+    -> per-doc stats. One groupBy + one semi-join over map-only
+    scoring; the full flow a 100 TB corpus actually runs before
+    tokenization."""
+    from prisma_migrator_spark.llm.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    deduped = dedupe_exact(kept)
+    return deduped.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
 
 
 # --- dedup family ------------------------------------------------------
