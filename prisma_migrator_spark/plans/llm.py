@@ -77,6 +77,58 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs)
 
 
+_SAMPLE_ORACLE = r"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+"""
+
+
+@query("deterministic_sample", oracle=_SAMPLE_ORACLE)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic sampling (~20%): md5 of the key, not
+    ``rand()`` — reproducible across runs, engines, and partitionings,
+    and stable under re-partitioning (``df.sample`` is neither). The
+    standard way to carve train/eval splits from a 100 TB corpus:
+    pure map-side filter, pushes to the scan."""
+    from prisma_migrator_spark.llm.text import token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.pmod(token_hash(F.col("doc_id").cast("string")), F.lit(100)) < 20
+    ).select("doc_id")
+
+
+_CORPUS_STATS_ORACLE = rf"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality,
+       ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.5), 6) AS median_tokens,
+       ROUND(quantile_cont(CAST(n_tokens AS DOUBLE), 0.9), 6) AS p90_tokens
+FROM ({_TEXT_STATS_ORACLE.strip()})
+"""
+
+
+@query("corpus_stats", oracle=_CORPUS_STATS_ORACLE)
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup with exact interpolated percentiles
+    (matches PG/DuckDB ``percentile_cont``). At 100 TB swap
+    ``percentile`` for ``approx_percentile`` (t-digest, same plan
+    shape, no exact-sort of the column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs)
+    return stats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.expr("percentile(CAST(n_tokens AS DOUBLE), 0.5)"), 6).alias(
+            "median_tokens"
+        ),
+        F.round(F.expr("percentile(CAST(n_tokens AS DOUBLE), 0.9)"), 6).alias(
+            "p90_tokens"
+        ),
+    )
+
+
 _CLEAN_CORPUS_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, text,

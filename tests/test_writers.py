@@ -165,6 +165,42 @@ def test_upsert_partitioned_do_nothing(spark, tmp_path):
     assert got == {1: "a", 2: "n"}  # existing wins, new key appended
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.writers.bucketed import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_bucketed", ["l_orderkey"], num_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "t_ord_bucketed",
+        ["l_orderkey"],
+        num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_li_bucketed").join(
+            spark.table("t_ord_bucketed"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        # and it computes the right thing
+        n = joined.count()
+        exp = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+        assert n == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
 def test_csv_report(spark, tmp_path):
     from prisma_migrator_spark.functions.pg_compat import hyperlink
     from prisma_migrator_spark.sources.csv_report import write_csv_report
