@@ -77,6 +77,61 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs)
 
 
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), stats AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, total_tf,
+       ROUND(total_tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, term
+LIMIT 20
+"""
+
+
+@query("top_terms_tfidf", oracle=_TFIDF_ORACLE)
+def top_terms_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF top terms. Two hash aggregations — (doc,
+    term) then (term) — both with map-side combine, then a global
+    top-k (TakeOrdered, never a full sort). The doc count rides in as
+    a literal (one tiny count job), keeping the main plan join-free."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    return (
+        stats.select(
+            "term",
+            "df",
+            "total_tf",
+            F.round(
+                F.col("total_tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(20)
+    )
+
+
 _SAMPLE_ORACLE = r"""
 SELECT doc_id FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
