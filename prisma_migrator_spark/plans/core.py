@@ -375,3 +375,43 @@ def hyperlink_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("app_link"),
         F.round("s_acctbal", 2).alias("acctbal"),
     )
+
+
+# --- hierarchy rollup over the full dim chain (region <- nation) -------
+
+_REGION_ROLLUP_ORACLE = """
+SELECT r.r_name AS region_name,
+       CAST(COUNT(DISTINCT n.n_nationkey) AS INT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region_name
+"""
+
+
+@query("region_rollup", oracle=_REGION_ROLLUP_ORACLE)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level dimension hierarchy rollup (Category.parentHandle
+    analog, SURVEY §1.1 'Hierarchies'): fact joined through the
+    nation -> region adjacency, both dims broadcast, one hash agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    return (
+        cust.join(dims, cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.countDistinct("n_nationkey").cast("int").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("region_name")
+    )

@@ -94,6 +94,17 @@ def test_migrate_copy_and_skip(spark, sf_dir, tmp_path):
     assert n == spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
 
+def test_migrate_parallel_tables(spark, sf_dir, tmp_path):
+    dst = str(tmp_path / "dst")
+    tables = ["region", "nation", "supplier", "part"]
+    rep = migrate(spark, sf_dir, dst, tables=tables, parallelism=4)
+    assert rep.ok and {t.table for t in rep.tables} == set(tables)
+    for t in tables:
+        n_src = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        n_dst = spark.read.parquet(os.path.join(dst, f"{t}.parquet")).count()
+        assert n_src == n_dst, t
+
+
 def test_migrate_error_isolation(spark, sf_dir, tmp_path):
     dst = str(tmp_path / "dst")
     rep = migrate(spark, sf_dir, dst, tables=["region", "no_such_table"])
