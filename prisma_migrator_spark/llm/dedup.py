@@ -201,15 +201,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash16(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """16-bit SimHash per document.
+def simhash_bit_source(j: int, n_bits: int) -> tuple[int, int]:
+    """(hex-digit index, nibble mask) providing bit ``j`` of a token's
+    projection, shared by the Spark builder and the DuckDB oracle.
+    n_bits <= 32: one bit per md5 hex digit (digit j, high bit) —
+    identical to the original 16-bit scheme. n_bits <= 64: two bits
+    per digit (masks 8 then 4)."""
+    if n_bits <= 32:
+        return j, 8
+    if n_bits <= 64:
+        return j // 2, 8 >> (j % 2)
+    raise ValueError("simhash supports at most 64 bits (md5 nibbles)")
 
-    Bit j of token t = high bit of hex digit j of md5(t) — a portable
-    1-bit projection both Spark and the DuckDB oracle compute
-    identically. Document bit j = sign of Σ_tokens (±1). Emitted as a
-    16-char '0'/'1' string (hash-stable)."""
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """n-bit SimHash per document.
+
+    Bit j of token t comes from one nibble of md5(t) (see
+    :func:`simhash_bit_source`) — a portable ±1 projection both Spark
+    and the DuckDB oracle compute identically. Document bit j = sign
+    of Σ_tokens (±1). Emitted as an n-char '0'/'1' string
+    (hash-stable). 16 bits saturates beyond a few hundred docs; use
+    64 bits for real corpora (wider signature, same plan: one explode
+    + one groupBy with n partial-aggregated sums)."""
     from prisma_migrator_spark.catalog import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -217,18 +236,26 @@ def simhash16(
     tok = df.select(id_col, F.explode(words).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
-    HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
-    aggs = [
-        F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*HIGH), 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(16)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
+
+    def bit(j: int):
+        digit, mask = simhash_bit_source(j, n_bits)
+        nib = F.conv(F.substring("h", digit + 1, 1), 16, 10).cast("int")
+        return F.when(nib.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+
+    sums = tok.groupBy(id_col).agg(
+        *[F.sum(bit(j)).alias(f"s{j}") for j in range(n_bits)]
+    )
     bits = F.concat(
-        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)]
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(n_bits)]
     )
     return sums.select(id_col, bits.alias("simhash"))
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash (see :func:`simhash`)."""
+    return simhash(df, text_col, id_col, n_bits=16)
 
 
 def connected_components(
@@ -311,21 +338,23 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int = 4,
+    n_bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs: signatures within Hamming distance
     ``max_hamming``, found via band-bucketing (never n²).
 
-    Pigeonhole guarantee: with 16 bits in ``16/band_bits`` bands, any
-    pair differing in ≤ (n_bands - 1) bits shares at least one intact
-    band — so 4-bit bands find ALL pairs with hamming ≤ 3. The
-    self-join is keyed on (band index, band value); cost is
-    Σ bucket², not n². At larger corpora use a wider simhash with
-    wider bands (same plan shape) so buckets stay small; the join
-    carries ids only (the 2×16-char signatures re-join after the
-    pair-distinct, exactly like :func:`lsh_candidate_pairs`).
+    Pigeonhole guarantee: with ``n_bits/band_bits`` bands, any pair
+    differing in ≤ (n_bands - 1) bits shares at least one intact band
+    — 4-bit bands over 16 bits, or 16-bit bands over 64 bits, find
+    ALL pairs with hamming ≤ 3. The self-join is keyed on (band
+    index, band value); cost is Σ bucket², not n². 16-bit signatures
+    saturate beyond a few hundred docs (every band bucket fills up) —
+    use ``n_bits=64`` for real corpora; the join carries ids only
+    (signatures re-join after the pair-distinct, exactly like
+    :func:`lsh_candidate_pairs`).
     """
-    sigs = simhash16(df, text_col, id_col).persist()
-    n_bands = 16 // band_bits
+    sigs = simhash(df, text_col, id_col, n_bits=n_bits).persist()
+    n_bands = n_bits // band_bits
     bands = F.array(
         *[
             F.concat_ws(
@@ -356,7 +385,7 @@ def simhash_near_dup_pairs(
         F.when(
             F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
         ).otherwise(0)
-        for j in range(16)
+        for j in range(n_bits)
     )
     return (
         pairs.join(sa, "id_a")
