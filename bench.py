@@ -51,9 +51,12 @@ def main() -> None:
     # timing, like any load-then-measure benchmark. Disable with
     # SPARK_GRAFT_OPTIMIZE_LAYOUT=0 to read the raw fixtures.
     if os.environ.get("SPARK_GRAFT_OPTIMIZE_LAYOUT", "1") != "0":
-        from prisma_migrator_spark.sources.layout import optimize_layout
+        try:
+            from prisma_migrator_spark.sources.layout import optimize_layout
 
-        sf_dir = optimize_layout(sf_dir)
+            sf_dir = optimize_layout(sf_dir)
+        except Exception:
+            pass  # unwritable cache dir etc. -> raw fixtures still work
         # split sizing: Spark's own bytesPerCore heuristic
         # (min(maxPartitionBytes, max(openCost, total/parallelism)))
         # spreads the compacted row groups without extra tuning;

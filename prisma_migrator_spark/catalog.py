@@ -92,9 +92,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     tables relative to the per-row CPU), and never runs at 100 TB
     because such inputs always have >= cores splits.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, 8):
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # environments without RDD access (e.g. Spark Connect): leave
+        # the plan alone rather than fail the query
+        return df
+    if current >= min(target, 8):
         return df
     return df.repartition(target)
 
