@@ -53,6 +53,16 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_dedup_events(events: DataFrame, id_col: str = "event_id") -> DataFrame:
+    """Exactly-once event stream via
+    ``dropDuplicatesWithinWatermark``: re-deliveries of an event id
+    within the watermark horizon are dropped, and state for ids older
+    than the watermark is EVICTED — plain ``dropDuplicates`` on a
+    non-watermark key keeps its seen-set forever, which is what makes
+    this variant the bounded-state scale path."""
+    return events.dropDuplicatesWithinWatermark([id_col])
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

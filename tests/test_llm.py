@@ -132,6 +132,28 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
         assert sum(flags) == 1  # exactly one canonical per fingerprint
 
 
+def test_streaming_dedup_events_drops_redelivery(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "events_dup")
+    # stage the events TWICE: the second file simulates re-delivery
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)
+    stream = read_events_stream(spark, src)
+    run_to_memory(
+        streaming_dedup_events(stream), "ev_dedup", output_mode="append"
+    )
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM ev_dedup").collect()[0].n
+    total = spark.sql("SELECT COUNT(*) AS n FROM ev_dedup").collect()[0].n
+    assert n == ev.count()
+    assert total == n  # each id emitted exactly once despite re-delivery
+
+
 def test_connected_components_path_and_clique(spark):
     from prisma_migrator_spark.llm.dedup import connected_components
 

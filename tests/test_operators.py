@@ -38,6 +38,47 @@ def test_latest_per_key_map_fallback(spark):
     assert got == {1: (2, {"b": 2}), 2: (5, {"c": 3})}
 
 
+def test_flagship_plan_quality_regression(spark, sf_dir):
+    """Pin the physical-plan properties the 100 TB stance depends on:
+    column pruning reaches the scans, dims broadcast, and the fact
+    table is never window-sorted."""
+    import re
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    try:
+        df = QUERIES["flagship_popularity"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+    # pruning: no lineitem scan reads all 16 columns
+    for cols in re.findall(r"ReadSchema: struct<([^>\n]*)>", plan):
+        names = [c.split(":")[0] for c in cols.split(",") if ":" in c]
+        if any(n.startswith("l_") for n in names):
+            assert len(names) <= 7, f"lineitem scan too wide: {names}"
+    # dims broadcast, fact never window-sorted
+    assert "BroadcastHashJoin" in plan
+    assert "WindowExec" not in plan and "Window " not in plan
+    # fact-table shuffles come in exactly three key shapes — the pair
+    # agg (suppkey, partkey), its partkey re-agg, and the tiny
+    # category-size agg (suppkey); anything new = a regression
+    shapes = set()
+    for line in plan.splitlines():
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+        if m and "l_" in m.group(1):
+            keys = tuple(
+                sorted(re.findall(r"(l_\w+?)#", m.group(1)))
+            )
+            shapes.add(keys)
+    assert shapes <= {
+        ("l_partkey", "l_suppkey"),
+        ("l_partkey",),
+        ("l_suppkey",),
+    }, shapes
+
+
 def test_latest_per_key_null_order_key_loses(spark):
     df = spark.createDataFrame(
         [Row(k=1, ts=None, v="null-ts"), Row(k=1, ts=3, v="real")],
