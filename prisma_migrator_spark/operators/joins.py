@@ -37,3 +37,73 @@ def anti_join(
     """Rows of ``left`` whose key does NOT exist in ``right``
     (NOT EXISTS) — the skip-duplicates primitive."""
     return left.join(_prep(right, on, broadcast_right), list(on), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    right_tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row picks up ``payload``
+    from the latest right row with ``right_ts <= left_ts`` per key —
+    DuckDB/kdb ``ASOF JOIN``, which Spark has no native operator for.
+
+    Implemented as the merge-sorted union (the scale-correct plan, vs
+    the naive per-row range join that explodes to |L|·|R| candidates):
+
+    1. dedupe right to one row per (key, ts) — deterministic via
+       ``right_tiebreakers`` (max wins);
+    2. union the two sides tagged 0 (right) / 1 (left), sorted within
+       each key by (ts, tag) — a right row at exactly left's ts sorts
+       first, giving <= semantics;
+    3. running ``last(payload, ignorenulls=True)`` over the sorted
+       stream carries each right row's values forward to every later
+       left row.
+
+    Cost: ONE shuffle of |L|+|R'| rows keyed on ``on`` + a
+    per-partition sort — the same shape as a window dedup, regardless
+    of how many right rows precede each left row.
+    """
+    from prisma_migrator_spark.operators.dedup import latest_per_key
+    from pyspark.sql import Window
+
+    on = list(on)
+    payload = list(payload)
+    r = right.select(*on, right_ts, *payload)
+    if right_tiebreakers:
+        r = latest_per_key(r, [*on, right_ts], right_tiebreakers[0],
+                           tiebreakers=right_tiebreakers[1:])
+    else:
+        r = r.dropDuplicates([*on, right_ts])
+
+    ts_type = dict(left.dtypes)[left_ts]
+    left_only = [c for c in left.columns if c not in on]
+    lt = left.select(
+        *on,
+        F.col(left_ts).cast(ts_type).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *left_only,
+        *[F.lit(None).cast(dict(r.dtypes)[p]).alias(p) for p in payload],
+    )
+    rt = r.select(
+        *on,
+        F.col(right_ts).cast(ts_type).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        *payload,
+    )
+    tagged = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in payload:
+        tagged = tagged.withColumn(p, F.last(p, ignorenulls=True).over(w))
+    return tagged.where(F.col("__is_left") == 1).select(
+        *on, *left_only, *payload
+    )

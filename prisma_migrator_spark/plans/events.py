@@ -173,3 +173,55 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("int").alias("k_max"),
         )
     )
+
+
+# --- as-of join (operator Spark lacks; DuckDB has it natively) ---------
+
+_ASOF_ORACLE = """
+WITH rd AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) t
+  WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       STRFTIME(rd.o_orderdate, '%Y-%m-%d') AS last_order_date,
+       ROUND(rd.o_totalprice, 2) AS last_order_total
+FROM events e
+ASOF LEFT JOIN rd ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate
+"""
+
+
+@query("asof_last_order", oracle=_ASOF_ORACLE)
+def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the user's most recent
+    order at-or-before the event time. Verified against DuckDB's
+    native ASOF JOIN; see operators/joins.asof_join for the
+    merge-sorted single-shuffle implementation."""
+    from prisma_migrator_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderdate").alias("last_order_ts"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["last_order_ts", "o_totalprice", "o_orderkey"],
+        right_tiebreakers=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("last_order_ts", "yyyy-MM-dd").alias("last_order_date"),
+        F.round("o_totalprice", 2).alias("last_order_total"),
+    )

@@ -79,6 +79,33 @@ def test_flagship_plan_quality_regression(spark, sf_dir):
     }, shapes
 
 
+def test_asof_join_interleaved(spark):
+    from prisma_migrator_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=5, name="e1"),   # after r@3 -> 30
+            Row(k=1, t=10, name="e2"),  # after r@10 (== boundary) -> 100
+            Row(k=1, t=2, name="e3"),   # before any right -> null
+            Row(k=2, t=7, name="e4"),   # k=2 has no right rows -> null
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=3, v=30),
+            Row(k=1, rt=10, v=100),
+            Row(k=1, rt=10, v=99),  # tie on rt -> tiebreaker max v wins
+            Row(k=1, rt=20, v=200),  # in the future, never matched
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        payload=["v"], right_tiebreakers=["v"],
+    )
+    got = {r.name: r.v for r in out.collect()}
+    assert got == {"e1": 30, "e2": 100, "e3": None, "e4": None}
+
+
 def test_latest_per_key_null_order_key_loses(spark):
     df = spark.createDataFrame(
         [Row(k=1, ts=None, v="null-ts"), Row(k=1, ts=3, v="real")],
