@@ -63,6 +63,49 @@ def streaming_dedup_events(events: DataFrame, id_col: str = "event_id") -> DataF
     return events.dropDuplicatesWithinWatermark([id_col])
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound:
+    pair each left event with right events of the same key whose
+    timestamp falls in ``[left.ts - lookback, left.ts]``.
+
+    The time bound + watermarks are what make this bounded-state: each
+    side buffers only rows younger than watermark + lookback; without
+    the interval condition Spark would (correctly) refuse the
+    stream-stream join as requiring infinite state. Both inputs must
+    be watermarked (see :func:`read_events_stream`).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("l_event_id") != F.col("r_event_id"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "r_type",
+        "l_ts",
+        "r_ts",
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
@@ -71,6 +114,26 @@ def run_to_memory(
     q = (
         df.writeStream.format("memory")
         .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """Drain the stream into a parquet sink with a checkpoint — the
+    production shape. The checkpoint stores source offsets + operator
+    state, so a later run with the same location resumes where the
+    previous one stopped: already-committed input is never reprocessed
+    (exactly-once file sink), and stateful operators (dedup, windows)
+    restore their state. One availableNow pass per call."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()

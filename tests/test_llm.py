@@ -132,6 +132,77 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
         assert sum(flags) == 1  # exactly one canonical per fingerprint
 
 
+def test_checkpointed_sink_resumes_exactly_once(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_parquet,
+        streaming_dedup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch1 = ev.where(F.col("event_id") < 100)
+    batch2_new = ev.where((F.col("event_id") >= 100) & (F.col("event_id") < 150))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1.write.parquet(src)
+    run_to_parquet(
+        streaming_dedup_events(read_events_stream(spark, src)), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == 100
+
+    # second run: re-deliver batch1 AND add new rows; resume from the
+    # same checkpoint -> committed input skipped, dedup state restored,
+    # only the 50 new events land
+    batch1.unionByName(batch2_new).write.mode("append").parquet(src)
+    run_to_parquet(
+        streaming_dedup_events(read_events_stream(spark, src)), out, ckpt
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        streaming_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    src = str(tmp_path / "events_ij")
+    ev.write.parquet(src)
+    s1 = read_events_stream(spark, src)
+    s2 = read_events_stream(spark, src)
+    run_to_memory(
+        streaming_interval_join(s1, s2, lookback="30 minutes"),
+        "ev_interval",
+        output_mode="append",
+    )
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ev_interval").collect()
+    }
+    # batch reference: same interval condition over the static frame
+    b = ev.select("user_id", "ts", "event_id")
+    exp = {
+        (r.l, r.r)
+        for r in b.alias("a")
+        .join(
+            ev.select("user_id", "ts", "event_id").alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .select(F.col("a.event_id").alias("l"), F.col("b.event_id").alias("r"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_streaming_dedup_events_drops_redelivery(spark, sf_dir, tmp_path):
     from prisma_migrator_spark.streaming.jobs import (
         read_events_stream,
