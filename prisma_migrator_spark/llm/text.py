@@ -136,6 +136,23 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def hash_split(
+    id_col: Column,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """Deterministic train/val/test assignment from the md5 of the row
+    key: reproducible across runs, engines, partitionings, and data
+    ADDITIONS (a row's split never changes when other rows arrive —
+    the property random splits lack). Pure map-side expression."""
+    bucket = F.pmod(token_hash(id_col.cast("string")), F.lit(100))
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     from prisma_migrator_spark.catalog import ensure_parallelism
 

@@ -132,6 +132,35 @@ def top_terms_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLITS_ORACLE = r"""
+WITH assigned AS (
+  SELECT label,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM embeddings
+)
+SELECT label, split, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned GROUP BY label, split
+"""
+
+
+@query("dataset_splits", oracle=_SPLITS_ORACLE)
+def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (hash of the
+    row key, not rand()) with per-label counts — the split report a
+    training pipeline checks for stratification drift. A row's split
+    is stable under any data addition or repartitioning."""
+    from prisma_migrator_spark.llm.text import hash_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("split", hash_split(F.col("vec_id")))
+        .groupBy("label", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 _SAMPLE_ORACLE = r"""
 SELECT doc_id FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
