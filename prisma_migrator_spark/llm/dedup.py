@@ -293,25 +293,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # changed-flag computed in the same pass as the new label —
+        # no extra old-vs-new join per round
+        flagged = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+            (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                "__changed"
+            ),
+        ).persist()
+        changed = flagged.where("__changed").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = flagged.drop("__changed")
         if changed == 0:
             break
     und.unpersist()

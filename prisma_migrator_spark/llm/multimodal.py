@@ -61,6 +61,89 @@ def _byte_features(payload: bytes, n: int = 8) -> list[float]:
     return [c / total for c in bins]
 
 
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize over the binary payload
+    (``mapInPandas``). The fake path emits a deterministic payload —
+    first ``width*height`` bytes cycled — standing in for a real
+    resampler, so the schema/batch plumbing (what actually matters on
+    Spark's side) is exercised end-to-end. Real codec = replace
+    ``_fake_resize`` with PIL, nothing else changes."""
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image codec; not available in this "
+            "container — pass fake=True for the deterministic stand-in"
+        )
+    n = width * height
+
+    def _fake_resize(p: bytes) -> bytes:
+        if not p:
+            return bytes(n)
+        reps = (n // len(p)) + 1
+        return (p * reps)[:n]
+
+    schema = "doc_id bigint, payload binary, width int, height int"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _fake_resize(bytes(p))
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row PER FRAME
+    (``mapInPandas`` fan-out — batch in, multiple rows out, the shape
+    a real decoder uses). Fake path slices the payload into
+    ``n_frames`` even chunks; a real implementation decodes with
+    libav/ffmpeg at evenly spaced timestamps."""
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires a video codec; not available in this "
+            "container — pass fake=True for the deterministic stand-in"
+        )
+    schema = "doc_id bigint, frame_idx int, frame binary"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                step = max(1, len(p) // n_frames)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": i,
+                            "frame": p[i * step : (i + 1) * step],
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
 def extract_features(
     df: DataFrame,
     fake: bool = True,

@@ -300,6 +300,27 @@ def test_multimodal_feature_extraction(spark, sf_dir):
         decode_image(b"\x89PNG...", fake=False)
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents").limit(10))
+    resized = resize_images(docs, width=8, height=8).collect()
+    assert len(resized) == 10
+    assert all(len(r.payload) == 64 and r.width == 8 for r in resized)
+
+    frames = sample_frames(docs, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # fan-out: one row per frame
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
 def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     from prisma_migrator_spark.streaming.jobs import (
         read_events_stream,
