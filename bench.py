@@ -33,9 +33,11 @@ HEADLINE = [
     "latest_per_key_lineitem",
     "distinct_pair_agg",
     "semi_join_orders",
+    "asof_last_order",
     "events_tumbling_hourly",
     "events_session_30m",
     "text_stats",
+    "clean_corpus",
     "minhash_lsh_pairs",
     "topk_cosine_bruteforce",
 ]
