@@ -298,3 +298,56 @@ def category_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("difficulty_score"),
     ).orderBy(F.desc("difficulty_score"), "category_name")
+
+
+_CATEGORY_REPORT_ORACLE = """
+WITH customer_spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total_spend
+  FROM orders GROUP BY o_custkey
+), popularity_scores AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+         COALESCE(cs.total_spend, 0) AS total_spend
+  FROM customer c LEFT JOIN customer_spend cs ON c.c_custkey = cs.o_custkey
+), agg AS (
+  SELECT n.n_name AS category_name,
+         CAST(COUNT(DISTINCT ps.c_custkey) AS INT) AS app_count,
+         ROUND(AVG(ps.c_acctbal), 6) AS avg_popularity,
+         ROUND(SUM(ps.total_spend), 2) AS total_reviews,
+         ROUND(LOG10(COUNT(DISTINCT ps.c_custkey) + 1)
+               * AVG(ps.c_acctbal)
+               * LOG10(SUM(ps.total_spend) + 1), 6) AS difficulty_score
+  FROM popularity_scores ps
+  JOIN nation n ON ps.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT '=HYPERLINK("https://apps.example.com/categories/' || category_name
+         || '/all", "' || REPLACE(category_name, '"', '""') || '")' AS category_link,
+       app_count, avg_popularity, total_reviews, difficulty_score
+FROM agg
+ORDER BY difficulty_score DESC, category_name
+"""
+
+
+@query("category_report", oracle=_CATEGORY_REPORT_ORACLE)
+def category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND CSV exporter (getCategoriesStats,
+    src/utils/lib.ts:539-554): the difficulty ranking with an
+    =HYPERLINK formula cell per category, ready for the quoted-CSV
+    sink (sources/csv_report.write_csv_report)."""
+    from prisma_migrator_spark.functions.pg_compat import hyperlink
+
+    ranked = category_difficulty(spark, sf_dir)
+    return ranked.select(
+        hyperlink(
+            F.concat(
+                F.lit("https://apps.example.com/categories/"),
+                F.col("category_name"),
+                F.lit("/all"),
+            ),
+            F.col("category_name"),
+        ).alias("category_link"),
+        "app_count",
+        "avg_popularity",
+        "total_reviews",
+        "difficulty_score",
+    )
