@@ -107,3 +107,51 @@ def asof_join(
     return tagged.where(F.col("__is_left") == 1).select(
         *on, *left_only, *payload
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_start: str,
+    duration: str,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Bounded equi + range join: left rows whose ``left_ts`` falls in
+    ``[right_start, right_start + duration)`` for the matching key —
+    the batch analog of a watermarked stream-stream interval join
+    (attribution windows, event-to-session assignment).
+
+    The equi keys do the heavy lifting: Catalyst hash-partitions both
+    sides on ``on`` and applies the range bound as a residual filter
+    inside the (broadcast-)hash join — never a cross product. Keep the
+    equi component non-degenerate at scale; a pure range join without
+    keys degrades to BroadcastNestedLoop.
+    """
+    # Rename the right side up front: the anchor frame is often derived
+    # from the left (self-join lineage), and raw left[k] == right[k]
+    # predicates are ambiguous there.
+    rcols = list(right.columns)
+    carried = [c for c in rcols if c not in on and c != right_start]
+    clash = [c for c in carried if c in left.columns]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash}")
+    r = right.select(*[F.col(c).alias(f"__r_{c}") for c in rcols])
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = None
+    for k in on:
+        c = left[k] == F.col(f"__r_{k}")
+        cond = c if cond is None else cond & c
+    lo = F.col(f"__r_{right_start}")
+    cond = (
+        cond
+        & (left[left_ts] >= lo)
+        & (left[left_ts] < lo + F.expr(f"INTERVAL {duration}"))
+    )
+    joined = left.join(r, cond, "inner").drop(*[f"__r_{k}" for k in on])
+    joined = joined.withColumnRenamed(f"__r_{right_start}", right_start)
+    for c in carried:
+        joined = joined.withColumnRenamed(f"__r_{c}", c)
+    return joined

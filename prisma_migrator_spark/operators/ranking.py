@@ -1,0 +1,76 @@
+"""Ranking / top-k-per-group operators.
+
+The reference has no ranking windows or LIMIT/top-k anywhere
+(SURVEY §2.13: "No ... ranking/lag/lead windows ... LIMIT/top-k"),
+but its latest-per-key idiom (reference src/utils/lib.ts:303,313) is
+the k=1 special case — any real analytics replacement needs the
+general operator.
+
+Scale notes:
+- ``topk_per_group`` uses ``row_number`` over (keys, order) — one
+  shuffle on the group key, per-partition sort, early filter. For
+  k=1 prefer :func:`prisma_migrator_spark.operators.dedup.
+  latest_per_key` (max(struct) hash-agg, partial combine, no sort).
+  For small k over huge groups the window form is the right plan:
+  Spark's WindowExec streams each group, emitting only k rows past
+  the filter; no full-group materialization in the driver.
+- All orderings take explicit tiebreakers so results are
+  deterministic under ties (same requirement as W2 — hash-compare
+  against another engine flakes otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(
+    order_by: str, descending: bool, tiebreakers: Sequence[str]
+) -> list[Column]:
+    lead = F.col(order_by).desc() if descending else F.col(order_by).asc()
+    return [lead, *(F.col(t).asc() for t in tiebreakers)]
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    k: int,
+    tiebreakers: Sequence[str] = (),
+    descending: bool = True,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top ``k`` rows per group under a deterministic total order;
+    emits ``rank_col`` (1-based row_number) alongside the payload."""
+    w = Window.partitionBy(*keys).orderBy(
+        *_order_cols(order_by, descending, tiebreakers)
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    order_by: str,
+    n: int,
+    tiebreakers: Sequence[str] = (),
+    descending: bool = False,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to one of ``n`` equal-height buckets over a
+    deterministic global order (quartiles/deciles).
+
+    Scale caveat: an unpartitioned window is a single-task sort — the
+    same hazard as ``MAX() OVER ()`` (SURVEY §7.3 #6). Fine for
+    result-set-sized frames (reports); for fact-scale frames compute
+    approximate quantile cut points first and bucket by comparison
+    (see ``plans/analytics.approx_event_value_quantiles`` for the
+    sketch-based path).
+    """
+    w = Window.orderBy(*_order_cols(order_by, descending, tiebreakers))
+    return df.withColumn(bucket_col, F.ntile(n).over(w))

@@ -8,6 +8,7 @@ SQL string). ``__spark_entry__.py`` re-exports both for the driver.
 from prisma_migrator_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
 
 # Import for registration side effects.
+from prisma_migrator_spark.plans import analytics  # noqa: E402,F401
 from prisma_migrator_spark.plans import core  # noqa: E402,F401
 from prisma_migrator_spark.plans import events  # noqa: E402,F401
 from prisma_migrator_spark.plans import flagship  # noqa: E402,F401

@@ -1,0 +1,270 @@
+"""Analytics-surface extensions the reference lacks outright.
+
+SURVEY §2.13 lists what the reference never implements: ranking /
+lag / lead / ntile windows, set operations, LIMIT/top-k, grouping
+sets, non-equi joins, approximate aggregates. A user replacing the
+reference with this engine gets them here, each DuckDB-verified
+(or pytest-bounded where approximation makes hash equality the
+wrong contract).
+
+Hash-stability conventions follow plans/core.py: ROUND(x, 6) on
+computed doubles both sides, timestamps as epoch micros, explicit
+tiebreakers under every window order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.operators.joins import interval_join
+from prisma_migrator_spark.operators.ranking import ntile_buckets, topk_per_group
+from prisma_migrator_spark.plans.registry import query
+
+# --- ranking window + top-k per group (absent per SURVEY §2.13) --------
+
+_TOP_ORDERS_ORACLE = """
+SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey,
+       ROUND(o_totalprice, 2) AS total_price
+FROM (
+  SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders o) t
+WHERE rn <= 3
+"""
+
+
+@query("top_orders_per_customer", oracle=_TOP_ORDERS_ORACLE)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — k>1 generalization of the
+    reference's latest-per-key idiom (src/utils/lib.ts:303,313)."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = topk_per_group(
+        orders, ["o_custkey"], "o_totalprice", k=3, tiebreakers=["o_orderkey"]
+    )
+    return top.select(
+        "o_custkey",
+        F.col("rn").cast("int").alias("rn"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+# --- grouping sets / rollup (absent per SURVEY §2.13) ------------------
+
+_REVENUE_ROLLUP_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("revenue_rollup", oracle=_REVENUE_ROLLUP_ORACLE)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal + grand-total
+    rows. Spark plans this as Expand + one hash aggregate — rows are
+    replicated per grouping set map-side, partial-agg'd, one shuffle;
+    no per-level rescans at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue",
+        )
+    )
+
+
+# --- set operations (absent per SURVEY §2.7) ---------------------------
+
+_SETOPS_ORACLE = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderstatus = 'F' AND YEAR(o_orderdate) = 1996
+"""
+
+
+@query("repeat_customers_setops", oracle=_SETOPS_ORACLE)
+def repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT chain: customers ordering in both 1995 and
+    1996, minus those with a finalized 1996 order. Catalyst rewrites
+    both set ops to (semi/anti) hash joins over distinct keys — each a
+    single shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    in95 = orders.where(yr == 1995).select("o_custkey")
+    in96 = orders.where(yr == 1996).select("o_custkey")
+    f96 = orders.where((yr == 1996) & (F.col("o_orderstatus") == "F")).select(
+        "o_custkey"
+    )
+    return in95.intersect(in96).exceptAll(f96.distinct())
+
+
+# --- bounded interval (equi + range) join ------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH anchors AS (
+  SELECT user_id, MIN(ts) AS anchor_ts FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       EPOCH_US(a.anchor_ts) AS anchor_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events_24h,
+       ROUND(SUM(e.value), 6) AS value_24h
+FROM events e
+JOIN anchors a
+  ON e.user_id = a.user_id
+ AND e.ts >= a.anchor_ts
+ AND e.ts < a.anchor_ts + INTERVAL 24 HOURS
+GROUP BY e.user_id, a.anchor_ts
+"""
+
+
+@query("event_attribution_24h", oracle=_ATTRIBUTION_ORACLE)
+def event_attribution_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution window: per user, activity within 24h of their
+    first event — equi + range join (absent per SURVEY §2.13). The
+    anchor side is one row per user (aggregated), so it broadcasts;
+    the range bound is a residual predicate inside the hash join,
+    never a cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.groupBy("user_id").agg(F.min("ts").alias("anchor_ts"))
+    hits = interval_join(
+        ev.select("user_id", "ts", "value"),
+        anchors,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="anchor_ts",
+        duration="24 HOURS",
+        broadcast_right=True,
+    )
+    return hits.groupBy("user_id", "anchor_ts").agg(
+        F.count("*").alias("n_events_24h"),
+        F.round(F.sum("value"), 6).alias("value_24h"),
+    ).select(
+        "user_id",
+        F.unix_micros("anchor_ts").alias("anchor_us"),
+        "n_events_24h",
+        "value_24h",
+    )
+
+
+# --- lag/lead inter-arrival gaps (absent per SURVEY §2.13) -------------
+
+_GAPS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_us / 1e6), 6) AS avg_gap_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM (
+  SELECT user_id,
+         EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events) t
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("user_event_gaps", oracle=_GAPS_ORACLE)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics via LAG — one shuffle on
+    user_id, per-partition sort, then a partial-agg'd groupBy on the
+    same key (no second shuffle: the window's hash partitioning is
+    reused by the aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg(F.col("gap_us") / 1e6), 6).alias("avg_gap_s"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# --- ntile quantile buckets (absent per SURVEY §2.13) ------------------
+
+_QUARTILES_ORACLE = """
+SELECT CAST(q AS INT) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM (
+  SELECT o_totalprice,
+         NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
+  FROM orders) t
+GROUP BY q
+"""
+
+
+@query("order_price_quartiles", oracle=_QUARTILES_ORACLE)
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height price quartiles via NTILE over a deterministic
+    total order. See ranking.ntile_buckets for the scale caveat (an
+    unpartitioned window is single-task; the sketch-based variant
+    below is the 100 TB path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = ntile_buckets(
+        orders.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        4,
+        tiebreakers=["o_orderkey"],
+        bucket_col="q",
+    )
+    return b.groupBy(F.col("q").cast("int").alias("q")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# --- approximate aggregates (absent per SURVEY §2.13; the 100 TB path) -
+
+# No DuckDB oracle: HLL implementations differ across engines, so hash
+# equality is the wrong contract. tests/test_analytics.py bounds the
+# relative error against the exact count instead (driver: rows-only).
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier approx_count_distinct(part) — HyperLogLog++, fixed
+    ~few-KB sketch per group merged map-side, vs COUNT(DISTINCT)'s
+    full key shuffle. At 100 TB this is the difference between a
+    bounded-memory single pass and materializing every distinct pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+@query("approx_event_value_quantiles")
+def approx_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p25/p50/p75/p95 of value via percentile_approx
+    (Greenwald–Khanna sketch, mergeable, bounded memory) — the
+    fact-scale alternative to ntile bucketing. Accuracy bounded in
+    tests/test_analytics.py against exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000)
+    return ev.groupBy("event_type").agg(
+        pct[0].alias("p25"),
+        pct[1].alias("p50"),
+        pct[2].alias("p75"),
+        pct[3].alias("p95"),
+    )

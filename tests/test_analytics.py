@@ -1,0 +1,82 @@
+"""Bounds for the analytics-surface extensions (plans/analytics.py).
+
+The six oracle-backed queries are hash-verified by the driver gate /
+test_oracle_parity; here we cover what hash equality can't: accuracy
+bounds for the approximate aggregates (sketches differ across
+engines, so the contract is relative error vs the exact answer, not
+bit equality) and operator-level edge cases for the new helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.operators.ranking import topk_per_group
+from prisma_migrator_spark.plans.registry import QUERIES
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["l_suppkey"]: r["approx_parts"]
+        for r in QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        # rsd=0.02 is a standard deviation, not a hard cap; 5x margin.
+        assert abs(approx[k] - n) <= max(2, 0.10 * n), (k, approx[k], n)
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["approx_event_value_quantiles"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    for et, row in got.items():
+        vals = sorted(
+            r["value"] for r in ev.where(F.col("event_type") == et).collect()
+        )
+        n = len(vals)
+        for name, p in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+            # GK sketch guarantees rank error <= n/accuracy (=n/10000);
+            # allow a +/- 1% rank window to be safe on tiny groups.
+            lo = vals[max(0, int((p - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 0.01) * n) + 1)]
+            assert lo <= row[name] <= hi, (et, name, row[name], lo, hi)
+
+
+def test_topk_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 2), ("a", 10, 1), ("a", 9, 3), ("b", 5, 1)],
+        ["k", "score", "id"],
+    )
+    top = topk_per_group(df, ["k"], "score", k=2, tiebreakers=["id"])
+    rows = {(r["k"], r["rn"]): r["id"] for r in top.collect()}
+    # tie on score=10 broken by ascending id
+    assert rows[("a", 1)] == 1 and rows[("a", 2)] == 2
+    assert rows[("b", 1)] == 1
+
+
+def test_interval_join_bounds_are_half_open(spark):
+    from prisma_migrator_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 23:59:59"),
+         (1, "2024-01-02 00:00:00"), (2, "2024-01-01 12:00:00")],
+        ["uid", "ts"],
+    ).select("uid", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], ["uid", "start"]
+    ).select("uid", F.col("start").cast("timestamp").alias("start"))
+    out = interval_join(left, right, ["uid"], "ts", "start", "24 HOURS")
+    got = sorted(r["ts"].isoformat() for r in out.collect())
+    # start inclusive, start+24h exclusive; uid=2 has no anchor
+    assert got == ["2024-01-01T00:00:00", "2024-01-01T23:59:59"]
