@@ -338,7 +338,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, num_hashes=8, band_size=2)
 
 
-_NEAR_DUP_CLUSTERS_ORACLE = rf"""
+_CLUSTERS_CTES = rf"""
 WITH RECURSIVE words AS ({_SHINGLE_SQL}),
 sh AS (
   SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
@@ -369,7 +369,9 @@ sh AS (
   SELECT DISTINCT src AS node, src AS r FROM edges
   UNION
   SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
-)
+)"""
+
+_NEAR_DUP_CLUSTERS_ORACLE = rf"""{_CLUSTERS_CTES}
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -634,3 +636,134 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs), fake=True)
+
+
+# --- sequence chunking (fixed-length training examples) ----------------
+
+_CHUNK_LEN = 128
+
+_DOC_CHUNKS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {_CHUNK_LEN} AS INT) AS start_tok,
+       CAST(LEAST({_CHUNK_LEN}, n_tokens - i * {_CHUNK_LEN}) AS INT) AS chunk_len
+FROM toks, LATERAL UNNEST(range(CAST(CEIL(n_tokens / {_CHUNK_LEN}.0) AS BIGINT))) AS t(i)
+WHERE n_tokens >= 1
+"""
+
+
+@query("doc_chunks", oracle=_DOC_CHUNKS_ORACLE)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document's token stream into fixed-length training
+    chunks (max 128 tokens): the sequence-packing precursor that turns
+    a cleaned corpus into uniform training examples. Pure map-side
+    explode — no shuffle, no Python; at 100 TB this runs at scan
+    speed with output rows ~ total_tokens / chunk_len."""
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_tokens")
+    return (
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((n - 1) / _CHUNK_LEN).cast("int")
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * _CHUNK_LEN).cast("int").alias("start_tok"),
+            F.least(
+                F.lit(_CHUNK_LEN), n - F.col("chunk_id") * _CHUNK_LEN
+            ).cast("int").alias("chunk_len"),
+        )
+    )
+
+
+# --- near-dup-aware canonical selection (cluster -> best doc) ----------
+
+_CANONICAL_DOCS_ORACLE = rf"""{_CLUSTERS_CTES},
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+), qual AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'for','on','with','as','at','by','this','that'], t)))
+                 / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents)
+), membered AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, q.quality
+  FROM documents d
+  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+  JOIN qual q ON d.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id AS canonical_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       quality AS best_quality
+FROM (
+  SELECT m.*,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (
+             PARTITION BY cluster_id
+             ORDER BY quality DESC, doc_id) AS rn
+  FROM membered m) t
+WHERE rn = 1
+"""
+
+
+@query("canonical_docs", oracle=_CANONICAL_DOCS_ORACLE)
+def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware canonicalization: MinHash-LSH clusters (same
+    pipeline as near_dup_clusters), every unclustered doc its own
+    singleton, then keep the highest-quality member per cluster —
+    THE standard "collapse near-duplicates, keep the best copy"
+    step of a training-data pipeline. Quality is rounded to 6dp
+    BEFORE ranking so the cross-engine order agrees; ties break on
+    doc_id. One window shuffle on cluster_id over a docs-sized frame;
+    the heavy lifting stays in the Σ bucket² LSH candidate stage."""
+    from prisma_migrator_spark.llm.dedup import near_dup_clusters
+    from prisma_migrator_spark.llm.text import quality_score
+    from prisma_migrator_spark.operators.ranking import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    membered = (
+        docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "quality",
+        )
+    )
+    sizes = membered.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    best = topk_per_group(
+        membered, ["cluster_id"], "quality", k=1, tiebreakers=["doc_id"]
+    )
+    return best.join(sizes, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "n_members",
+        F.col("quality").alias("best_quality"),
+    )
