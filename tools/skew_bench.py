@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Skew benchmark: synthetic hot keys over the sf0.1 fixtures.
+
+SURVEY §8 candidate "skew benchmarks with synthetic hot keys". Two
+scenarios, both with ~90% of the fact rows landing on ONE key — the
+shape that turns a 1000-executor job into a single-straggler job:
+
+1. distinct-set aggregation: unsalted ``distinct_pair_agg`` (hot key's
+   rows converge on one reducer) vs ``salted_distinct_pair_agg``
+   (element-hash salt spreads them over 16 reducers). AQE cannot help
+   here — skew splitting applies to joins, not aggregations.
+2. skewed fact-to-fact join, AQE skew-join ON vs OFF (dim side made
+   non-broadcastable so the sort-merge path is exercised; AQE splits
+   the hot partition into parallel subtasks). Note a downstream
+   shuffle-requiring operator suppresses the split — keep aggregations
+   off the skewed join's direct output or accept the straggler.
+
+Usage: python tools/skew_bench.py  [prints one JSON line]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from prisma_migrator_spark.catalog import load_table  # noqa: E402
+from prisma_migrator_spark.operators.aggregates import (  # noqa: E402
+    distinct_pair_agg,
+    salted_distinct_pair_agg,
+)
+from prisma_migrator_spark.session import get_spark  # noqa: E402
+
+
+def _timed(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("skew-bench")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Amplify 32x: ~19M rows with ~90% on ONE key. The hot key's
+    # reducer-side work (16M set-inserts unsalted) is the critical
+    # path; everything map-side is identical for both forms.
+    amp = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+    )
+    skewed = amp.select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("hot_key"),
+        # ~86x duplication: the reducer's set-insert work is what
+        # salting parallelizes; all-distinct elements would make the
+        # single-reducer array build the floor for both forms.
+        F.pmod(F.col("l_orderkey") * 32 + F.col("i"), F.lit(500000)).alias("elem"),
+    )
+    # The fixture parquet is single-row-group -> the scan (and the
+    # explode above it) would run as ONE task; spread before persist
+    # so the map side is parallel and the reducer skew is what's
+    # measured.
+    skewed = skewed.repartition(32)
+    skewed.persist().count()
+
+    results: dict[str, float | int] = {}
+    # warm both plans once (JIT/codegen), then time
+    for name, df in [
+        ("agg_unsalted", distinct_pair_agg(skewed, ["hot_key"], ["elem"])),
+        (
+            "agg_salted",
+            salted_distinct_pair_agg(skewed, ["hot_key"], ["elem"], n_salt=16),
+        ),
+    ]:
+        _timed(df)
+        results[name] = round(_timed(df), 3)
+
+    # sanity: identical results
+    a = distinct_pair_agg(skewed, ["hot_key"], ["elem"])
+    b = salted_distinct_pair_agg(skewed, ["hot_key"], ["elem"], n_salt=16)
+    mismatch = a.join(b.withColumnRenamed("pairs", "p2"), "hot_key").where(
+        F.col("pairs") != F.col("p2")
+    ).count()
+    results["agg_mismatch_groups"] = mismatch
+
+    # scenario 2: skewed SMJ, AQE skew split on vs off. One build row
+    # per key keeps output = probe size, so what's timed is the hot
+    # partition's sort+probe, not result explosion. Local shuffle
+    # partitions are far smaller than the 256MB default skew
+    # threshold, so scale the thresholds down to the local data size —
+    # on a real cluster the defaults fire at proportional volumes.
+    probe = amp.select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("jk"),
+        (F.col("l_orderkey") * 32 + F.col("i")).alias("payload"),
+    )
+    build = (
+        li.select((F.col("l_orderkey") % 1000).alias("jk"))
+        .distinct()
+        .withColumn("w", F.lit(2.0))
+    )
+    probe = probe.repartition(32)
+    probe.persist().count()
+    build.persist().count()
+    # No aggregation after the join: a downstream operator that
+    # requires the join's hash partitioning makes AQE decline to
+    # split the skewed partition (splitting breaks the distribution
+    # guarantee). The noop write has no distribution requirement.
+    join = probe.join(build, "jk").select(
+        (F.col("payload") * F.col("w")).alias("s")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.conf.set(  # AQE's runtime broadcast conversion too
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+    for flag in ["true", "false"]:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+        _timed(join)
+        results[f"join_aqe_skew_{flag}"] = round(_timed(join), 3)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    print(json.dumps({"metric": "skew_bench", "sf_dir": sf_dir, **results}))
+
+
+if __name__ == "__main__":
+    main()
