@@ -65,6 +65,138 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double, event_path string, closed_by string"
+)
+_SESSION_STATE_SCHEMA = (
+    "start_us bigint, last_us bigint, n bigint, total double, path string"
+)
+
+#: Cap on the recorded per-session event path; state must stay O(1).
+_PATH_CAP = 24
+
+
+def sessionize_with_state(
+    events: DataFrame, gap: str = "30 minutes", path_cap: int = _PATH_CAP
+) -> DataFrame:
+    """Custom gap-sessionization with an *ordered* per-session event
+    path — the shape ``F.session_window`` aggregation can't express.
+
+    Declarative session windows give per-session aggregates, but any
+    order-dependent payload (the sequence of event types a user walked
+    through, funnel-style) is out of reach: ``collect_list`` order is
+    unspecified under a shuffle. Here each user's open session lives in
+    the state store as ``(start, last, n, total, path)``; arriving
+    batches extend it in event-time order, a gap >= ``gap`` closes it
+    (``closed_by='gap'``), and when the watermark passes
+    ``last + gap`` an event-time timeout closes it without needing a
+    newer event from that user (``closed_by='timeout'``) — so every
+    session is emitted exactly once, in append mode.
+
+    Sessions merge exactly like ``F.session_window``: an event extends
+    the open session iff ``ts - last < gap`` (boundary-equal starts a
+    new session), so (user, session_start, n, total) is comparable 1:1
+    with the declarative form — the property the test asserts.
+
+    Scale shape: state is hash-partitioned on ``user_id`` across
+    executors and bounded — one open session per user, path capped at
+    ``path_cap`` steps — and the watermark-driven timeout evicts idle
+    users, so state size tracks *active* users, not history. Input
+    must be watermarked (see ``read_events_stream``); ``gap`` must be
+    a whole number of seconds/minutes/hours.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = _interval_us(gap)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        uid = key[0]
+
+        def as_frame(rows: list[dict]) -> "pd.DataFrame":
+            out = pd.DataFrame(rows)
+            out["session_start"] = pd.to_datetime(out.pop("start_us"), unit="us")
+            out["session_end"] = pd.to_datetime(out.pop("last_us"), unit="us")
+            return out[
+                [
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "total_value",
+                    "event_path",
+                    "closed_by",
+                ]
+            ]
+
+        def closed(s: tuple, why: str) -> dict:
+            start_us, last_us, n, total, path = s
+            return {
+                "user_id": uid,
+                "start_us": int(start_us),
+                "last_us": int(last_us),
+                "n_events": int(n),
+                "total_value": float(total),
+                "event_path": path,
+                "closed_by": why,
+            }
+
+        if state.hasTimedOut:
+            emitted = [closed(state.get, "timeout")] if state.exists else []
+            state.remove()
+            if emitted:
+                yield as_frame(emitted)
+            return
+
+        open_s: tuple | None = state.get if state.exists else None
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            types = pdf["event_type"].fillna("").to_numpy()
+            vals = pdf["value"].fillna(0.0).to_numpy()
+            for t, typ, v in zip(ts_us, types, vals):
+                t, v = int(t), float(v)
+                if open_s is not None and t - open_s[1] < gap_us:
+                    start, _, n, total, path = open_s
+                    if n < path_cap:
+                        path = f"{path}>{typ}"
+                    open_s = (start, t, n + 1, total + v, path)
+                else:
+                    if open_s is not None:
+                        out.append(closed(open_s, "gap"))
+                    open_s = (t, t, 1, v, typ)
+        if open_s is not None:
+            state.update(open_s)
+            # fire once the watermark passes session end + gap (ms)
+            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        if out:
+            yield as_frame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_us(interval: str) -> int:
+    """'30 minutes' -> microseconds. Whole seconds/minutes/hours/days."""
+    qty, unit = interval.strip().split()
+    per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s").lower()
+    ]
+    return int(qty) * per * 1_000_000
+
+
 _DEDUP_OUTPUT_SCHEMA = (
     "fingerprint string, doc_id bigint, first_seen boolean"
 )

@@ -353,3 +353,61 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sessionize_with_state_matches_session_window(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_parquet,
+    )
+    from prisma_migrator_spark.streaming.stateful import sessionize_with_state
+    from prisma_migrator_spark.streaming.windows import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.percentile_approx("ts", 0.5).cast("timestamp").alias("m")
+    ).collect()[0].m
+    # sentinel far past every real session end + gap: its batch's
+    # watermark update lets EVERY real session time out
+    flush = spark.createDataFrame(
+        [Row(event_id=-1, user_id=-1, event_type="flush", value=0.0, props="")]
+    ).withColumn("ts", F.expr("timestamp'2024-06-01'"))
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def drain(chunk):
+        chunk.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("append").parquet(src)
+        run_to_parquet(
+            sessionize_with_state(read_events_stream(spark, src, watermark="1 second")),
+            out,
+            ckpt,
+        )
+
+    drain(ev.where(F.col("ts") < mid))
+    drain(ev.where(F.col("ts") >= mid))
+    drain(flush)
+    got = spark.read.parquet(out).where(F.col("user_id") >= 0)
+
+    # exactly one emission per session, each closed exactly once
+    assert got.groupBy("user_id", "session_start").count().where("count > 1").count() == 0
+    exp = session_windows(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("t")],
+    )
+    g = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in got.collect()
+    }
+    e = {
+        (r.user_id, r.w.start, r.n, round(r.t, 6)) for r in exp.collect()
+    }
+    assert g == e and len(g) > 20
+
+    # the ordered payload: path steps == n_events (up to the cap), in
+    # event-time order within the session
+    for r in got.where(F.col("n_events") <= 24).collect():
+        assert len(r.event_path.split(">")) == r.n_events
