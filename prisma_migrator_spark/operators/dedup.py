@@ -51,6 +51,11 @@ def latest_per_key(
     with a pinned deterministic tiebreak. Null sort keys lose to
     non-null under both plans (desc = NULLS LAST; struct comparison
     orders null lowest).
+
+    Pruning caveat: every column of ``df`` lands in the aggregate's
+    struct buffer, so Catalyst cannot prune scan columns through this
+    operator — ``select`` the columns you need BEFORE calling it (safe
+    whenever the tiebreakers pin a unique winner).
     """
     lead = [order_col, *tiebreakers]
     payload = [c for c in df.columns if c not in keys and c not in lead]

@@ -53,6 +53,22 @@ WHERE rn = 1
 @query("latest_per_key_lineitem", oracle=_LATEST_LINEITEM_ORACLE)
 def latest_per_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Project BEFORE the dedup: max(struct(*)) folds every column into
+    # the aggregate buffer, which blocks Catalyst's column pruning from
+    # reaching the scan — at 100 TB the two unused doubles are real IO.
+    # Safe: (l_orderkey, l_linenumber) is unique, so dropped payload
+    # columns can never decide the struct comparison.
+    li = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
     latest = latest_per_key(
         li, ["l_partkey"], "l_shipdate", tiebreakers=["l_orderkey", "l_linenumber"]
     )
@@ -84,6 +100,9 @@ WHERE rn = 1
 @query("latest_event_per_user", oracle=_LATEST_EVENT_ORACLE)
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # project first so pruning reaches the scan (props is unused; see
+    # latest_per_key_lineitem for why the struct-agg blocks pruning)
+    ev = ev.select("user_id", "event_id", "event_type", "value", "ts")
     latest = latest_per_key(ev, ["user_id"], "ts", tiebreakers=["event_id"])
     return latest.select(
         "user_id",

@@ -1,0 +1,95 @@
+"""Per-query physical-plan regression pins (SURVEY §8).
+
+The correctness gate proves the answers right at sf0.01; these pin the
+plan *shapes* the 100 TB stance depends on, per headline query:
+
+- shuffle budget: the count of hash-partitioning exchanges is pinned —
+  a new shuffle sneaking into a headline query is the single most
+  expensive regression at scale;
+- scan pruning: the set of scan widths is pinned, so a change that
+  stops column pruning from reaching a parquet scan (e.g. an operator
+  folding whole rows into a struct) fails loudly;
+- join/eval strategy: nested-loop joins only where intentional (1-row
+  normalization cross, brute-force ANN), and row-at-a-time Python UDFs
+  nowhere at all — registry-wide, not just the headline set.
+
+Plans are built, never executed: the whole file costs seconds. Pins
+describe the CURRENT best-known plan; when an optimization legitimately
+changes a shape, update the pin in the same commit and say why.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from prisma_migrator_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+# name -> (hash-exchange count, sorted scan widths, allow nested-loop)
+PINS = {
+    "flagship_popularity": (10, [1, 1, 2, 2, 2, 2, 3, 7], True),
+    "category_difficulty": (3, [2, 2, 3], False),
+    "latest_per_key_lineitem": (1, [9], False),
+    "distinct_pair_agg": (1, [2, 3], False),
+    "semi_join_orders": (1, [2, 4], False),
+    "asof_last_order": (2, [3, 4], False),
+    "events_tumbling_hourly": (1, [3], False),
+    "events_session_30m": (1, [3], False),
+    "text_stats": (0, [2], False),
+    "clean_corpus": (1, [2, 2], False),
+    "minhash_lsh_pairs": (5, [2, 2, 2, 2], False),
+    "topk_cosine_bruteforce": (1, [2, 2], True),
+}
+
+
+def _plan(spark, name: str) -> str:
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    try:
+        df = QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
+
+
+def _scan_widths(plan: str) -> list[int]:
+    # the FileScan output list [a#1,b#2,...] IS the pruned column set
+    # (ReadSchema gets "..."-truncated by maxMetadataStringLength)
+    return sorted(
+        len(m.group(1).split(","))
+        for m in re.finditer(r"FileScan parquet \[([^\]]+)\]", plan)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PINS))
+def test_headline_plan_pinned(spark, name):
+    n_shuffles, widths, allow_nlj = PINS[name]
+    plan = _plan(spark, name)
+    got_shuffles = plan.count("Exchange hashpartitioning")
+    assert got_shuffles <= n_shuffles, (
+        f"{name}: {got_shuffles} hash exchanges (pinned {n_shuffles}) — "
+        "a new shuffle appeared; justify it or remove it"
+    )
+    assert _scan_widths(plan) == widths, (
+        f"{name}: scan widths {_scan_widths(plan)} != pinned {widths} — "
+        "column pruning regressed (or improved: update the pin)"
+    )
+    if not allow_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_no_rowwise_python_udf_registry_wide(spark):
+    """Arrow-batched Pandas UDFs only — a row-at-a-time BatchEvalPython
+    in ANY registered query is the 10-100x slow path."""
+    offenders = []
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name} (cartesian)")
+    assert not offenders, offenders
