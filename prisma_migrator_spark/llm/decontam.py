@@ -1,0 +1,66 @@
+"""Eval-set decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard pre-training hygiene step (C4/Dolma-style): any training
+document containing an n-gram that also occurs in an eval benchmark is
+suspect — keeping it inflates eval scores. Semantics: per training
+doc, the number of DISTINCT n-grams it shares with the union of all
+eval docs' n-grams, plus a boolean flag.
+
+Scale shape: the eval side is small (benchmarks are thousands of
+docs, not billions) — its distinct-gram set is broadcast, so the
+training corpus is scanned ONCE with a map-side broadcast hash join;
+the only shuffle is the per-doc hit-count aggregation, keyed on
+doc_id. The training side's grams are NOT collected or deduped
+globally; per-doc dedup rides the same aggregation. n-gram machinery
+is shared with the near-dup stack (:func:`..dedup.shingles`).
+
+In production ``k`` is 8-13 (an 8-gram hit is near-certain leakage);
+tests use the corpus-wide k=3 convention so the oracle SQL stays
+shared with the Jaccard/minhash queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.llm.dedup import shingles
+
+
+def eval_gram_set(eval_docs: DataFrame, k: int = 3) -> DataFrame:
+    """DISTINCT n-grams over the whole eval set — one column ``shingle``.
+
+    Deduped across docs (a gram appearing in many eval docs must count
+    once per training doc), which also minimizes the broadcast size.
+    """
+    return shingles(eval_docs, k=k, distinct=False).select("shingle").distinct()
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_grams: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per training doc: ``n_eval_grams_hit`` (distinct shared n-grams)
+    and ``contaminated`` — every training doc appears, zero hits
+    included. Docs shorter than ``k`` tokens have no grams and count 0.
+    """
+    # distinct=False + count_distinct: per-doc gram dedup folds into
+    # the ONE aggregation shuffle instead of paying its own
+    grams = shingles(train_docs, k=k, id_col=id_col, distinct=False)
+    hits = (
+        grams.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_eval_grams_hit"))
+    )
+    return (
+        train_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_eval_grams_hit", F.lit(0)).alias("n_eval_grams_hit"),
+            (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -96,6 +96,36 @@ def lang_id(text: Column) -> Column:
     return result
 
 
+#: PII patterns, applied in order. Kept to the Java-regex ∩ RE2 common
+#: subset (char classes + bounded quantifiers, no backrefs/lookaround)
+#: so the DuckDB oracle's regexp_replace computes the identical result.
+#: Order matters: emails before IPs (an email domain can contain
+#: digit-dot runs).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, SSN-shaped ids, and IPv4s with typed tags —
+    the pre-training scrub pass. Pure chained ``regexp_replace``:
+    JVM-side, codegen'd, zero Python in the hot path."""
+    out = text
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pre-redaction)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
 def normalized_text(text: Column) -> Column:
     """Whitespace-collapsed, lowercased, trimmed — the canonical form
     fingerprints and exact dedup key on."""

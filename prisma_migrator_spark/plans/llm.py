@@ -767,3 +767,137 @@ def canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.col("quality").alias("best_quality"),
     )
+
+
+# --- decontamination / PII scrub / sequence packing --------------------
+
+_DECONTAM_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+evg AS (
+  SELECT DISTINCT w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3 AND doc_id % 23 = 0
+), trg AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3 AND doc_id % 23 <> 0
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM trg JOIN evg USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_eval_grams_hit,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 23 <> 0
+"""
+
+
+@query("decontaminate_eval", oracle=_DECONTAM_ORACLE)
+def decontaminate_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 23 == 0 stand in
+    for the held-out benchmark; every remaining (training) doc is
+    scored by how many distinct word 3-grams it shares with the eval
+    set. Eval grams broadcast; one aggregation shuffle total (per-doc
+    gram dedup folds into count_distinct)."""
+    from prisma_migrator_spark.llm.decontam import decontaminate, eval_gram_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = F.col("doc_id") % 23 == 0
+    return decontaminate(docs.where(~ev), eval_gram_set(docs.where(ev), k=3), k=3)
+
+
+_PII_INJECT_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or 10.' || (doc_id % 200) || '.3.' ||
+         (doc_id % 250) || ' ssn 123-45-6789' AS t
+  FROM documents
+"""
+
+_PII_ORACLE = rf"""
+WITH aug AS ({_PII_INJECT_SQL})
+SELECT doc_id,
+  CAST(LEN(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(LEN(regexp_extract_all(t, '\d{{3}}-\d{{2}}-\d{{4}}')) AS BIGINT) AS n_ssn,
+  CAST(LEN(regexp_extract_all(t,
+    '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}')) AS BIGINT) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\d{{3}}-\d{{2}}-\d{{4}}', '<SSN>', 'g'),
+    '\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}', '<IP>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+@query("pii_redaction", oracle=_PII_ORACLE)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The fixture text carries no PII, so
+    deterministic synthetic PII (email/IP/SSN derived from doc_id) is
+    injected IDENTICALLY on both engines first — the oracle then
+    genuinely exercises the redaction regexes down to the md5 of the
+    scrubbed text, not a vacuous 0 == 0. All chained regexp_replace:
+    JVM-side, no shuffle at all (pure map)."""
+    from prisma_migrator_spark.llm.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or 10."),
+        (d % 200).cast("string"),
+        F.lit(".3."),
+        (d % 250).cast("string"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for c, k in zip(
+            pii_counts(F.col("t")), ["email", "ssn", "ipv4"]
+        )],
+        F.md5(redact_pii(F.col("t")).cast("binary")).alias("redacted_md5"),
+    )
+
+
+_PACK_ORACLE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n
+  FROM documents
+), off AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM lens WHERE n >= 1
+), spans AS (
+  SELECT doc_id, s, n,
+         UNNEST(range(s // 512, (s + n - 1) // 512 + 1)) AS pack_id
+  FROM off
+)
+SELECT doc_id,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(GREATEST(s, pack_id * 512) - pack_id * 512 AS INT) AS start_in_pack,
+       CAST(GREATEST(s, pack_id * 512) - s AS INT) AS tok_start,
+       CAST(LEAST(s + n, (pack_id + 1) * 512)
+            - GREATEST(s, pack_id * 512) AS INT) AS span_len
+FROM spans
+"""
+
+
+@query("pack_stream_512", oracle=_PACK_ORACLE)
+def pack_stream_512_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style stream packing into 512-token contexts: one row per
+    (doc, pack) span, docs crossing a boundary split across packs.
+    The global prefix sum runs as a two-level distributed form (per-
+    bucket totals + within-bucket windows) — the oracle's single
+    unpartitioned window is exactly the plan this avoids at 100 TB."""
+    from prisma_migrator_spark.llm.packing import pack_stream
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_stream(lens, ctx=512, n_buckets=16)

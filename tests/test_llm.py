@@ -411,3 +411,87 @@ def test_sessionize_with_state_matches_session_window(spark, sf_dir, tmp_path):
     # event-time order within the session
     for r in got.where(F.col("n_events") <= 24).collect():
         assert len(r.event_path.split(">")) == r.n_events
+
+
+def test_decontaminate_constructed(spark):
+    from prisma_migrator_spark.llm.decontam import decontaminate, eval_gram_set
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=100, text="the secret eval answer is forty two")]
+    )
+    tr = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with eval doc ("secret eval
+            # answer", "eval answer is") — note duplicated occurrence
+            # counts once
+            Row(doc_id=1, text="a secret eval answer is a secret eval answer is"),
+            Row(doc_id=2, text="completely unrelated clean text"),
+            Row(doc_id=3, text="to be"),  # < k tokens: no grams
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_eval_grams_hit, r.contaminated)
+        for r in decontaminate(tr, eval_gram_set(ev, k=3), k=3).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_redact_pii_constructed(spark):
+    from prisma_migrator_spark.llm.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            Row(i=1, t="mail a.b+c@sub.example.org now"),
+            Row(i=2, t="from 192.168.0.1 to 10.0.0.255."),
+            Row(i=3, t="ssn 123-45-6789 ok 12-34-5678 no"),
+            Row(i=4, t="none here"),
+        ]
+    ).select("i", redact_pii(F.col("t")).alias("r"))
+    got = {r.i: r.r for r in rows.collect()}
+    assert got == {
+        1: "mail <EMAIL> now",
+        2: "from <IP> to <IP>.",
+        3: "ssn <SSN> ok 12-34-5678 no",
+        4: "none here",
+    }
+
+
+def test_pack_stream_invariants(spark, sf_dir):
+    from prisma_migrator_spark.llm.packing import (
+        global_running_offset,
+        pack_stream,
+    )
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+    # distributed prefix sum == the naive unpartitioned window
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = lens.where("n_tokens >= 1").withColumn(
+        "exp", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    dist = global_running_offset(lens.where("n_tokens >= 1"), "n_tokens", n_buckets=7)
+    joined = naive.join(dist.select("doc_id", "start_off"), "doc_id")
+    assert joined.where(F.col("exp") != F.col("start_off")).count() == 0
+
+    packs = pack_stream(lens, ctx=512, n_buckets=7).cache()
+    total = lens.where("n_tokens >= 1").agg(F.sum("n_tokens")).first()[0]
+    # spans cover the stream exactly
+    assert packs.agg(F.sum("span_len")).first()[0] == total
+    # every doc's spans cover [0, n) of the doc contiguously
+    per_doc = packs.groupBy("doc_id").agg(
+        F.sum("span_len").alias("s"), F.min("tok_start").alias("t0")
+    )
+    bad = per_doc.join(lens, "doc_id").where(
+        (F.col("s") != F.col("n_tokens")) | (F.col("t0") != 0)
+    )
+    assert bad.count() == 0
+    # every pack except the last is exactly full, none overflows
+    per_pack = packs.groupBy("pack_id").agg(F.sum("span_len").alias("s"))
+    last = per_pack.agg(F.max("pack_id")).first()[0]
+    assert per_pack.where((F.col("s") != 512) & (F.col("pack_id") != last)).count() == 0
+    assert per_pack.where(F.col("s") > 512).count() == 0
+    packs.unpersist()
