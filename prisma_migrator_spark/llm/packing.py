@@ -106,3 +106,71 @@ def pack_stream(
         (span_start - F.col("start_off")).cast("int").alias("tok_start"),
         (span_end - span_start).cast("int").alias("span_len"),
     )
+
+
+def pack_greedy(
+    docs_with_len: DataFrame,
+    ctx: int = 512,
+    len_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """No-split packing: first-fit-decreasing bins whole documents into
+    packs of at most ``ctx`` tokens (a doc longer than ``ctx`` becomes
+    its own oversize pack — flag or chunk upstream). Use when examples
+    must not cross document boundaries (SFT, contrastive pairs);
+    :func:`pack_stream` is the higher-efficiency splitting form.
+
+    Distributed shape: docs hash into ``n_buckets`` buckets; FFD runs
+    independently per bucket in an Arrow-batched ``applyInPandas``
+    (sequential by nature — the greedy choice depends on every prior
+    placement, so the parallel unit is the bucket, not the row).
+    ``pack_id = bucket * 2^40 + local`` keeps ids globally unique
+    without coordination. Per-bucket FFD wastes at most one pack's
+    residual capacity per open bin vs global FFD; with buckets ≫ docs
+    per bucket the efficiency loss is bounded and the test pins a
+    floor. Deterministic: bucket by hash(order_col), place by
+    (len desc, order_col asc).
+    """
+
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([len_col, order_col], ascending=[False, True])
+        bucket = int(pdf["__b"].iloc[0])
+        # bins scanned first-fit; docs per bucket is corpus/n_buckets,
+        # so the quadratic scan stays small per task
+        bins: list[int] = []  # remaining capacity per local pack
+        out = []
+        for doc, n in zip(pdf[order_col], pdf[len_col]):
+            n = int(n)
+            placed = None
+            if n < ctx:  # oversize (n >= ctx) always opens its own bin
+                for i, rem in enumerate(bins):
+                    if rem >= n:
+                        placed = i
+                        bins[i] = rem - n
+                        break
+            if placed is None:
+                placed = len(bins)
+                bins.append(max(ctx - n, 0))
+            out.append(
+                {
+                    order_col: int(doc),
+                    len_col: n,
+                    "pack_id": (bucket << 40) | placed,
+                }
+            )
+        return pd.DataFrame(out)
+
+    b = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets))
+    return (
+        docs_with_len.where(F.col(len_col) >= 1)
+        .select(
+            F.col(order_col).cast("long").alias(order_col),
+            F.col(len_col).cast("int").alias(len_col),
+            b.alias("__b"),
+        )
+        .groupBy("__b")
+        .applyInPandas(ffd, f"{order_col} long, {len_col} int, pack_id long")
+    )

@@ -901,3 +901,18 @@ def pack_stream_512_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     return pack_stream(lens, ctx=512, n_buckets=16)
+
+
+@query("pack_greedy_512")  # rows-only: FFD is not SQL-expressible;
+# capacity/coverage/efficiency invariants pinned in pytest
+def pack_greedy_512_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split first-fit-decreasing packing into 512-token bins —
+    whole documents only (SFT-style). Arrow-batched applyInPandas per
+    hash bucket; see llm/packing.pack_greedy for the distributed
+    shape."""
+    from prisma_migrator_spark.llm.packing import pack_greedy
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_greedy(lens, ctx=512, n_buckets=16)

@@ -495,3 +495,36 @@ def test_pack_stream_invariants(spark, sf_dir):
     assert per_pack.where((F.col("s") != 512) & (F.col("pack_id") != last)).count() == 0
     assert per_pack.where(F.col("s") > 512).count() == 0
     packs.unpersist()
+
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    from prisma_migrator_spark.llm.packing import pack_greedy
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_greedy(lens, ctx=512, n_buckets=7).cache()
+
+    # every doc exactly once, token counts preserved
+    n_docs = lens.where("n_tokens >= 1").count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+    fills = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("m")
+    )
+    # capacity: only singleton oversize docs may exceed ctx
+    over = fills.where("fill > 512")
+    assert over.where("m > 1").count() == 0
+    # efficiency floor: packs used within 1.5x of the ideal count
+    # (ideal = ceil(total/ctx); FFD guarantees 11/9·OPT + 1 globally,
+    # per-bucket splitting costs a bit more — pin 1.5 to catch breakage)
+    total = lens.where("n_tokens >= 1").agg(F.sum("n_tokens")).first()[0]
+    ideal = -(-int(total) // 512)
+    used = fills.count()
+    assert used <= 1.5 * ideal + 7, (used, ideal)
+
+    # deterministic: same input, different partitioning, same packing
+    again = pack_greedy(lens.repartition(13), ctx=512, n_buckets=7)
+    assert packed.exceptAll(again).count() == 0
+    packed.unpersist()
