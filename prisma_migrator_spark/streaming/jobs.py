@@ -139,3 +139,30 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_ingest_corpus(
+    docs: DataFrame, min_quality: float = 0.3
+) -> DataFrame:
+    """End-to-end incremental corpus ingest: quality filter →
+    content-fingerprint attach (both stateless column maps) →
+    in-stream first-seen dedup (stateful). The streaming form of the
+    batch ``clean_corpus`` pipeline: point it at a landing directory
+    with a checkpointed sink (:func:`run_to_parquet`) and every
+    micro-batch of raw documents becomes deduped, quality-gated
+    training corpus, exactly once, resumable.
+
+    Scale: the stateless stages are pure codegen'd maps; dedup state is
+    one boolean per distinct fingerprint, partitioned on fingerprint.
+    For an unbounded crawl, bound state by a TTL'd fingerprint horizon
+    (EventTimeTimeout) or periodic batch re-dedup of the sink.
+    """
+    from prisma_migrator_spark.llm.text import content_fingerprint, quality_score
+    from prisma_migrator_spark.streaming.stateful import streaming_ingest_dedup
+
+    kept = docs.where(F.round(quality_score(F.col("text")), 6) >= min_quality)
+    with_fp = kept.select(
+        "doc_id", "text", "lang", "source",
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    return streaming_ingest_dedup(with_fp)

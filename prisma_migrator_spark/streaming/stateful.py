@@ -188,6 +188,55 @@ def sessionize_with_state(
     )
 
 
+_INGEST_OUTPUT_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "fingerprint string"
+)
+_INGEST_STATE_SCHEMA = "seen boolean"
+
+
+def streaming_ingest_dedup(docs_with_fp: DataFrame) -> DataFrame:
+    """Pass each document through exactly once per content
+    fingerprint — the in-stream dedup stage of a corpus ingest
+    pipeline. Unlike :func:`streaming_dedup_first_seen` (which emits a
+    flag per arrival), this emits the full document row for the FIRST
+    arrival only and swallows re-arrivals, so it composes directly
+    with a sink.
+
+    State per fingerprint is one boolean, hash-partitioned across
+    executors; within a batch the canonical pick is the min doc_id
+    (deterministic under any arrival interleaving), across batches
+    it's first-seen.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first_only(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain: re-arrivals of a seen fingerprint
+                pass
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        state.update((True,))
+        first = batch.sort_values("doc_id").iloc[:1]
+        yield first[["doc_id", "text", "lang", "source", "fingerprint"]]
+
+    return docs_with_fp.groupBy("fingerprint").applyInPandasWithState(
+        first_only,
+        outputStructType=_INGEST_OUTPUT_SCHEMA,
+        stateStructType=_INGEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _interval_us(interval: str) -> int:
     """'30 minutes' -> microseconds. Whole seconds/minutes/hours/days."""
     qty, unit = interval.strip().split()

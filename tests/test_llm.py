@@ -528,3 +528,41 @@ def test_pack_greedy_invariants(spark, sf_dir):
     again = pack_greedy(lens.repartition(13), ctx=512, n_buckets=7)
     assert packed.exceptAll(again).count() == 0
     packed.unpersist()
+
+
+def test_streaming_ingest_corpus_matches_batch_clean(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.llm.dedup import dedupe_exact
+    from prisma_migrator_spark.llm.text import quality_score
+    from prisma_migrator_spark.streaming.jobs import (
+        run_to_parquet,
+        streaming_ingest_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    half = docs.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+
+    def drain():
+        schema = docs.schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_to_parquet(streaming_ingest_corpus(stream), out, ckpt)
+
+    # run 1: first half; run 2: re-deliver first half AND add second —
+    # re-deliveries must be swallowed by checkpoint + dedup state
+    docs.where(F.col("doc_id") <= half).write.parquet(src)
+    drain()
+    docs.write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out)
+    # exactly one survivor per fingerprint, none below the quality gate
+    assert got.groupBy("fingerprint").count().where("count > 1").count() == 0
+    assert got.where(F.round(quality_score(F.col("text")), 6) < 0.3).count() == 0
+    # same fingerprint set as the batch pipeline over the full corpus
+    batch = dedupe_exact(
+        docs.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    )
+    b = {r.fp for r in batch.select(F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp")).collect()}
+    g = {r.fingerprint for r in got.select("fingerprint").collect()}
+    assert g == b and len(g) > 100
