@@ -40,6 +40,8 @@ HEADLINE = [
     "clean_corpus",
     "minhash_lsh_pairs",
     "topk_cosine_bruteforce",
+    "decontaminate_eval",
+    "pack_stream_512",
 ]
 
 

@@ -916,3 +916,39 @@ def pack_greedy_512_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     return pack_greedy(lens, ctx=512, n_buckets=16)
+
+
+_QUANT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS amax
+  FROM base
+)
+SELECT vec_id,
+       ROUND(amax / 127.0, 6) AS scale,
+       array_to_string(
+         CASE WHEN amax = 0 THEN list_transform(e, x -> 0)
+              ELSE list_transform(e,
+                x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT)) END,
+         ';') AS codes
+FROM s
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding — scale + codes,
+    hash-matched against DuckDB down to each int8 code. Pure map-side
+    array transforms: zero shuffles, runs at scan speed."""
+    from prisma_migrator_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, codes = quantize_int8(F.col("embedding"))
+    # codes ;-joined: the gate's value-hash compares scalar cells
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(";", codes).alias("codes"),
+    )

@@ -566,3 +566,24 @@ def test_streaming_ingest_corpus_matches_batch_clean(spark, sf_dir, tmp_path):
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp")).collect()}
     g = {r.fingerprint for r in got.select("fingerprint").collect()}
     assert g == b and len(g) > 100
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    from prisma_migrator_spark.llm.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, codes = quantize_int8(F.col("embedding"))
+    q = emb.select("vec_id", F.col("embedding").alias("e"),
+                   scale.alias("s"), codes.alias("c"))
+    # max |x - code*scale| <= scale/2 (+fp slack); codes within [-127,127]
+    err = q.select(
+        F.array_max(
+            F.zip_with("e", "c", lambda x, c: F.abs(x.cast("double") - c * F.col("s")))
+        ).alias("max_err"),
+        F.col("s"),
+        F.array_max(F.transform("c", lambda c: F.abs(c))).alias("max_code"),
+    )
+    bad = err.where(
+        (F.col("max_err") > F.col("s") / 2 + 1e-12) | (F.col("max_code") > 127)
+    )
+    assert bad.count() == 0

@@ -42,6 +42,8 @@ PINS = {
     "clean_corpus": (1, [2, 2], False),
     "minhash_lsh_pairs": (5, [2, 2, 2, 2], False),
     "topk_cosine_bruteforce": (1, [2, 2], True),
+    "decontaminate_eval": (3, [1, 2, 2], False),
+    "pack_stream_512": (2, [2, 2], False),
 }
 
 
