@@ -225,3 +225,40 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_order_ts", "yyyy-MM-dd").alias("last_order_date"),
         F.round("o_totalprice", 2).alias("last_order_total"),
     )
+
+
+_ROLLING_1H_ORACLE = """
+SELECT event_id, user_id,
+       EPOCH_US(ts) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 6) AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("events_rolling_1h", oracle=_ROLLING_1H_ORACLE)
+def events_rolling_1h_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h count and value sum per user — the
+    event-TIME rolling window (RANGE frame on epoch micros, not a
+    row-count frame), e.g. rate limiting or activity features. One
+    shuffle on user_id; the range frame slides per partition without
+    re-scanning. Tie-robust: RANGE includes peers with equal ts on
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_value_1h"),
+    )

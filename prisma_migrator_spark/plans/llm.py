@@ -952,3 +952,32 @@ def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         F.concat_ws(";", codes).alias("codes"),
     )
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT label, vec_id FROM (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM embeddings) t
+WHERE rn <= 20
+"""
+
+
+@query("stratified_sample_k", oracle=_STRAT_SAMPLE_ORACLE)
+def stratified_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-label sample: order each stratum by
+    md5(key) — a stable pseudo-random permutation reproducible across
+    engines, runs, and partitionings — and keep the first k.
+    Reuses topk_per_group (one window shuffle on label). For strata at
+    fact scale, pre-filter with an approximate hash threshold
+    (deterministic_sample) before ranking so the window sees ~k rows
+    per group, not the full stratum."""
+    from prisma_migrator_spark.operators.ranking import topk_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.md5(F.col("vec_id").cast("string")).alias("__h")
+    )
+    return topk_per_group(
+        emb, ["label"], "__h", k=20, tiebreakers=["vec_id"], descending=False
+    ).select("label", "vec_id")
