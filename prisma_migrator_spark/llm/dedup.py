@@ -236,10 +236,28 @@ def simhash(
     tok = df.select(id_col, F.explode(words).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
+    # Pack the needed md5 hex digits into 32-bit integer words ONCE per
+    # token; each bit expression is then integer shift/mask instead of
+    # its own conv(substring(...)) — same nibbles, ~3x less expression
+    # work per row and far smaller generated code (64 string-parse
+    # trees made the n_bits=64 aggregate compile-heavy).
+    max_digit = max(simhash_bit_source(j, n_bits)[0] for j in range(n_bits))
+    n_words = max_digit // 8 + 1
+    tok = tok.select(
+        id_col,
+        *[
+            F.conv(F.substring("h", 8 * i + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"__w{i}")
+            for i in range(n_words)
+        ],
+    )
 
     def bit(j: int):
         digit, mask = simhash_bit_source(j, n_bits)
-        nib = F.conv(F.substring("h", digit + 1, 1), 16, 10).cast("int")
+        nib = F.shiftright(F.col(f"__w{digit // 8}"), 4 * (7 - digit % 8)).bitwiseAND(
+            F.lit(15)
+        )
         return F.when(nib.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
 
     sums = tok.groupBy(id_col).agg(
