@@ -5,8 +5,9 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
-from prisma_migrator_spark.catalog import read_parquet
+from prisma_migrator_spark.catalog import load_table, read_parquet
 from prisma_migrator_spark.sources.layout import optimize_layout
 
 
@@ -30,3 +31,38 @@ def test_optimize_layout_preserves_data(spark, sf_dir, tmp_path):
     before = os.path.getmtime(os.path.join(out, "lineitem.parquet"))
     optimize_layout(sf_dir, cache_root=str(tmp_path), row_group_rows=500, min_rows=1000)
     assert os.path.getmtime(os.path.join(out, "lineitem.parquet")) == before
+
+
+def test_zorder_write_narrows_both_dims(spark, sf_dir, tmp_path):
+    from prisma_migrator_spark.sources.layout import zorder_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "z")
+    zorder_write(li, out, ["l_partkey", "l_suppkey"], n_files=16)
+    back = spark.read.parquet(out)
+
+    # equality: same multiset of rows
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+    # per-file min/max spans: BOTH z-order columns must be tight.
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+        )
+        .agg(F.avg("dp").alias("adp"), F.avg("ds").alias("ads"))
+        .first()
+    )
+    g = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("gp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("gs"),
+    ).first()
+    # 16 files; a single-column sort gives ~global/16 on one dim and
+    # ~global on the other. Z-order: both well under half the global
+    # span (sqrt(16)=4x narrowing per dim in the ideal grid).
+    assert spans.adp < g.gp / 2, (spans.adp, g.gp)
+    assert spans.ads < g.gs / 2, (spans.ads, g.gs)
