@@ -981,3 +981,68 @@ def stratified_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         emb, ["label"], "__h", k=20, tiebreakers=["vec_id"], descending=False
     ).select("label", "vec_id")
+
+
+_DRIFT_ORACLE = r"""
+WITH toks AS (
+  SELECT CAST(ascii(substr(source, length(source), 1)) % 2 AS INT) AS grp,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM toks GROUP BY term
+), tot AS (
+  SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM tf
+)
+SELECT term,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(n_a / CAST(ta AS DOUBLE), 6) AS p_a,
+       ROUND(n_b / CAST(tb AS DOUBLE), 6) AS p_b,
+       ROUND(LN((n_a / CAST(ta AS DOUBLE) + 1e-9)
+              / (n_b / CAST(tb AS DOUBLE) + 1e-9)), 6) AS log_ratio
+FROM tf, tot
+ORDER BY n_a + n_b DESC, term
+LIMIT 50
+"""
+
+
+@query("corpus_drift_terms", oracle=_DRIFT_ORACLE)
+def corpus_drift_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-distribution drift between two source cohorts (even/odd
+    source suffix): per-term relative frequency in each cohort and the
+    smoothed log-ratio — the report a pipeline watches to catch a
+    crawl source shifting under it. One explode + one (term) hash agg
+    with conditional sums (no second shuffle for the pivot); cohort
+    totals ride in as literals from a tiny pre-agg; global top-50 is
+    TakeOrdered, not a full sort."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (F.ascii(F.substring(F.col("source"), -1, 1)) % 2).cast("int")
+    toks = ensure_parallelism(docs).select(
+        grp.alias("grp"),
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    ta, tb = tf.agg(F.sum("n_a"), F.sum("n_b")).first()
+    pa = F.col("n_a") / F.lit(float(ta))
+    pb = F.col("n_b") / F.lit(float(tb))
+    return (
+        tf.select(
+            "term",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(pa, 6).alias("p_a"),
+            F.round(pb, 6).alias("p_b"),
+            F.round(F.log((pa + 1e-9) / (pb + 1e-9)), 6).alias("log_ratio"),
+        )
+        .orderBy(F.desc(F.col("n_a") + F.col("n_b")), "term")
+        .limit(50)
+    )
