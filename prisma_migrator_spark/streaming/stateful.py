@@ -237,6 +237,63 @@ def streaming_ingest_dedup(docs_with_fp: DataFrame) -> DataFrame:
     )
 
 
+_INGEST_TTL_OUTPUT_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "fingerprint string, ts timestamp"
+)
+
+
+def streaming_ingest_dedup_ttl(
+    docs_with_fp: DataFrame, ttl: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """:func:`streaming_ingest_dedup` with BOUNDED state: a
+    fingerprint's seen-marker lives for ``ttl`` of event time past its
+    last arrival, then the state store evicts it (event-time timeout
+    driven by the watermark). The production shape for an unbounded
+    crawl — state size tracks the dedup *horizon*, not all history.
+
+    Tradeoff, explicit: a duplicate arriving later than ``ttl`` after
+    the previous sighting is re-emitted (treat downstream as
+    at-least-once per horizon, or batch re-dedup the sink
+    periodically). Any arrival refreshes the TTL (sliding horizon).
+    Input must be watermarked on ``ts_col``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = _interval_us(ttl) // 1000
+
+    def first_only_ttl(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()  # horizon passed: forget the fingerprint
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        emit = not state.exists
+        state.update((True,))
+        last_ms = int(
+            batch[ts_col].to_numpy().astype("datetime64[ms]").astype("int64").max()
+        )
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        if emit:
+            first = batch.sort_values("doc_id").iloc[:1]
+            yield first[["doc_id", "text", "lang", "source", "fingerprint", ts_col]]
+
+    return docs_with_fp.groupBy("fingerprint").applyInPandasWithState(
+        first_only_ttl,
+        outputStructType=_INGEST_TTL_OUTPUT_SCHEMA,
+        stateStructType=_INGEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _interval_us(interval: str) -> int:
     """'30 minutes' -> microseconds. Whole seconds/minutes/hours/days."""
     qty, unit = interval.strip().split()

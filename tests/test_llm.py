@@ -587,3 +587,40 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         (F.col("max_err") > F.col("s") / 2 + 1e-12) | (F.col("max_code") > 127)
     )
     assert bad.count() == 0
+
+
+def test_streaming_ingest_dedup_ttl_bounds_state(spark, tmp_path):
+    from prisma_migrator_spark.streaming.jobs import run_to_parquet
+    from prisma_migrator_spark.streaming.stateful import streaming_ingest_dedup_ttl
+
+    def doc(doc_id, fp, hours):
+        return Row(
+            doc_id=doc_id, text=f"text {fp}", lang="en", source="s",
+            fingerprint=fp, hours=hours,
+        )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    base = spark.createDataFrame([doc(1, "A", 0), doc(2, "B", 0)])
+    schema = base.withColumn(
+        "ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,hours)")
+    ).drop("hours").schema
+
+    def drain(rows):
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,hours)")
+        ).drop("hours")
+        df.write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "1 second")
+        )
+        run_to_parquet(streaming_ingest_dedup_ttl(stream, ttl="1 hour"), out, ckpt)
+
+    drain([doc(1, "A", 0), doc(2, "B", 0)])      # A,B first seen -> emit
+    drain([doc(3, "A", 0)])                       # dup within TTL -> swallow
+    drain([doc(4, "C", 10)])                      # watermark -> ~10h: A,B evicted
+    drain([doc(5, "A", 12)])                      # beyond horizon -> re-emit
+
+    got = spark.read.parquet(out)
+    emitted = sorted((r.fingerprint, r.doc_id) for r in got.collect())
+    assert emitted == [("A", 1), ("A", 5), ("B", 2), ("C", 4)]
