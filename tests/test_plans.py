@@ -95,3 +95,52 @@ def test_no_rowwise_python_udf_registry_wide(spark):
         if "CartesianProduct" in plan:
             offenders.append(f"{name} (cartesian)")
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injects_for_selective_dim_join(spark):
+    """At 100 TB the shuffle-side win is a scan-side row filter: a
+    selective predicate on the dim side of a shuffle join makes Spark
+    build a bloom filter of the join keys and push it into the fact
+    scan (spark.sql.optimizer.runtime.bloomFilter, on by default).
+    The default thresholds (10 GB application-side scan) are sized for
+    clusters, so local fixtures scale them down; this pins that the
+    rewrite fires and that results are unchanged by it."""
+    from prisma_migrator_spark.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        def q():
+            # rebuilt per conf change: the optimizer rewrite happens at
+            # planning, so a cached DataFrame would keep the old plan
+            orders = load_table(spark, sf, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            li = load_table(spark, sf, "lineitem")
+            return (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+            )
+
+        baseline = q().collect()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert df.collect() == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
