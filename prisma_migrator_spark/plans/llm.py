@@ -1046,3 +1046,51 @@ def corpus_drift_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.col("n_a") + F.col("n_b")), "term")
         .limit(50)
     )
+
+
+_UNIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+), tot AS (SELECT SUM(n) AS t FROM tf)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(n / CAST(t AS DOUBLE))), 6) AS avg_logprob
+FROM toks JOIN tf USING (term), tot
+GROUP BY doc_id
+"""
+
+
+@query("unigram_logprob_score", oracle=_UNIGRAM_ORACLE)
+def unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score: train term frequencies on the corpus
+    itself (one hash agg), then score each doc by its mean token
+    log-probability — the cheap stand-in for a perplexity filter
+    (rare-garbage-token docs score low). The term->logprob table is
+    corpus-vocabulary-sized, so it broadcasts; the doc score is one
+    more hash agg. At 100 TB: two aggregation shuffles, broadcast
+    probe, no Python."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n")).first()[0]
+    lp = tf.select(
+        "term", F.log(F.col("n") / F.lit(float(total))).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
