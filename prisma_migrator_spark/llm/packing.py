@@ -47,6 +47,8 @@ def global_running_offset(
     the packing deterministic).
     """
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:  # empty input: no offsets to compute
+        return df.withColumn("start_off", F.lit(0).cast("long"))
     span = (int(hi) - int(lo)) // n_buckets + 1
     b = ((F.col(order_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
     bucketed = df.withColumn("__b", b)

@@ -79,3 +79,55 @@ def test_rolling_fingerprint_is_order_sensitive_unlike_md5_of_set(spark, words):
         assert row.fa != row.fb
     else:
         assert row.fa == row.fb
+
+
+LENS = st.lists(
+    st.integers(min_value=0, max_value=40),  # token counts, zeros likely
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(lens=LENS, ctx=st.integers(min_value=4, max_value=16))
+@_SETTINGS
+def test_pack_stream_matches_python_reference(spark, lens, ctx):
+    from prisma_migrator_spark.llm.packing import pack_stream
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {
+        (r.doc_id, r.pack_id): (r.start_in_pack, r.tok_start, r.span_len)
+        for r in pack_stream(df, ctx=ctx, n_buckets=3).collect()
+    }
+    # reference: walk the concatenated stream doc by doc
+    exp = {}
+    off = 0
+    for i, n in rows:
+        if n < 1:
+            continue
+        for p in range(off // ctx, (off + n - 1) // ctx + 1):
+            s = max(off, p * ctx)
+            e = min(off + n, (p + 1) * ctx)
+            exp[(i, p)] = (s - p * ctx, s - off, e - s)
+        off += n
+    assert got == exp
+
+
+@given(lens=LENS, ctx=st.integers(min_value=4, max_value=16))
+@_SETTINGS
+def test_pack_greedy_invariants_random(spark, lens, ctx):
+    from prisma_migrator_spark.llm.packing import pack_greedy
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    packed = pack_greedy(df, ctx=ctx, n_buckets=3).collect()
+    live = [(i, n) for i, n in rows if n >= 1]
+    assert sorted((r.doc_id, r.n_tokens) for r in packed) == sorted(live)
+    fills: dict[int, list[int]] = {}
+    for r in packed:
+        fills.setdefault(r.pack_id, []).append(r.n_tokens)
+    for members in fills.values():
+        # only a singleton oversize doc may exceed ctx
+        assert sum(members) <= ctx or (
+            len(members) == 1 and members[0] >= ctx
+        )
