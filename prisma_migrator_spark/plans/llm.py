@@ -1094,3 +1094,97 @@ def unigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+_BOILERPLATE_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), df AS (
+  SELECT shingle, COUNT(*) AS nd FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       ROUND(SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS boilerplate_frac
+FROM sh JOIN df USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@query("boilerplate_frac", oracle=_BOILERPLATE_ORACLE)
+def boilerplate_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate score: the fraction of a doc's distinct
+    word 3-grams that occur in >= 3 documents corpus-wide — high means
+    the doc is mostly phrasing every other doc also has (navigation
+    chrome, templates). Two hash aggs (gram doc-frequency, per-doc
+    ratio) + one gram-keyed join. At 100 TB the gram->df join is the
+    big stage; the cheap variant replaces it with a frequency sketch
+    (count-min / bloom of common grams) broadcast to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3, distinct=True)
+    gram_df = sh.groupBy("shingle").agg(F.count("*").alias("nd"))
+    common = F.when(F.col("nd") >= 3, 1).otherwise(0)
+    return (
+        sh.join(gram_df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(common).cast("bigint").alias("n_common"),
+            F.round(F.sum(common) / F.count("*"), 6).alias("boilerplate_frac"),
+        )
+    )
+
+
+_CHUNK_OVERLAP_ORACLE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n
+  FROM documents
+), spans AS (
+  SELECT doc_id, n,
+         UNNEST(range(0, CAST(CEIL(GREATEST(n - 16, 0) / 12.0) AS BIGINT) + 1)) AS chunk_id
+  FROM lens WHERE n >= 1
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * 12 AS INT) AS start_tok,
+       CAST(LEAST(16, n - chunk_id * 12) AS INT) AS chunk_len
+FROM spans
+"""
+
+
+@query("doc_chunks_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def doc_chunks_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: size-16 windows at stride 12 (4
+    tokens of context overlap between adjacent chunks — the standard
+    long-doc training shape; ``doc_chunks`` is the stride == size
+    case). Sized to the fixture docs (~40 tokens) so multi-chunk
+    overlap is actually exercised; production uses 2048/1536. Pure
+    map-side explode, no shuffle, output rows ~ total_tokens/stride."""
+    from prisma_migrator_spark.llm.text import token_count
+
+    size, stride = 16, 12
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_tokens")
+    n_chunks = F.ceil(F.greatest(n - size, F.lit(0)) / float(stride)) + 1
+    return (
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .where(n >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            n.alias("__n"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("int").alias("start_tok"),
+            F.least(F.lit(size), F.col("__n") - F.col("chunk_id") * stride)
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
