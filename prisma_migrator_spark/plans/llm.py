@@ -1188,3 +1188,47 @@ def doc_chunks_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_len"),
         )
     )
+
+
+_NEG_SAMPLE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+cand AS (
+  SELECT d.doc_id AS anchor_id, s.i,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+               CAST(s.i AS VARCHAR)), 1, 8)) AS BIGINT) % n_docs AS neg_id
+  FROM documents d, n, LATERAL UNNEST(range(4)) AS s(i)
+)
+SELECT anchor_id, CAST(i AS INT) AS i, neg_id
+FROM cand WHERE neg_id <> anchor_id
+"""
+
+
+@query("negative_samples", oracle=_NEG_SAMPLE_ORACLE)
+def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: per
+    anchor doc, 4 pseudo-random partner ids drawn by hashing
+    (anchor, slot) into the id space — reproducible across engines,
+    runs, and partitionings (rand() is none of those). Accidental
+    self-pairs are dropped, not re-drawn, keeping the op a pure
+    map-side explode: no shuffle, no state, and the slot index makes
+    collisions auditable downstream. Assumes dense ids (the fixture's
+    0..N-1); production maps ids dense first via zipWithIndex-style
+    ranking."""
+    from prisma_migrator_spark.llm.text import token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    a = F.col("anchor_id")
+    i = F.col("i")
+    neg = F.pmod(
+        token_hash(F.concat(a.cast("string"), F.lit(":"), i.cast("string"))),
+        F.lit(n_docs),
+    )
+    return (
+        docs.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select("anchor_id", i.cast("int").alias("i"), neg.alias("neg_id"))
+        .where(F.col("neg_id") != a)
+    )
