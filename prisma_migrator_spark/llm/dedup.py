@@ -98,9 +98,24 @@ def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
     """H seeded min-hashes per doc over its shingle set. md5-seeded:
-    h_i(s) = min(md5('<i>:' || s)) — portable and deterministic."""
+    h_i(s) = min of the first 60 bits of md5('<i>:' || s) as a long —
+    portable and deterministic (15 hex digits always fit a signed 64).
+
+    Numeric (not string) mins on purpose: ``min(string)`` has an
+    immutable agg buffer, so Spark plans a per-partition-sorting
+    SortAggregate over the exploded shingle rows; ``min(long)`` stays
+    in HashAggregate with map-side partials, and the signature shuffle
+    carries 8 longs instead of 8 hex strings (4x fewer bytes)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -289,10 +289,10 @@ sh AS (
   WHERE len(w) >= 3
 )
 SELECT doc_id,
-       MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-       MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-       MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-       MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+       MIN(CAST(('0x' || substr(md5('0:' || shingle), 1, 15)) AS BIGINT)) AS h0, MIN(CAST(('0x' || substr(md5('1:' || shingle), 1, 15)) AS BIGINT)) AS h1,
+       MIN(CAST(('0x' || substr(md5('2:' || shingle), 1, 15)) AS BIGINT)) AS h2, MIN(CAST(('0x' || substr(md5('3:' || shingle), 1, 15)) AS BIGINT)) AS h3,
+       MIN(CAST(('0x' || substr(md5('4:' || shingle), 1, 15)) AS BIGINT)) AS h4, MIN(CAST(('0x' || substr(md5('5:' || shingle), 1, 15)) AS BIGINT)) AS h5,
+       MIN(CAST(('0x' || substr(md5('6:' || shingle), 1, 15)) AS BIGINT)) AS h6, MIN(CAST(('0x' || substr(md5('7:' || shingle), 1, 15)) AS BIGINT)) AS h7
 FROM sh GROUP BY doc_id
 """
 
@@ -311,10 +311,10 @@ sh AS (
   WHERE len(w) >= 3
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+         MIN(CAST(('0x' || substr(md5('0:' || shingle), 1, 15)) AS BIGINT)) AS h0, MIN(CAST(('0x' || substr(md5('1:' || shingle), 1, 15)) AS BIGINT)) AS h1,
+         MIN(CAST(('0x' || substr(md5('2:' || shingle), 1, 15)) AS BIGINT)) AS h2, MIN(CAST(('0x' || substr(md5('3:' || shingle), 1, 15)) AS BIGINT)) AS h3,
+         MIN(CAST(('0x' || substr(md5('4:' || shingle), 1, 15)) AS BIGINT)) AS h4, MIN(CAST(('0x' || substr(md5('5:' || shingle), 1, 15)) AS BIGINT)) AS h5,
+         MIN(CAST(('0x' || substr(md5('6:' || shingle), 1, 15)) AS BIGINT)) AS h6, MIN(CAST(('0x' || substr(md5('7:' || shingle), 1, 15)) AS BIGINT)) AS h7
   FROM sh GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, band FROM sigs,
@@ -346,10 +346,10 @@ sh AS (
   WHERE len(w) >= 3
 ), sigs AS (
   SELECT doc_id,
-         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+         MIN(CAST(('0x' || substr(md5('0:' || shingle), 1, 15)) AS BIGINT)) AS h0, MIN(CAST(('0x' || substr(md5('1:' || shingle), 1, 15)) AS BIGINT)) AS h1,
+         MIN(CAST(('0x' || substr(md5('2:' || shingle), 1, 15)) AS BIGINT)) AS h2, MIN(CAST(('0x' || substr(md5('3:' || shingle), 1, 15)) AS BIGINT)) AS h3,
+         MIN(CAST(('0x' || substr(md5('4:' || shingle), 1, 15)) AS BIGINT)) AS h4, MIN(CAST(('0x' || substr(md5('5:' || shingle), 1, 15)) AS BIGINT)) AS h5,
+         MIN(CAST(('0x' || substr(md5('6:' || shingle), 1, 15)) AS BIGINT)) AS h6, MIN(CAST(('0x' || substr(md5('7:' || shingle), 1, 15)) AS BIGINT)) AS h7
   FROM sh GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, band FROM sigs,
