@@ -462,3 +462,36 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def dedupe_against(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep the incoming rows whose content
+    fingerprint appears nowhere in the existing corpus, collapsing
+    in-batch duplicates to the min-id copy. The op every ingestion
+    pipeline runs per batch — dedupe the delta against the lake
+    without rewriting the lake.
+
+    Scale shape: existing side reduces to DISTINCT fingerprints (one
+    narrow column of the 100 TB corpus — store/maintain it as a
+    fingerprint index table to skip even that scan); the anti join
+    hash-partitions on fp so the incoming batch never broadcasts or
+    collects. Output carries ``fp`` so survivors can be appended to
+    the fingerprint index.
+    """
+    from prisma_migrator_spark.llm.text import content_fingerprint
+
+    fp = content_fingerprint(F.col(text_col))
+    seen = existing.select(fp.alias("fp")).distinct()
+    fresh = incoming.select(
+        F.col(id_col), fp.alias("fp")
+    ).join(seen, "fp", "left_anti")
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

@@ -176,3 +176,34 @@ def pack_greedy(
         .groupBy("__b")
         .applyInPandas(ffd, f"{order_col} long, {len_col} int, pack_id long")
     )
+
+
+def assign_shards(
+    docs_with_len: DataFrame,
+    tokens_per_shard: int,
+    len_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign each document to a training shard of ~``tokens_per_shard``
+    tokens, in deterministic ``order_col`` order, WITHOUT splitting
+    documents: shard_id = (exclusive running token offset) // target.
+    The shard map is what a writer uses to emit balanced training files
+    (`partitionBy("shard_id")`), and what a loader uses to address them.
+
+    Same distributed two-level prefix sum as ``pack_stream`` — the
+    corpus-sized window is partitioned by id-range bucket; the serial
+    section is O(n_buckets) — so shard assignment of a 100 TB corpus
+    never funnels through one task. Every shard lands within one
+    document of the target size (a doc straddling a boundary stays in
+    the shard its first token falls in).
+    """
+    off = global_running_offset(
+        docs_with_len.where(F.col(len_col) >= 1),
+        len_col,
+        order_col=order_col,
+        n_buckets=n_buckets,
+    )
+    return off.withColumn(
+        "shard_id", (F.col("start_off") / F.lit(tokens_per_shard)).cast("long")
+    ).drop("start_off")

@@ -1232,3 +1232,100 @@ def negative_samples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", i.cast("int").alias("i"), neg.alias("neg_id"))
         .where(F.col("neg_id") != a)
     )
+
+
+# --- shard assignment / mixture sampling / incremental dedup -----------
+
+_SHARDS_ORACLE = r"""
+WITH lens AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM lens WHERE n_tokens >= 1
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(s // 2048 AS BIGINT) AS shard_id
+FROM off
+"""
+
+
+@query("training_shards", oracle=_SHARDS_ORACLE)
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: every doc mapped to a
+    ~2048-token shard in deterministic doc_id order, docs never split.
+    The oracle's single unpartitioned running-sum window is exactly
+    the single-task plan the two-level distributed prefix sum avoids;
+    the result feeds `partitionBy("shard_id")` at write time."""
+    from prisma_migrator_spark.llm.packing import assign_shards
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_shards(lens, tokens_per_shard=2048, n_buckets=16).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "shard_id"
+    )
+
+
+_MIXTURE_ORACLE = r"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0
+    < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
+"""
+
+
+@query("domain_mixture_sample", oracle=_MIXTURE_ORACLE)
+def domain_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source keeps a prescribed
+    fraction (here source-index % 4 mapped to 25/50/75/100%) via a
+    content-hash draw — reproducible across engines, partitionings,
+    task retries, and AQE re-plans, where `df.sample` is none of
+    those. Zero shuffle: the whole op is a map-side filter."""
+    from prisma_migrator_spark.llm.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.substring(F.col("source"), 4, 10).cast("int") % 4 + 1
+    ) / F.lit(4.0)
+    return deterministic_sample(
+        docs.select("doc_id", "source"), rate, key_col="doc_id", salt="mix"
+    )
+
+
+_CROSS_DEDUP_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), seen AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 7 = 0
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
+FROM fp
+WHERE doc_id % 7 <> 0 AND fp NOT IN (SELECT fp FROM seen)
+GROUP BY fp
+"""
+
+
+@query("cross_corpus_dedup", oracle=_CROSS_DEDUP_ORACLE)
+def cross_corpus_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id % 7 == 0 stand in
+    for the existing lake; the rest are the incoming batch, deduped
+    against the lake's fingerprint set and within themselves (min-id
+    survivor). The lake side prunes to one narrow fingerprint column
+    before the anti join — at 100 TB that column IS the maintained
+    dedup index, not a corpus rescan."""
+    from prisma_migrator_spark.llm.dedup import dedupe_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe_against(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+    )

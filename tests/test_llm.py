@@ -624,3 +624,79 @@ def test_streaming_ingest_dedup_ttl_bounds_state(spark, tmp_path):
     got = spark.read.parquet(out)
     emitted = sorted((r.fingerprint, r.doc_id) for r in got.collect())
     assert emitted == [("A", 1), ("A", 5), ("B", 2), ("C", 4)]
+
+
+def test_assign_shards_invariants(spark, sf_dir):
+    """Shards are contiguous in doc_id order, sized within one doc of
+    the 2048-token target, and docs are never split."""
+    from prisma_migrator_spark.llm.packing import assign_shards
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    shards = assign_shards(lens, tokens_per_shard=2048, n_buckets=5).cache()
+
+    # every doc assigned exactly once
+    n_docs = lens.where("n_tokens >= 1").count()
+    assert shards.count() == n_docs
+    assert shards.select("doc_id").distinct().count() == n_docs
+
+    per = shards.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    rows = sorted(per.collect(), key=lambda r: r["shard_id"])
+    # shard ids dense from 0
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    # contiguous id ranges: shard k's max doc_id < shard k+1's min
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"]
+    # a shard overflows 2048 only by its straddling last doc, and every
+    # shard except the last starts before its 2048 budget is exhausted
+    max_doc = lens.agg(F.max("n_tokens")).first()[0]
+    for r in rows[:-1]:
+        assert r["tok"] >= 1
+        assert r["tok"] < 2048 + max_doc
+    shards.unpersist()
+
+
+def test_deterministic_sample_stable_and_unbiased(spark, sf_dir):
+    """Same (key, salt) -> identical membership regardless of
+    partitioning; kept fraction tracks the rate."""
+    from prisma_migrator_spark.llm.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = deterministic_sample(docs, F.lit(0.5), salt="t")
+    b = deterministic_sample(docs.repartition(13), F.lit(0.5), salt="t")
+    assert sorted(r[0] for r in a.collect()) == sorted(
+        r[0] for r in b.collect()
+    )
+    n, kept = docs.count(), a.count()
+    assert 0.35 * n < kept < 0.65 * n  # 500 draws at p=.5
+    # different salt -> different (mostly) membership, same distribution
+    c = deterministic_sample(docs, F.lit(0.5), salt="u")
+    assert sorted(r[0] for r in c.collect()) != sorted(
+        r[0] for r in a.collect()
+    )
+
+
+def test_dedupe_against_constructed(spark):
+    """Survivors = incoming minus lake fingerprints, min-id per batch
+    duplicate group; whitespace/case variants collapse."""
+    from prisma_migrator_spark.llm.dedup import dedupe_against
+
+    existing = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),  # dup of lake doc 0 (normalized)
+            (11, "delta"),         # fresh
+            (12, "delta"),         # in-batch dup of 11
+            (13, "epsilon"),       # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = dedupe_against(incoming, existing)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
