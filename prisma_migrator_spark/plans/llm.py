@@ -1329,3 +1329,134 @@ def cross_corpus_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 7 != 0),
         docs.where(F.col("doc_id") % 7 == 0),
     )
+
+
+_SPLIT_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents) t
+"""
+
+
+@query("corpus_split", oracle=_SPLIT_ORACLE)
+def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: one hash draw per
+    doc, thresholded — membership is a pure function of (doc_id,
+    salt), so the split is identical on every engine, rerun, and
+    cluster size, and docs added later never reshuffle earlier
+    assignments (the property rand()-based splits lack). Map-side
+    only: no shuffle, no state."""
+    from prisma_migrator_spark.llm.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"), salt="split")
+    return docs.select(
+        "doc_id",
+        F.when(u < 0.9, "train")
+        .when(u < 0.95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_GOPHER_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,
+         LEN(replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ', '')) AS chars
+  FROM documents
+), base AS (
+  SELECT doc_id, LEN(w) AS n, chars, LEN(list_distinct(w)) AS nd FROM words
+), grams AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g, COUNT(*) AS cnt
+  FROM words, LATERAL UNNEST(range(len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+  GROUP BY doc_id, g
+), keys AS (
+  SELECT doc_id,
+         (LEAST(cnt, 1048575) << 43)
+         | ((CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) >> 29) << 12)
+         | LEAST(LEN(g), 4095) AS key
+  FROM grams
+), top AS (
+  SELECT doc_id, MAX(key) >> 43 AS cnt, MAX(key) & 4095 AS glen
+  FROM keys GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(b.chars / CAST(b.n AS DOUBLE), 6) AS mean_word_len,
+       ROUND(b.nd / CAST(b.n AS DOUBLE), 6) AS distinct_ratio,
+       ROUND(COALESCE(t.cnt * (t.glen - 1) / CAST(b.chars AS DOUBLE), 0.0), 6)
+         AS top_2gram_frac,
+       (ROUND(COALESCE(t.cnt * (t.glen - 1) / CAST(b.chars AS DOUBLE), 0.0), 6) > 0.2
+        OR ROUND(b.nd / CAST(b.n AS DOUBLE), 6) < 0.5) AS flagged
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+@query("gopher_repetition_flags", oracle=_GOPHER_ORACLE)
+def gopher_repetition_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: mean word
+    length, distinct-token ratio, and the fraction of non-space
+    characters inside the single most frequent word 2-gram (ties
+    broken on a 60-bit md5 of the gram so both engines pick the same
+    one), plus the composite flag a corpus filter would drop on.
+    Mean/distinct metrics are pure map-side array expressions; only
+    the top-2-gram needs the explode + count shuffle, and its per-doc
+    argmax is a plain `max(long)` over a packed key — (cnt:20 bits |
+    gram-hash:31 | gram-len:12, saturating) — because ANY
+    `max(struct)` (even all-numeric) gets an immutable agg buffer and
+    degrades to SortAggregate; a single long keeps the argmax in
+    HashAggregate with map-side partials. cnt/len saturation only
+    reorders grams already beyond the caps, identically on both
+    engines."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.split(norm, " ").alias("w"),
+        F.length(F.translate(norm, " ", "")).alias("chars"),
+    ).select(
+        "doc_id",
+        F.size("w").alias("n"),
+        "chars",
+        F.size(F.array_distinct("w")).alias("nd"),
+    )
+    ghash = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    key = (
+        F.shiftleft(F.least(F.col("cnt"), F.lit(1048575)).cast("long"), 43)
+        .bitwiseOR(F.shiftleft(F.shiftright(ghash, 29), 12))
+        .bitwiseOR(F.least(F.length("shingle"), F.lit(4095)).cast("long"))
+    )
+    keys = (
+        shingles(docs, k=2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", key.alias("key"))
+    )
+    top = keys.groupBy("doc_id").agg(F.max("key").alias("k")).select(
+        "doc_id",
+        F.shiftright(F.col("k"), 43).alias("cnt"),
+        F.col("k").bitwiseAND(F.lit(4095)).alias("glen"),
+    )
+    n, chars, nd = F.col("n"), F.col("chars"), F.col("nd")
+    top_frac = F.round(
+        F.coalesce(
+            F.col("cnt") * (F.col("glen") - 1) / chars.cast("double"), F.lit(0.0)
+        ),
+        6,
+    )
+    dr = F.round(nd / n.cast("double"), 6)
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.round(chars / n.cast("double"), 6).alias("mean_word_len"),
+        dr.alias("distinct_ratio"),
+        top_frac.alias("top_2gram_frac"),
+        ((top_frac > 0.2) | (dr < 0.5)).alias("flagged"),
+    )

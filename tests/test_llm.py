@@ -700,3 +700,56 @@ def test_dedupe_against_constructed(spark):
     )
     out = dedupe_against(incoming, existing)
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_corpus_split_proportions_and_stability(spark, sf_dir):
+    from prisma_migrator_spark.plans.llm import corpus_split_q
+
+    out = corpus_split_q(spark, sf_dir).cache()
+    n = out.count()
+    frac = {
+        r["split"]: r["c"] / n
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert 0.80 < frac["train"] < 0.97
+    assert 0 < frac.get("val", 0) < 0.12 and 0 < frac.get("test", 0) < 0.12
+    # disjoint + exhaustive by construction; stable across reruns
+    again = corpus_split_q(spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
+
+
+def test_gopher_flags_constructed(spark):
+    from prisma_migrator_spark.plans import llm as plans_llm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),   # one repeated 2-gram
+            # all-distinct and long enough that no single 2-gram
+            # covers 20% of the characters
+            (1, "the quick brown fox jumps over lazy dogs while seven "
+                "wizards brew strong coffee downtown"),
+        ],
+        "doc_id long, text string",
+    )
+    import prisma_migrator_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark, sf, name: docs
+        plans_llm.load_table = cat.load_table
+        out = {r["doc_id"]: r for r in
+               plans_llm.gopher_repetition_flags_q(spark, "x").collect()}
+    finally:
+        cat.load_table = orig
+        plans_llm.load_table = orig
+    # doc 0: "spam spam" occurs 5x, each covering 8 of 24 chars -> frac
+    # uses count*len(gram-minus-space)/chars = 5*8/24 > 0.2; 1 distinct
+    # token of 6 -> distinct_ratio ~0.167 -> flagged
+    assert out[0]["flagged"] is True
+    assert abs(out[0]["distinct_ratio"] - round(1 / 6, 6)) < 1e-9
+    assert out[0]["top_2gram_frac"] > 1.0  # overlapping grams can exceed 1
+    # doc 1: every token unique, no repeated gram -> clean
+    assert out[1]["flagged"] is False
+    assert out[1]["distinct_ratio"] == 1.0
+    assert out[1]["top_2gram_frac"] < 0.2
