@@ -56,6 +56,14 @@ def latest_per_key(
     struct buffer, so Catalyst cannot prune scan columns through this
     operator — ``select`` the columns you need BEFORE calling it (safe
     whenever the tiebreakers pin a unique winner).
+
+    Physical plan: ``max(struct)`` has an immutable agg buffer, so
+    Spark plans SortAggregate (partial + final), not HashAggregate.
+    That is still the right trade: the partial aggregate collapses to
+    one row per key per partition BEFORE the shuffle, where the
+    row_number-window alternative shuffles and sorts EVERY input row.
+    The packed-long argmax trick (PERF.md #14) doesn't apply — the
+    winner's full payload can't ride in a 64-bit key.
     """
     lead = [order_col, *tiebreakers]
     payload = [c for c in df.columns if c not in keys and c not in lead]
