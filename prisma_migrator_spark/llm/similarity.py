@@ -187,24 +187,13 @@ def train_ivf_centroids(
         .collect()
     )
     cents = [list(r["c"]) for r in seeds]
+    dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
-        means = (
-            assigned.select(
-                "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
-            .collect()
-        )
-        new = {r["cluster_id"]: list(r["c"]) for r in means}
+        # one HashAggregate over dim sum() columns (group_centroids)
+        # instead of posexplode + two shuffles over element rows
+        means = group_centroids(assigned, "cluster_id", vec_col, dim=dim).collect()
+        new = {r["cluster_id"]: list(r["centroid"]) for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 
@@ -362,3 +351,35 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
         F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
     )
     return scale, codes
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Element-wise mean embedding per group (domain centroids, class
+    prototypes, k-means refinement input).
+
+    Spark-first shape: instead of posexplode → groupBy(group, pos) —
+    which shuffles n_vectors x dim ROWS and then needs a second agg to
+    reassemble the array — unroll the known dim into ``dim`` numeric
+    ``sum()`` columns in ONE HashAggregate. Map-side partials collapse
+    every partition to one row per group before the only shuffle, and
+    the reassembly is a free map-side ``array()``. The dim probe costs
+    one first() on a single split.
+    """
+    if dim is None:
+        row = df.select(F.size(vec_col)).first()
+        dim = int(row[0]) if row else 0
+    v = F.col(vec_col)
+    sums = [
+        F.sum(F.element_at(v, i + 1).cast("double")).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(group_col).agg(F.count("*").alias("n_vectors"), *sums)
+    centroid = F.array(
+        *[F.col(f"__s{i}") / F.col("n_vectors") for i in range(dim)]
+    )
+    return agg.select(group_col, "n_vectors", centroid.alias("centroid"))

@@ -1460,3 +1460,40 @@ def gopher_repetition_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_2gram_frac"),
         ((top_frac > 0.2) | (dr < 0.5)).alias("flagged"),
     )
+
+
+_CENTROIDS_ORACLE = r"""
+WITH ex AS (
+  SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL UNNEST(range(len(embedding))) AS t(i)
+), ag AS (
+  SELECT label, i, SUM(v) AS s, COUNT(*) AS n FROM ex GROUP BY label, i
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       STRING_AGG(CAST(CAST(ROUND(s / n, 6) AS DECIMAL(18,6)) AS VARCHAR),
+                  ';' ORDER BY i) AS centroid_csv
+FROM ag GROUP BY label
+"""
+
+
+@query("label_centroids", oracle=_CENTROIDS_ORACLE)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / domain
+    centroids). One HashAggregate with dim numeric sum() columns —
+    map-side partials collapse each partition to one row per label
+    before the only shuffle — where the oracle's UNNEST shape (and
+    the naive Spark posexplode) shuffles n_vectors x dim element
+    rows. Centroids serialized to fixed-point CSV for the
+    cross-engine hash."""
+    from prisma_migrator_spark.llm.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label", "embedding", dim=64)
+    csv = F.concat_ws(
+        ";",
+        F.transform(
+            "centroid",
+            lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+        ),
+    )
+    return cents.select("label", "n_vectors", csv.alias("centroid_csv"))

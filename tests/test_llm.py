@@ -753,3 +753,26 @@ def test_gopher_flags_constructed(spark):
     assert out[1]["flagged"] is False
     assert out[1]["distinct_ratio"] == 1.0
     assert out[1]["top_2gram_frac"] < 0.2
+
+
+def test_group_centroids_matches_posexplode_reference(spark, sf_dir):
+    from prisma_migrator_spark.llm.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = group_centroids(emb, "label", "embedding", dim=64)
+    ref = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    joined = (
+        got.select("label", F.posexplode("centroid").alias("pos", "g"))
+        .join(ref, ["label", "pos"])
+        .where(F.abs(F.col("g") - F.col("m")) > 1e-9)
+    )
+    assert joined.count() == 0
+    # one row per label, count carried through
+    assert got.count() == emb.select("label").distinct().count()
+    n = {r["label"]: r["n_vectors"] for r in got.collect()}
+    for r in emb.groupBy("label").count().collect():
+        assert n[r["label"]] == r["count"]
