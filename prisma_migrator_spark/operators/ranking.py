@@ -68,9 +68,11 @@ def ntile_buckets(
     Scale caveat: an unpartitioned window is a single-task sort — the
     same hazard as ``MAX() OVER ()`` (SURVEY §7.3 #6). Fine for
     result-set-sized frames (reports); for fact-scale frames compute
-    approximate quantile cut points first and bucket by comparison
-    (see ``plans/analytics.approx_event_value_quantiles`` for the
-    sketch-based path).
+    quantile cut points first and bucket by comparison —
+    ``plans/llm.quality_deciles_q`` is that path end-to-end (9
+    broadcast percentile cuts, map-side bucket assignment), and
+    ``plans/analytics.approx_event_value_quantiles`` shows the
+    sketch-based cut-point computation.
     """
     w = Window.orderBy(*_order_cols(order_by, descending, tiebreakers))
     return df.withColumn(bucket_col, F.ntile(n).over(w))

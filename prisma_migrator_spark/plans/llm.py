@@ -1497,3 +1497,88 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return cents.select("label", "n_vectors", csv.alias("centroid_csv"))
+
+
+# --- adaptive quality thresholds (scalar-agg + broadcast, no sort) -----
+
+_QUALITY_CTE = r"""
+WITH q AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','this','that'], t)))
+                / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents) t
+)"""
+
+_QUALITY_GATE_ORACLE = rf"""{_QUALITY_CTE}
+SELECT doc_id, quality FROM q
+WHERE quality > (SELECT quantile_cont(quality, 0.10) FROM q)
+"""
+
+
+@query("quality_gate_p10", oracle=_QUALITY_GATE_ORACLE)
+def quality_gate_p10_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: drop the worst decile of the corpus by
+    its OWN quality distribution (fixed thresholds go stale as the
+    corpus shifts). One scalar percentile agg -> broadcast 1-row join
+    -> map-side filter; no global sort, no window. At 100 TB swap
+    `percentile` for `approx_percentile` (t-digest sketch, identical
+    plan shape)."""
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    thr = stats.agg(F.expr("percentile(quality, 0.10)").alias("__thr"))
+    return (
+        stats.crossJoin(F.broadcast(thr))
+        .where(F.col("quality") > F.col("__thr"))
+        .select("doc_id", "quality")
+    )
+
+
+_QUALITY_DECILES_ORACLE = rf"""{_QUALITY_CTE},
+th AS (
+  SELECT quantile_cont(quality,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+  FROM q
+)
+SELECT doc_id, quality,
+       CAST(1 + LEN(LIST_FILTER(ts, t -> quality > t)) AS INT) AS decile
+FROM q, th
+"""
+
+
+@query("quality_deciles", oracle=_QUALITY_DECILES_ORACLE)
+def quality_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum decile per doc WITHOUT a global sort: nine exact
+    percentile cut points from one scalar agg, broadcast to every
+    task, bucket assignment a map-side array count. This is the scale
+    path `ntile_buckets` documents as its caveat — NTILE windows the
+    whole corpus through ONE task; here the corpus-sized pass is
+    embarrassingly parallel and only 9 doubles move. Ties land in the
+    same bucket on both engines (percentile interpolation between
+    distinct 6dp-rounded values can't collide with a 6dp quality)."""
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    qs = ", ".join(str(x / 10) for x in range(1, 10))
+    th = stats.agg(F.expr(f"percentile(quality, array({qs}))").alias("ts"))
+    decile = (
+        F.lit(1)
+        + F.size(F.filter("ts", lambda t: F.col("quality") > t))
+    ).cast("int")
+    return (
+        stats.crossJoin(F.broadcast(th))
+        .select("doc_id", "quality", decile.alias("decile"))
+    )

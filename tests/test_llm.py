@@ -776,3 +776,28 @@ def test_group_centroids_matches_posexplode_reference(spark, sf_dir):
     n = {r["label"]: r["n_vectors"] for r in got.collect()}
     for r in emb.groupBy("label").count().collect():
         assert n[r["label"]] == r["count"]
+
+
+def test_quality_deciles_balanced_and_monotone(spark, sf_dir):
+    from prisma_migrator_spark.plans.llm import (
+        quality_deciles_q,
+        quality_gate_p10_q,
+    )
+
+    dec = quality_deciles_q(spark, sf_dir).cache()
+    n = dec.count()
+    sizes = {r["decile"]: r["c"] for r in
+             dec.groupBy("decile").agg(F.count("*").alias("c")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    # near-equal buckets (ties on 6dp-rounded quality allow slack)
+    assert all(0.5 * n / 10 <= c <= 1.5 * n / 10 for c in sizes.values())
+    # monotone: every doc in decile d has quality <= min of decile d+2
+    bounds = {r["decile"]: (r["lo"], r["hi"]) for r in
+              dec.groupBy("decile").agg(F.min("quality").alias("lo"),
+                                        F.max("quality").alias("hi")).collect()}
+    for d in range(1, 10):
+        assert bounds[d][1] <= bounds[d + 1][0] + 1e-12
+    # the p10 gate keeps exactly the docs above decile 1's ceiling
+    kept = quality_gate_p10_q(spark, sf_dir).count()
+    assert kept == dec.where(F.col("decile") > 1).count()
+    dec.unpersist()
