@@ -43,3 +43,50 @@ def deterministic_sample(
     so per-row/per-domain rates work). Expected kept fraction = rate;
     exact membership is a pure function of (key, salt)."""
     return df.where(hash_unit(F.col(key_col), salt) < rate)
+
+
+def deterministic_shuffle_rank(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Add ``shuffle_pos``: a dense 0..n-1 global permutation in
+    md5(salt:key) order — the reproducible corpus shuffle every
+    training run needs (same recipe -> same order, on any engine or
+    cluster size; appending docs later permutes them in without
+    moving anything already written... with a fresh salt per epoch).
+
+    The naive form is ``row_number() OVER (ORDER BY hash)`` — a
+    global sort through ONE task. Here the hash's own uniformity
+    replaces the sort's sampling: bucket on the first hash byte(s),
+    count per bucket (tiny agg), exclusive-sum the counts across
+    buckets (window over n_buckets rows), then row_number WITHIN
+    each bucket — every corpus-sized stage hash-partitioned, the
+    serial section O(n_buckets). Same two-level shape as
+    ``packing.global_running_offset`` with count playing len.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    # bucket on the hash PREFIX (top bits), not a modulus: prefix
+    # buckets are range-contiguous in hash order, so sorting by
+    # (bucket, hash) IS the global hash order
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    bits = max((n_buckets - 1).bit_length(), 1)
+    bucketed = df.withColumn("__h", hv).withColumn(
+        "__b", F.shiftright(F.col("__h"), 60 - bits)
+    )
+    counts = bucketed.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(w_b), F.lit(0)).alias("__base")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__h", key_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "shuffle_pos", F.col("__base") + F.row_number().over(w_in) - 1
+        )
+        .drop("__b", "__h", "__base")
+    )

@@ -1582,3 +1582,29 @@ def quality_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(th))
         .select("doc_id", "quality", decile.alias("decile"))
     )
+
+
+_SHUFFLE_ORACLE = r"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(('0x' || substr(md5('shuf:' || doc_id), 1, 15))
+                       AS BIGINT),
+                  doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+@query("corpus_shuffle", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: dense 0..n-1 positions in
+    md5(salt:doc_id) order. The oracle's ROW_NUMBER over a global
+    ORDER BY is the single-task sort this avoids — hash-prefix
+    buckets are range-contiguous in hash order, so per-bucket
+    row_numbers plus an O(n_buckets) offset sum reproduce the exact
+    global permutation with every corpus-sized stage parallel."""
+    from prisma_migrator_spark.llm.sampling import deterministic_shuffle_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle_rank(
+        docs.select("doc_id"), salt="shuf", n_buckets=64
+    ).select("doc_id", "shuffle_pos")

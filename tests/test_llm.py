@@ -801,3 +801,31 @@ def test_quality_deciles_balanced_and_monotone(spark, sf_dir):
     kept = quality_gate_p10_q(spark, sf_dir).count()
     assert kept == dec.where(F.col("decile") > 1).count()
     dec.unpersist()
+
+
+def test_shuffle_rank_is_dense_permutation_matching_global_sort(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from prisma_migrator_spark.llm.sampling import deterministic_shuffle_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    got = deterministic_shuffle_rank(docs, salt="t", n_buckets=8).cache()
+    n = docs.count()
+    # dense permutation 0..n-1
+    agg = got.agg(
+        F.count("*"), F.countDistinct("shuffle_pos"),
+        F.min("shuffle_pos"), F.max("shuffle_pos"),
+    ).first()
+    assert tuple(agg) == (n, n, 0, n - 1)
+    # identical to the naive single-task global window
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("t:"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    naive = docs.withColumn(
+        "exp", F.row_number().over(Window.orderBy(h, "doc_id")) - 1
+    )
+    assert got.join(naive, "doc_id").where(
+        F.col("exp") != F.col("shuffle_pos")
+    ).count() == 0
+    got.unpersist()
