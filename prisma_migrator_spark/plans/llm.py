@@ -1608,3 +1608,111 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle_rank(
         docs.select("doc_id"), salt="shuf", n_buckets=64
     ).select("doc_id", "shuffle_pos")
+
+
+_RECIPE_ORACLE = r"""
+WITH samp AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0
+      < (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
+), ded AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM samp) f
+  GROUP BY fp
+), q AS (
+  SELECT s.doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','this','that'], t)))
+                / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality,
+         LEN(w) AS n_tokens
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM samp) s
+  JOIN ded USING (doc_id)
+), gated AS (
+  SELECT doc_id, quality, n_tokens FROM q
+  WHERE quality > (SELECT quantile_cont(quality, 0.10) FROM q)
+    AND n_tokens >= 1
+), shuf AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 15))
+                         AS BIGINT),
+                    doc_id) - 1 AS BIGINT) AS shuffle_pos
+  FROM gated
+)
+SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens, shuffle_pos,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 2048 AS BIGINT) AS shard_id
+FROM shuf
+"""
+
+
+@query("corpus_recipe", oracle=_RECIPE_ORACLE)
+def corpus_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus recipe as ONE composed plan, every
+    stage the library operator it names: domain-mixture sample
+    (hash-threshold, map-side) -> exact dedup (min-id per
+    fingerprint) -> adaptive quality gate (corpus-relative p10,
+    broadcast scalar) -> reproducible epoch shuffle (hash-prefix
+    bucketed rank) -> token-balanced shard assignment (distributed
+    prefix sum in shuffle order). Deterministic end to end: the
+    recipe (salts + rates + thresholds) IS the corpus. Every
+    corpus-sized stage is hash-partitioned; the only serial pieces
+    are O(n_buckets) offset windows and a 1-row percentile.
+
+    The post-gate frame is persist()ed: three downstream consumers
+    (shuffle bucketing, bucket counts, shard offsets) would otherwise
+    each re-run sample -> dedup -> percentile from the scan — the
+    plan audit showed the percentile subtree 4x before the persist.
+    At 100 TB this boundary is exactly where you'd checkpoint the
+    cleaned corpus to storage anyway."""
+    from prisma_migrator_spark.llm.dedup import dedupe_exact
+    from prisma_migrator_spark.llm.packing import global_running_offset
+    from prisma_migrator_spark.llm.sampling import (
+        deterministic_sample,
+        deterministic_shuffle_rank,
+    )
+    from prisma_migrator_spark.llm.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.substring(F.col("source"), 4, 10).cast("int") % 4 + 1
+    ) / F.lit(4.0)
+    samp = deterministic_sample(
+        docs.select("doc_id", "source", "text"), rate,
+        key_col="doc_id", salt="mix",
+    )
+    ded = dedupe_exact(samp.select("doc_id", "text"))
+    q = ded.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    thr = q.agg(F.expr("percentile(quality, 0.10)").alias("__thr"))
+    gated = (
+        q.crossJoin(F.broadcast(thr))
+        .where((F.col("quality") > F.col("__thr")) & (F.col("n_tokens") >= 1))
+        .select("doc_id", "quality", "n_tokens")
+        .persist()
+    )
+    shuf = deterministic_shuffle_rank(gated, salt="epoch0", n_buckets=64)
+    off = global_running_offset(
+        shuf, "n_tokens", order_col="shuffle_pos", n_buckets=16
+    )
+    return off.select(
+        "doc_id",
+        "quality",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "shuffle_pos",
+        (F.col("start_off") / F.lit(2048)).cast("long").alias("shard_id"),
+    )
