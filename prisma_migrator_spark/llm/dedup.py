@@ -126,10 +126,27 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair (id_a < id_b), with the signature-agreement
-    fraction as the Jaccard estimate."""
+    fraction as the Jaccard estimate.
+
+    Pair generation is a per-band ``collect_list`` + in-array pair
+    explode, not a band self-join: ONE shuffle of (band, id) rows
+    instead of two join sides, and the (at 100 TB, vast) majority of
+    bands with a single member never produce a row at all — the
+    size filter drops them before any pair exists. Per-band memory
+    is bounded by the bucket size.
+
+    ``max_bucket`` is the skew bound: a band shared by b docs emits
+    C(b,2) pairs, so one boilerplate bucket of 10^6 docs would emit
+    5*10^11 pairs and sink the stage. Buckets larger than the cap
+    are dropped (standard LSH practice — such docs are
+    near-identical boilerplate that exact dedup already collapses,
+    and true near-dups this common almost surely co-occur in a
+    smaller band too). None = no cap (exact oracle parity).
+    """
     # The signature frame is used three times (both join sides + the
     # agreement re-join); persist it so the shingle->minhash pipeline
     # runs once, not three times.
@@ -145,20 +162,29 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    # Self-join on (band) carrying ONLY ids: the pair-distinct then
-    # shuffles 2 ints per row instead of 2 ints + 2*H hashes.
+    # (band, id) rows carry ONLY ids; pairs are exploded from the
+    # per-band member array so the shuffle happens once.
     banded = sigs.select(id_col, F.explode(bands).alias("band"))
+    buckets = banded.groupBy("band").agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
+    size_ok = F.size("__ids") >= 2
+    if max_bucket is not None:
+        size_ok = size_ok & (F.size("__ids") <= max_bucket)
+    ids = F.col("__ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.where(size_ok)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sa = sigs.select(
