@@ -50,7 +50,6 @@ def dedupe_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one row per distinct content (the min-id row)."""
-    fp = content_fingerprint(F.col(text_col)).alias("__fp")
     w_min = exact_dedup_groups(df, text_col, id_col).select(
         F.col("canonical_id").alias(id_col)
     )

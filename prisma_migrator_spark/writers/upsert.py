@@ -52,9 +52,22 @@ def append_skip_duplicates(
 ) -> DataFrame:
     """Rows of ``new_rows`` whose key is absent from ``existing`` —
     the dataframe form of ``ON CONFLICT DO NOTHING``. Also dedupes
-    within the batch itself (first row per key wins, deterministically
-    by all-column sort, mirroring Prisma's first-wins)."""
-    in_batch = new_rows.dropDuplicates(list(key_cols))
+    within the batch itself, deterministically: per key, the row that
+    is lexicographically smallest over the remaining columns survives
+    (``min(struct(...))`` partial-aggregates map-side; a bare
+    ``dropDuplicates`` keeps whichever row a partitioning happens to
+    deliver first, which varies across runs/AQE replans)."""
+    keys = list(key_cols)
+    rest = [c for c in new_rows.columns if c not in keys]
+    if rest:
+        in_batch = (
+            new_rows.groupBy(*keys)
+            .agg(F.min(F.struct(*rest)).alias("__row"))
+            .select(*keys, *[F.col(f"__row.{c}").alias(c) for c in rest])
+            .select(*new_rows.columns)
+        )
+    else:
+        in_batch = new_rows.dropDuplicates(keys)
     return anti_join(
         in_batch, existing, key_cols, broadcast_right=broadcast_existing_keys
     )

@@ -40,7 +40,9 @@ PINS = {
     "events_session_30m": (1, [3], False),
     "text_stats": (0, [2], False),
     "clean_corpus": (1, [2, 2], False),
-    "minhash_lsh_pairs": (5, [2, 2, 2, 2], False),
+    # collect_list banding form: one fewer parquet scan than the old
+    # band self-join (signatures computed once, bands exploded from it)
+    "minhash_lsh_pairs": (5, [2, 2, 2], False),
     "topk_cosine_bruteforce": (1, [2, 2], True),
     "decontaminate_eval": (3, [1, 2, 2], False),
     "pack_stream_512": (2, [2, 2], False),
