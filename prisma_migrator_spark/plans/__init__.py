@@ -13,3 +13,88 @@ from prisma_migrator_spark.plans import core  # noqa: E402,F401
 from prisma_migrator_spark.plans import events  # noqa: E402,F401
 from prisma_migrator_spark.plans import flagship  # noqa: E402,F401
 from prisma_migrator_spark.plans import llm  # noqa: E402,F401
+
+# The round driver records a CORRECTNESS row only for the FIRST 50
+# registered queries, in dict order. With 75 registered, plain
+# module-import order left 25 late-registered LLM queries with no
+# automatic correctness signal (round-1 verdict, item 2). The fix:
+# an explicit driver window — exactly 50 oracle-bearing queries, at
+# least one per SURVEY §2 operator family and per LLM-pipeline
+# family. Redundant variants of an in-window representative (e.g.
+# simhash16 vs simhash64_near_dup, minhash_signatures vs
+# minhash_lsh_pairs) sit after the window; they stay registered and
+# remain covered by tests/test_oracle_parity and tools/drive_driver.
+DRIVER_WINDOW: list[str] = [
+    # --- relational / §2 core + analytics extensions (25) ---
+    "flagship_popularity",       # J1-J12, F1-F4, W1, O1-O2
+    "category_difficulty",       # A5 multi-metric rollup
+    "latest_per_key_lineitem",   # W2 DISTINCT ON
+    "semi_join_orders",          # J3 semi join
+    "anti_join_customers",       # anti join (S5 backbone)
+    "filter_inlist_range",       # P3-P7 predicates
+    "date_format_orders",        # F5 TO_CHAR
+    "normalized_part_scores",    # F2 NULLIF guard, W1 normalization
+    "dynamic_pivot_categories",  # R1 dynamic pivot, A6
+    "hyperlink_report",          # F8 hyperlink + CSV escaping
+    "category_report",           # S9 CSV report
+    "events_json_props",         # S8 JSON extraction
+    "category_sizes",            # A1 count distinct per group
+    "rank_scores",               # A2 weighted reciprocal-rank (log10)
+    "recommendation_metrics",    # A3 count + weighted sum
+    "distinct_pair_agg",         # A4 sorted distinct array agg
+    "repeat_customers_setops",   # §2.7 set operations
+    "top_orders_per_customer",   # ranked window top-k
+    "revenue_rollup",            # grouping-set rollup
+    "event_attribution_24h",     # range-bounded attribution join
+    "order_price_quartiles",     # quantile bucketing
+    "asof_last_order",           # as-of join
+    "events_tumbling_hourly",    # tumbling time window
+    "events_session_30m",        # session window
+    "events_rolling_1h",         # rolling event-time window
+    # --- text / LLM pipeline families (25) ---
+    "text_stats",                # stats + quality + lang-ID + tokens
+    "top_terms_tfidf",           # tf-idf terms
+    "clean_corpus",              # quality gating
+    "exact_dedup_groups",        # exact dedup
+    "minhash_lsh_pairs",         # MinHash + LSH banding
+    "near_dup_clusters",         # duplicate clustering (HashToMin)
+    "ngram_jaccard_pairs",       # n-gram Jaccard
+    "simhash64_near_dup",        # SimHash banded Hamming (scale path)
+    "rolling_fingerprint",       # Rabin-Karp fingerprinting
+    "embedding_near_dup",        # embedding-cosine near-dup
+    "topk_cosine_bruteforce",    # exact top-k cosine (ANN oracle)
+    "multimodal_meta",           # multimodal metadata plumbing
+    "doc_chunks_overlap",        # chunking with overlap
+    "canonical_docs",            # canonicalization
+    "decontaminate_eval",        # eval decontamination
+    "pii_redaction",             # PII redaction
+    "pack_stream_512",           # stream packing (prefix sum)
+    "training_shards",           # balanced shards
+    "embedding_quantize_int8",   # int8 quantization
+    "domain_mixture_sample",     # deterministic sampling / mixtures
+    "gopher_repetition_flags",   # repetition/boilerplate heuristics
+    "cross_corpus_dedup",        # incremental cross-corpus dedup
+    "label_centroids",           # centroids / k-means step
+    "quality_deciles",           # curriculum deciles (sketch cuts)
+    "corpus_recipe",             # end-to-end composed pipeline
+]
+
+
+def _apply_driver_window() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    without_oracle = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    if missing or without_oracle or len(DRIVER_WINDOW) != 50:
+        raise RuntimeError(
+            f"DRIVER_WINDOW invalid: missing={missing} "
+            f"no_oracle={without_oracle} len={len(DRIVER_WINDOW)}"
+        )
+    tail = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    ordered = {n: QUERIES[n] for n in [*DRIVER_WINDOW, *tail]}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    ordered_oracles = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(ordered_oracles)
+
+
+_apply_driver_window()

@@ -86,6 +86,22 @@ def test_headline_plan_pinned(spark, name):
         assert "CartesianProduct" not in plan
 
 
+def test_driver_window_spans_all_families():
+    """The round driver records correctness for only the FIRST 50
+    registered queries. Pin that the explicit window is exactly 50,
+    every entry carries a DuckDB oracle (hash-green capable, not
+    rows-only), and queries() actually leads with it — so no operator
+    family can silently fall out of the driver's correctness report
+    when a query is added or registration order drifts."""
+    import prisma_migrator_spark.plans as plans
+
+    window = plans.DRIVER_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert all(n in plans.ORACLES for n in window)
+    assert list(plans.QUERIES)[:50] == window
+
+
 def test_no_rowwise_python_udf_registry_wide(spark):
     """Arrow-batched Pandas UDFs only — a row-at-a-time BatchEvalPython
     in ANY registered query is the 10-100x slow path."""
