@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
 from prisma_migrator_spark.operators.joins import interval_join
-from prisma_migrator_spark.operators.ranking import ntile_buckets, topk_per_group
+from prisma_migrator_spark.operators.ranking import topk_per_group
 from prisma_migrator_spark.plans.registry import query
 
 # --- ranking window + top-k per group (absent per SURVEY §2.13) --------
@@ -202,36 +202,47 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ntile quantile buckets (absent per SURVEY §2.13) ------------------
 
 _QUARTILES_ORACLE = """
-SELECT CAST(q AS INT) AS q,
+WITH th AS (
+  SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS ts FROM orders
+)
+SELECT CAST(1 + LEN(LIST_FILTER(ts, t -> o_totalprice > t)) AS INT) AS q,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(MIN(o_totalprice), 2) AS min_price,
        ROUND(MAX(o_totalprice), 2) AS max_price
-FROM (
-  SELECT o_totalprice,
-         NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q
-  FROM orders) t
-GROUP BY q
+FROM orders, th
+GROUP BY 1
 """
 
 
 @query("order_price_quartiles", oracle=_QUARTILES_ORACLE)
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-height price quartiles via NTILE over a deterministic
-    total order. See ranking.ntile_buckets for the scale caveat (an
-    unpartitioned window is single-task; the sketch-based variant
-    below is the 100 TB path)."""
-    orders = load_table(spark, sf_dir, "orders")
-    b = ntile_buckets(
-        orders.select("o_totalprice", "o_orderkey"),
-        "o_totalprice",
-        4,
-        tiebreakers=["o_orderkey"],
-        bucket_col="q",
+    """Price quartiles by percentile cut points, never NTILE: three
+    exact quartile cuts from one scalar agg, broadcast to every task,
+    bucket assignment a map-side comparison — the quality_deciles_q
+    pattern. NTILE(4) would funnel the whole fact table through ONE
+    task's sort (the unpartitioned-window hazard, SURVEY §7.3 #6);
+    here every corpus-sized stage is parallel and only 3 doubles
+    move. Contract difference vs NTILE: rows tied on price land in
+    the same quartile and bucket counts can differ by one row around
+    each cut — the right trade at 100 TB. ``ntile_buckets`` remains
+    for report-sized frames. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest sketch, identical plan shape)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    th = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("ts")
     )
-    return b.groupBy(F.col("q").cast("int").alias("q")).agg(
-        F.count("*").alias("n_orders"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    q = (
+        F.lit(1)
+        + F.size(F.filter("ts", lambda t: F.col("o_totalprice") > t))
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(th))
+        .groupBy(q.alias("q"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
     )
 
 

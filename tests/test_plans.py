@@ -86,6 +86,16 @@ def test_headline_plan_pinned(spark, name):
         assert "CartesianProduct" not in plan
 
 
+def test_order_price_quartiles_has_no_window(spark):
+    """The quartile query must bucket by broadcast percentile cuts, not
+    NTILE: a WindowExec with an empty partition spec is a single-task
+    global sort — the last one among registered queries was removed in
+    round 2 and must not come back."""
+    plan = _plan(spark, "order_price_quartiles")
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" in plan  # the 1-row cuts agg only
+
+
 def test_driver_window_spans_all_families():
     """The round driver records correctness for only the FIRST 50
     registered queries. Pin that the explicit window is exactly 50,
