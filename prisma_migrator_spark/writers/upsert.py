@@ -158,6 +158,152 @@ def upsert_parquet(
     return {"path": path, "total": total, "mode": "update" if do_update else "insert_only"}
 
 
+def _part_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _file_key_ranges(
+    files: list[str], key: str
+) -> list[tuple[str, object, object]]:
+    """Per-file (min, max) of ``key`` from parquet FOOTER statistics —
+    no data pages are read. Files lacking stats get (None, None) and
+    are conservatively rewritten. Parquet's spec only allows stat
+    truncation that widens the range (max rounds up), so pruning on
+    footer stats never loses a matching file."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, object, object]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(key)
+        except ValueError:
+            out.append((f, None, None))
+            continue
+        lo = hi = None
+        ok = md.num_rows > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((f, lo, hi) if ok else (f, None, None))
+    return out
+
+
+def upsert_parquet_cow(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    order_col: str | None = None,
+) -> dict:
+    """File-granularity copy-on-write MERGE into UNPARTITIONED parquet
+    — the missing middle between ``upsert_parquet``'s full-table
+    rewrite and ``upsert_partitioned``'s hive-partition overwrite
+    (reference ON CONFLICT semantics: src/utils/lib.ts:76-95).
+
+    Only files whose footer key range intersects a batch key are read
+    and rewritten; every other file is hard-linked into the staged
+    table untouched (byte-identical, no IO). A batch touching keys in
+    1 of 1,000 files costs ~1/1,000th of the table — this is what
+    Delta/Iceberg MERGE does at the file level, without the format
+    dependency. Matching is one Spark job: the batch's distinct first
+    key values range-joined against the broadcast file-range list
+    (|files| rows — metadata-sized, never data-sized).
+
+    Pruning uses ``key_cols[0]`` only; composite keys still merge
+    correctly (the file set is a superset of files holding matched
+    keys, and the merge itself joins on all keys). Best when the
+    table is roughly clustered by that key — e.g. monotonically
+    appended ids/timestamps; worst case (every file spans the full
+    key range) degrades to ``upsert_parquet``'s full rewrite, never
+    worse.
+    """
+    keys = list(key_cols)
+    batch = (
+        latest_per_key(batch, keys, order_col)
+        if order_col
+        else batch.dropDuplicates(keys)
+    )
+    if not os.path.exists(path):
+        staged = path + ".staging"
+        batch.write.mode("overwrite").parquet(staged)
+        _atomic_swap(staged, path)
+        n = spark.read.parquet(path).count()
+        return {"path": path, "inserted": n, "mode": "create"}
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    existing_schema = spark.read.parquet(path).schema
+    prune_key = keys[0]
+    files = _part_files(path)
+    ranges = _file_key_ranges(files, prune_key)
+    ranged = [r for r in ranges if r[1] is not None]
+    rewrite = {f for f, lo, _ in ranges if lo is None}  # no stats → rewrite
+    if ranged:
+        key_type = existing_schema[prune_key].dataType
+        rng_schema = StructType(
+            [
+                StructField("__file", StringType()),
+                StructField("__lo", key_type),
+                StructField("__hi", key_type),
+            ]
+        )
+        rng = spark.createDataFrame(ranged, rng_schema)
+        hits = (
+            batch.select(F.col(prune_key).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        rewrite.update(r["__file"] for r in hits)
+
+    matched = sorted(rewrite)
+    untouched = [f for f in files if f not in rewrite]
+    if matched:
+        existing_sub = spark.read.schema(existing_schema).parquet(*matched)
+        result = _merge(
+            existing_sub, batch.select(*existing_sub.columns), keys, update_cols
+        )
+    else:
+        # No file can contain any batch key: every batch row is new.
+        result = batch.select(*[f.name for f in existing_schema.fields])
+
+    staged_rw = path + ".staging.rewrite"
+    result.write.mode("overwrite").parquet(staged_rw)
+    staged = path + ".staging"
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    try:
+        for f in untouched:  # hard-link: zero-copy, byte-identical
+            os.link(f, os.path.join(staged, os.path.basename(f)))
+        for f in _part_files(staged_rw):
+            os.rename(f, os.path.join(staged, "m-" + os.path.basename(f)))
+    finally:
+        shutil.rmtree(staged_rw, ignore_errors=True)
+    _atomic_swap(staged, path)
+    return {
+        "path": path,
+        "mode": "update" if (update_cols is None or update_cols) else "insert_only",
+        "files_total": len(files),
+        "files_rewritten": len(matched),
+        "files_kept": len(untouched),
+    }
+
+
 def upsert_partitioned(
     spark: SparkSession,
     batch: DataFrame,

@@ -176,6 +176,104 @@ def test_upsert_partitioned_do_nothing(spark, tmp_path):
     assert got == {1: "a", 2: "n"}  # existing wins, new key appended
 
 
+def _cow_table(spark, path, n=400, n_files=4):
+    """A key-clustered multi-file table: repartitionByRange gives each
+    part file a contiguous, non-overlapping k range — the layout the
+    footer-stats pruning is built for."""
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.lit(10).alias("ts"),
+    )
+    df.repartitionByRange(n_files, "k").write.mode("overwrite").parquet(path)
+
+
+def _file_bytes(path):
+    import glob
+
+    return {
+        os.path.basename(f): open(f, "rb").read()
+        for f in glob.glob(f"{path}/*.parquet")
+    }
+
+
+def test_upsert_cow_rewrites_only_intersecting_files(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import upsert_parquet_cow
+
+    path = str(tmp_path / "cow.parquet")
+    _cow_table(spark, path)
+    before = _file_bytes(path)
+
+    # keys 5 and 7 live in the first range file only; 9999 is brand new
+    batch = _df(
+        spark,
+        [
+            {"k": 5, "v": "UPD5", "ts": 20},
+            {"k": 7, "v": "UPD7", "ts": 20},
+            {"k": 9999, "v": "new", "ts": 20},
+        ],
+    )
+    rep = upsert_parquet_cow(spark, batch, path, ["k"])
+    assert rep["files_total"] == 4
+    assert rep["files_rewritten"] == 1
+    assert rep["files_kept"] == 3
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 401
+    assert got[5] == "UPD5" and got[7] == "UPD7" and got[9999] == "new"
+    assert got[0] == "v0" and got[399] == "v399"
+
+    # every kept file is BYTE-identical to its pre-merge self
+    after = _file_bytes(path)
+    kept = [b for b in after if b in before]
+    assert len(kept) == 3
+    for b in kept:
+        assert after[b] == before[b]
+
+    # idempotent: same batch again -> same table contents
+    upsert_parquet_cow(spark, batch, path, ["k"])
+    again = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_upsert_cow_appends_without_rewrite_when_no_overlap(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import upsert_parquet_cow
+
+    path = str(tmp_path / "cow.parquet")
+    _cow_table(spark, path)
+    before = _file_bytes(path)
+
+    batch = _df(spark, [{"k": 1000 + i, "v": "n", "ts": 1} for i in range(5)])
+    rep = upsert_parquet_cow(spark, batch, path, ["k"])
+    assert rep["files_rewritten"] == 0 and rep["files_kept"] == 4
+
+    after = _file_bytes(path)
+    for b in before:
+        assert after[b] == before[b]
+    assert spark.read.parquet(path).count() == 405
+
+
+def test_upsert_cow_do_nothing_and_partial_update(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import upsert_parquet_cow
+
+    path = str(tmp_path / "cow.parquet")
+    _cow_table(spark, path, n=40, n_files=2)
+
+    # DO NOTHING: existing wins for matched keys, new keys append
+    batch = _df(spark, [{"k": 3, "v": "X", "ts": 1}, {"k": 77, "v": "n", "ts": 1}])
+    upsert_parquet_cow(spark, batch, path, ["k"], update_cols=[])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[3] == "v3" and got[77] == "n"
+
+    # partial update: only v changes, ts keeps the existing value
+    upsert_parquet_cow(
+        spark, _df(spark, [{"k": 4, "v": "P", "ts": 99}]), path, ["k"],
+        update_cols=["v"],
+    )
+    row = {r["k"]: r for r in spark.read.parquet(path).collect()}[4]
+    assert row["v"] == "P" and row["ts"] == 10
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     from prisma_migrator_spark.catalog import load_table
     from prisma_migrator_spark.writers.bucketed import write_bucketed
