@@ -18,8 +18,9 @@ Scale notes:
   slice.
 - Writes go through ``foreachPartition``-style batched inserts that
   the JDBC writer already implements (``batchsize``); upsert semantics
-  need the anti-join writer (writers/upsert.py) or a staging table +
-  ``INSERT ... ON CONFLICT`` statement run server-side.
+  use the anti-join writer (writers/upsert.py) on file backends, or
+  the staging table + server-side ``INSERT ... ON CONFLICT`` sink in
+  writers/jdbc_sink.py (tested against embedded DuckDB).
 """
 
 from __future__ import annotations
