@@ -20,7 +20,15 @@ from pyspark.sql import functions as F
 
 
 def _prep(right: DataFrame, on: Sequence[str], broadcast_right: bool) -> DataFrame:
-    right = right.select(*on).dropDuplicates(list(on))
+    # Keys only — but NO dropDuplicates: semi/anti joins are
+    # insensitive to right-side duplicates, and the Aggregate it
+    # plans (a) costs an extra hash-exchange stage and (b) blocks
+    # InjectRuntimeFilter, which only builds a runtime bloom filter
+    # when the creation side is Filter/Project over a scan. With a
+    # plain projection, a selective dim predicate prunes the FACT
+    # scan via bloom when the right side is too big to broadcast —
+    # the 100 TB path (pinned in tests/test_plans.py).
+    right = right.select(*on)
     return F.broadcast(right) if broadcast_right else right
 
 

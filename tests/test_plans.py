@@ -34,7 +34,10 @@ PINS = {
     "category_difficulty": (3, [2, 2, 3], False),
     "latest_per_key_lineitem": (1, [9], False),
     "distinct_pair_agg": (1, [2, 3], False),
-    "semi_join_orders": (1, [2, 4], False),
+    # 0 shuffles since the right-side dropDuplicates was removed —
+    # semi joins don't need distinct keys, and the Aggregate blocked
+    # runtime bloom-filter injection (see test below)
+    "semi_join_orders": (0, [2, 4], False),
     "asof_last_order": (2, [3, 4], False),
     "events_tumbling_hourly": (1, [3], False),
     "events_session_30m": (1, [3], False),
@@ -123,6 +126,54 @@ def test_no_rowwise_python_udf_registry_wide(spark):
         if "CartesianProduct" in plan:
             offenders.append(f"{name} (cartesian)")
     assert not offenders, offenders
+
+
+def test_bloom_filter_fires_in_headline_semi_join_at_scale(spark):
+    """The headline `semi_join_orders` shape at 100 TB: the filtered
+    customer key set eventually outgrows the broadcast threshold, the
+    join falls back to shuffle — and the selective `c_mktsegment`
+    predicate must then reach the ORDERS fact scan as a runtime bloom
+    filter. This is why semi_join keeps its right side a plain
+    projection (no dropDuplicates): an Aggregate on the creation side
+    disables InjectRuntimeFilter. Pins plan + result parity with the
+    registered broadcast variant."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.operators.joins import semi_join
+
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, SF, "orders")
+        cust = load_table(spark, SF, "customer")
+        keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("o_custkey")
+        )
+        df = semi_join(orders, keys, ["o_custkey"], broadcast_right=False).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    want = sorted(map(tuple, QUERIES["semi_join_orders"](spark, SF).collect()))
+    assert got == want
 
 
 def test_runtime_bloom_filter_injects_for_selective_dim_join(spark):
