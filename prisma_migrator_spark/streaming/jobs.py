@@ -123,13 +123,17 @@ def run_to_memory(
 
 def run_to_parquet(
     df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
-) -> None:
+) -> dict | None:
     """Drain the stream into a parquet sink with a checkpoint — the
     production shape. The checkpoint stores source offsets + operator
     state, so a later run with the same location resumes where the
     previous one stopped: already-committed input is never reprocessed
     (exactly-once file sink), and stateful operators (dedup, windows)
-    restore their state. One availableNow pass per call."""
+    restore their state. One availableNow pass per call.
+
+    Returns the final StreamingQueryProgress dict (None if no batch
+    ran) — ``stateOperators[*].numRowsTotal`` is how production
+    monitors that TTL eviction is actually bounding state."""
     q = (
         df.writeStream.format("parquet")
         .option("path", path)
@@ -139,6 +143,7 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+    return q.lastProgress
 
 
 def streaming_ingest_corpus(

