@@ -134,6 +134,49 @@ def main() -> None:
         results[f"join_aqe_skew_{flag}"] = round(_timed(join), 3)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    # scenario 3: the FLAGSHIP query under a 90%-hot l_suppkey.
+    # The pair-level partial aggregate keyed (l_suppkey, l_partkey) is
+    # the skew defense: a single hot supplier spreads over its
+    # partkeys, so no reducer owns 90% of the fact table, and
+    # map-side combine collapses the hot pairs before the shuffle.
+    # Uniform and skewed copies are REWRITTEN with identical layout
+    # (same repartition) so the only difference is key distribution.
+    import shutil
+    import tempfile
+
+    from prisma_migrator_spark.plans.registry import QUERIES
+
+    tmp = tempfile.mkdtemp(prefix="pms_skew_")
+    try:
+        uni_dir = os.path.join(tmp, "uniform")
+        skew_dir = os.path.join(tmp, "skew")
+        os.makedirs(uni_dir)
+        os.makedirs(skew_dir)
+        for d in (uni_dir, skew_dir):
+            for t in ("part", "supplier"):
+                os.symlink(
+                    os.path.join(sf_dir, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        hot = li.select(F.min("l_suppkey")).first()[0]
+        li.repartition(32).write.parquet(os.path.join(uni_dir, "lineitem.parquet"))
+        li.withColumn(
+            "l_suppkey",
+            F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 9, F.lit(hot)).otherwise(
+                F.col("l_suppkey")
+            ),
+        ).repartition(32).write.parquet(os.path.join(skew_dir, "lineitem.parquet"))
+
+        for name, d in [("flagship_uniform", uni_dir), ("flagship_skew90", skew_dir)]:
+            df = QUERIES["flagship_popularity"](spark, d)
+            _timed(df)  # warm: codegen + page cache
+            results[name] = round(_timed(df), 3)
+        results["flagship_skew_ratio"] = round(
+            results["flagship_skew90"] / results["flagship_uniform"], 3
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps({"metric": "skew_bench", "sf_dir": sf_dir, **results}))
 
 
