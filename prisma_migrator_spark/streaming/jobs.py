@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from prisma_migrator_spark.streaming.windows import session_windows, tumbling_windows
 
@@ -28,6 +29,10 @@ def read_events_stream(
     if schema is None:
         schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
+    # Parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ,
+    # which withWatermark rejects; event time must be TIMESTAMP.
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", watermark)
 
 
