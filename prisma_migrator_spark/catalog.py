@@ -59,23 +59,45 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns:
-    reads them as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-    and rebuilds TimestampType at microsecond precision — the same
-    floor-truncation DuckDB applies, so both engines see identical
-    values. Integer ``DIV 1000`` (not ``/1000``): epoch-nanos exceed
-    double precision and float division is off by ±1µs.
+    """``spark.read.parquet`` that normalizes timestamp storage quirks
+    so every plan downstream sees plain ``TIMESTAMP`` (instant) columns
+    with the same values DuckDB reads:
+
+    - TIMESTAMP(NANOS), which Spark 4 rejects outright
+      (PARQUET_TYPE_ILLEGAL): read as raw nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild
+      TimestampType at microsecond precision — the same
+      floor-truncation DuckDB applies. Integer ``DIV 1000`` (not
+      ``/1000``): epoch-nanos exceed double precision and float
+      division is off by ±1µs.
+    - TIMESTAMP_NTZ (parquet isAdjustedToUTC=false, which Spark 4
+      infers as NTZ while DuckDB reads naive-as-UTC): reinterpret the
+      wall-clock value as UTC via
+      ``convert_timezone('UTC', current_timezone(), c)`` + cast. The
+      round trip through ``current_timezone()`` cancels the session
+      zone, so the result is the same instant under ANY session TZ —
+      a plain ``cast(ntz as timestamp)`` would silently shift in
+      non-UTC sessions. Zero-shuffle map expression; note predicates
+      on converted columns no longer push to the parquet scan (none of
+      the registered plans filter on raw event time).
     """
-    ns_cols = _nanos_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"cast(convert_timezone('UTC', current_timezone(), `{c}`) as timestamp)"
+            ),
+        )
     return df
 
 

@@ -30,9 +30,17 @@ def read_events_stream(
         schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
     # Parquet written with isAdjustedToUTC=false infers TIMESTAMP_NTZ,
-    # which withWatermark rejects; event time must be TIMESTAMP.
-    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # which withWatermark rejects; event time must be TIMESTAMP. The
+    # convert_timezone round trip reinterprets the wall clock as UTC
+    # under ANY session timezone (a bare cast would shift event times,
+    # watermarks, and window boundaries in non-UTC sessions).
+    if "ts" in stream.schema.fieldNames() and isinstance(
+        stream.schema["ts"].dataType, TimestampNTZType
+    ):
+        stream = stream.withColumn(
+            "ts",
+            F.expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"),
+        )
     return stream.withWatermark("ts", watermark)
 
 
