@@ -520,3 +520,123 @@ def dedupe_against(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fp")
     )
+
+
+# --- bloom-filter incremental dedup (the map-only scale path) ---------
+
+
+def build_bloom_filter(
+    keys: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> tuple[list[int], int, int]:
+    """Build a Bloom filter over ``keys[key_col]`` with classic sizing
+    (m = -n·ln p / ln²2 bits, k = m/n·ln 2 probes, capped at 8).
+
+    Returns ``(words, m, k)`` where ``words`` packs the m bits into
+    64-bit longs. Spark's own ``bloom_filter_agg`` is optimizer-
+    internal (not in the public function registry), so the filter is
+    built with plain relational ops: explode each key into its k bit
+    positions, ``bit_or``-fold positions into words. The shuffle
+    carries k·n longs but REDUCES to m/64 rows — driver memory is
+    bounded by the filter size (exactly what Spark's runtime bloom
+    broadcast holds), never by the key count.
+
+    For a 100 TB lake index (≥10⁹ keys) a driver-resident filter at
+    1% fpp is ~1.2 GB — at that point raise fpp (each probe is a
+    prefilter, exactness comes from the anti-join fallback) or shard
+    the filter by key prefix; below ~10⁸ keys this single-filter path
+    is the right shape.
+    """
+    import math
+
+    n = max(1, expected_items)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, min(8, round(m / n * math.log(2))))
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    rows = (
+        pos.groupBy(F.expr("p div 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words, m, k
+
+
+def bloom_might_contain(
+    col: Column, words: list[int], m: int, k: int
+) -> Column:
+    """Membership probe against a :func:`build_bloom_filter` result —
+    a pure map-side boolean expression (the words ride along as an
+    array literal, like the IVF codebook in llm/similarity.py): true
+    if every one of the k probed bits is set. No false negatives;
+    false positives at the filter's fpp."""
+    bits = F.lit(words)
+    tests = []
+    for i in range(k):
+        p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+        word = F.element_at(bits, (F.floor(p / 64) + 1).cast("int"))
+        tests.append(
+            F.call_function(
+                "shiftright", word, F.pmod(p, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def dedupe_against_bloom(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`dedupe_against` with the lake membership test replaced
+    by a Bloom filter: build the filter over the lake's distinct
+    fingerprints once, then probe each incoming row MAP-SIDE. The
+    anti-join's shuffle of the batch disappears entirely — the batch
+    is never repartitioned, which is the shape incremental ingest
+    wants when the lake index dwarfs every batch.
+
+    Approximate where the anti-join is exact: a false positive drops
+    a genuinely-new document with probability ``fpp``. Acceptable for
+    training-corpus dedup (loses ~1% of unique docs at the default);
+    use :func:`dedupe_against` when exactness matters more than the
+    shuffle.
+
+    In-batch collapse still groups by fingerprint (that shuffle is
+    batch-sized, not lake-sized, and unavoidable for min-id pick).
+    """
+    fp = content_fingerprint(F.col(text_col))
+    seen = existing.select(fp.alias("fp")).distinct()
+    n_seen = seen.count()
+    words, m, k = build_bloom_filter(seen, "fp", n_seen, fpp)
+    fresh = incoming.select(F.col(id_col), fp.alias("fp")).where(
+        ~bloom_might_contain(F.col("fp"), words, m, k)
+    )
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "fp")
+    )

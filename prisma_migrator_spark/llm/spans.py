@@ -1,0 +1,120 @@
+"""Cross-document repeated-span detection (substring-level dedup).
+
+Document-level dedup (exact / MinHash / SimHash, :mod:`llm.dedup`)
+misses the pervasive case where DISTINCT documents share long
+verbatim spans — boilerplate headers, license blocks, navigation
+chrome, quoted passages. The exact tool for that is the corpus-wide
+suffix array of Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (2021); a suffix array over 100 TB is its own
+distributed-systems project, so production pipelines approximate it
+with fixed-length token windows (RefinedWeb's line/span filters are
+the same family): every k-token window at stride s is fingerprinted,
+fingerprints are counted across the corpus, and a window occurring in
+>= ``min_df`` distinct documents marks a duplicated span.
+
+Sensitivity/cost tune with (k, stride): stride=1 is the faithful
+rolling detector (catches any shared k-token span); stride=s divides
+the shuffled row count by s and still catches every shared span of
+>= k + s - 1 tokens.
+
+Scale shape (100 TB): the shuffled unit is (64-bit window hash,
+doc id) — ~16 bytes/row, Σ n_tokens/stride rows corpus-wide. Both
+aggregations hash-partition on the window hash (near-uniform keys —
+xxhash64 output — so no skew cap is needed, unlike shingle strings);
+nothing is collected or broadcast. Same Σ-cost family as the
+shingle-keyed Jaccard join (llm/dedup.py:212), orders of magnitude
+cheaper than a suffix array, adequate for span flagging and
+document-level filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.llm.text import tokens
+
+
+def _window_array(words: Column, k: int, stride: int) -> Column:
+    """Array of xxhash64 fingerprints, one per k-token window at the
+    given stride, [] for docs shorter than k tokens. Pure map-side
+    array expression — no explode until the caller needs rows."""
+    n_win = F.floor((F.size(words) - F.lit(k)) / F.lit(stride)) + 1
+    wins = F.transform(
+        F.sequence(F.lit(0), (n_win - 1).cast("int")),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(words, i * stride + 1, k), " ")
+        ),
+    )
+    return F.when(F.size(words) >= k, wins).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def window_hashes(
+    docs: DataFrame,
+    k: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (document, window position): ``(id_col, h)`` where
+    ``h`` is the 64-bit fingerprint of that k-token window. Repeated
+    window CONTENT within one document yields multiple rows (positions
+    are what span statistics count)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(_window_array(tokens(F.col(text_col)), k, stride)).alias("h"),
+    )
+
+
+def repeated_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    stride: int = 4,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics:
+
+    - ``n_windows``: k-token windows the document contributes;
+    - ``n_dup_windows``: of those, windows whose content occurs in
+      >= ``min_df`` DISTINCT documents corpus-wide;
+    - ``dup_frac``: their ratio (NULL for docs shorter than k tokens).
+
+    Every input document appears in the output (docs too short for a
+    single window carry zero counts), so the result joins back 1:1 as
+    a quality column for gating — e.g. drop docs with dup_frac > 0.5,
+    the document-level action substring dedup pipelines actually take.
+
+    Plan: explode windows → count distinct docs per hash → hash join
+    window rows back on the hash → per-doc aggregate → left join onto
+    the doc spine. Three shuffles, all keyed on uniform 64-bit values.
+    """
+    wins = window_hashes(docs, k, stride, text_col, id_col)
+    df_counts = wins.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    per_doc = (
+        wins.join(df_counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("df") >= min_df, 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

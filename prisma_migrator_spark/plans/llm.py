@@ -10,7 +10,7 @@ internal ordering) are registered rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
@@ -1715,4 +1715,137 @@ def corpus_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "shuffle_pos",
         (F.col("start_off") / F.lit(2048)).cast("long").alias("shard_id"),
+    )
+
+
+# --- substring-level (repeated-span) dedup -----------------------------
+
+_REPEATED_SPANS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, array_to_string(w[(i*4+1):(i*4+8)], ' ') AS win
+  FROM words, LATERAL UNNEST(range((len(w) - 8) // 4 + 1)) AS t(i)
+  WHERE len(w) >= 8
+), dfx AS (
+  SELECT win, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY win
+), per_doc AS (
+  SELECT wins.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN dfx.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM wins JOIN dfx USING (win)
+  GROUP BY wins.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       ROUND(p.n_dup_windows / CAST(p.n_windows AS DOUBLE), 6) AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("repeated_spans", oracle=_REPEATED_SPANS_ORACLE)
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2021 approximated by
+    strided token windows, llm/spans.py): per document, how many
+    8-token windows (stride 4) it contains and how many of those occur
+    verbatim in at least one OTHER document. The dup_frac column is
+    the gate substring-dedup pipelines filter on. The Spark side
+    shuffles 64-bit window hashes; the oracle groups the window
+    strings themselves — identical counts (collision odds over a
+    corpus of W windows are ~W²/2⁶⁵)."""
+    from prisma_migrator_spark.llm.spans import repeated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, k=8, stride=4)
+
+
+# --- token-budget corpus selection -------------------------------------
+
+_TOKEN_BUDGET = 800
+
+_TOKEN_BUDGET_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CAST(LEN(w) AS INT) AS n_tokens,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'for','on','with','as','at','by','this','that'], t)))
+                 / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM toks
+), cum AS (
+  SELECT doc_id, source, n_tokens, quality,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, quality, cum_tokens
+FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_selection", oracle=_TOKEN_BUDGET_ORACLE)
+def token_budget_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a per-domain token budget:
+    within each source, take documents in (quality DESC, doc_id) order
+    while the running token total stays within budget — the "best N
+    tokens per domain" step of corpus curation.
+
+    Plan: one window partitioned by source (cumulative sum). The
+    output is budget-bounded (≤ budget/avg_tokens docs per source)
+    REGARDLESS of corpus size, so at 100 TB the only scale question is
+    the per-source window; for few/huge domains, swap the window for
+    the two-level distributed prefix sum already used by
+    llm/packing.py (global_running_offset ordered by quality rank) —
+    same machinery, no single-reducer hazard."""
+    from prisma_migrator_spark.llm.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+# --- bloom-filter cross-corpus dedup (map-only scale path) -------------
+
+
+@query("cross_corpus_dedup_bloom")
+def cross_corpus_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cross_corpus_dedup` with the lake anti-join replaced by a
+    broadcast Bloom-filter probe (llm/dedup.py::dedupe_against_bloom):
+    the incoming batch is never shuffled against the lake — membership
+    is a map-side bit test. Approximate (≤ fpp unique docs lost), so
+    no SQL oracle; the pytest gate asserts zero false negatives and
+    the false-positive bound against the exact anti-join."""
+    from prisma_migrator_spark.llm.dedup import dedupe_against_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedupe_against_bloom(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        fpp=0.01,
     )

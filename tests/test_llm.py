@@ -897,3 +897,92 @@ def test_shuffle_rank_is_dense_permutation_matching_global_sort(spark, sf_dir):
         F.col("exp") != F.col("shuffle_pos")
     ).count() == 0
     got.unpersist()
+
+
+def test_bloom_dedupe_no_false_negatives_and_fp_bound(spark):
+    """The Bloom path NEVER passes a lake duplicate (no false
+    negatives — the property that makes it a safe dedup prefilter),
+    its survivors are a subset of the exact anti-join's, and the
+    unique docs it wrongly drops stay within ~3x the configured fpp
+    (slack for filter-size quantization at small n)."""
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.llm.dedup import (
+        dedupe_against,
+        dedupe_against_bloom,
+    )
+
+    existing = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lake doc "), F.col("id")).alias("text"),
+    )
+    # 500 lake duplicates + 2000 fresh docs
+    incoming = existing.where("doc_id < 500").union(
+        spark.range(10_000, 12_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("fresh doc "), F.col("id")).alias("text"),
+        )
+    )
+    exact = {r["doc_id"] for r in dedupe_against(incoming, existing).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in dedupe_against_bloom(incoming, existing, fpp=0.01).collect()
+    }
+    assert bloom <= exact  # no false negatives: lake dups never survive
+    lost = len(exact) - len(bloom)
+    assert lost <= 3 * 0.01 * len(exact)
+
+
+def test_bloom_filter_rates(spark):
+    """Classic-sizing sanity at n=5000: zero false negatives by
+    construction; measured false-positive rate within 2x of fpp."""
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.llm.dedup import (
+        bloom_might_contain,
+        build_bloom_filter,
+    )
+
+    members = spark.range(5_000).select(
+        F.md5(F.concat(F.lit("m:"), F.col("id"))).alias("fp")
+    )
+    words, m, k = build_bloom_filter(members, "fp", 5_000, fpp=0.01)
+    assert members.where(~bloom_might_contain(F.col("fp"), words, m, k)).count() == 0
+    probes = spark.range(20_000).select(
+        F.md5(F.concat(F.lit("p:"), F.col("id"))).alias("fp")
+    )
+    fp_rate = (
+        probes.where(bloom_might_contain(F.col("fp"), words, m, k)).count()
+        / 20_000
+    )
+    assert fp_rate <= 0.02
+
+
+def test_repeated_spans_constructed(spark):
+    """Hand-built corpus: a license block shared by two docs is
+    flagged in both; a unique doc shows zero dup windows; a doc
+    shorter than one window carries NULL dup_frac; windows repeated
+    WITHIN one document only do not count as duplicated."""
+    from prisma_migrator_spark.llm.spans import repeated_span_stats
+
+    license_block = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, license_block + " unique tail zero one two"),
+            (1, license_block + " other ending here three four"),
+            (2, " ".join(f"solo{i}" for i in range(16))),
+            (3, "too short"),
+            (4, " ".join(["rep"] * 24)),  # self-repeating only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_span_stats(docs, k=8, stride=4).collect()
+    }
+    assert out[0]["n_dup_windows"] >= 1 and out[1]["n_dup_windows"] >= 1
+    assert out[2]["n_dup_windows"] == 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] is None
+    assert out[4]["n_dup_windows"] == 0  # within-doc repetition ≠ cross-doc
+    for d in (0, 1):
+        assert out[d]["dup_frac"] is not None and out[d]["dup_frac"] > 0
