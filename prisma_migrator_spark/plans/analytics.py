@@ -279,3 +279,130 @@ def approx_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[2].alias("p75"),
         pct[3].alias("p95"),
     )
+
+
+# --- conversion funnel (absent per SURVEY §2.13) -----------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       EPOCH_US(v.t1) AS view_us,
+       EPOCH_US(c.t2) AS click_us,
+       EPOCH_US(p.t3) AS purchase_us,
+       1 + CAST(c.user_id IS NOT NULL AS INT)
+         + CAST(p.user_id IS NOT NULL AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user,
+    the FIRST view, the first click strictly after it, the first
+    purchase strictly after that, and the stage reached (1-3).
+
+    Plan: chained min-aggregations — each stage filters its event
+    type, joins the (user, prev_stage_ts) anchors, takes min(ts).
+    Every aggregate carries tiny fixed state (one timestamp), so a
+    whale user with 10⁸ events costs nothing beyond its scan — the
+    deliberate alternative to collect-sorted-events-per-user, whose
+    agg buffer grows with the user's history. All joins and aggs key
+    on user_id; after the first exchange the stages stay
+    co-partitioned, and each stage's input shrinks (funnel
+    monotonicity)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+# --- retention cohorts (absent per SURVEY §2.13) -----------------------
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_date,
+       datediff('day', f.cohort_date, CAST(date_trunc('day', e.ts) AS DATE))
+         AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts_daily", oracle=_RETENTION_ORACLE)
+def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic DAU retention triangle: users cohorted by the day of
+    their first event; for each (cohort day, day offset) the count of
+    distinct users active that day.
+
+    Plan: first-touch agg (one shuffle on user_id, min-timestamp
+    state), user-keyed join back to the fact — both sides partitioned
+    by user_id so the join reuses the agg's exchange — then the
+    (cohort, offset) count-distinct. The count_distinct's key space is
+    days², tiny, so its two-phase expansion (user-level dedup then
+    count) shuffles at most n_users·active_days rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_date")
+    )
+    return (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -80,3 +80,65 @@ def test_interval_join_bounds_are_half_open(spark):
     got = sorted(r["ts"].isoformat() for r in out.collect())
     # start inclusive, start+24h exclusive; uid=2 has no anchor
     assert got == ["2024-01-01T00:00:00", "2024-01-01T23:59:59"]
+
+
+def test_funnel_ordering_constraints(spark):
+    """Stage timestamps must be strictly increasing: a click BEFORE
+    the first view doesn't count, nor a purchase before the first
+    qualifying click; users without a view are absent."""
+    import datetime as dt
+
+    from prisma_migrator_spark.plans.analytics import (
+        funnel_view_click_purchase,
+    )
+    from prisma_migrator_spark.plans import QUERIES
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: click before view (ignored), then view, click, purchase
+        (1, t(0), "click"), (1, t(1), "view"), (1, t(2), "click"),
+        (1, t(3), "purchase"),
+        # u2: purchase precedes its only click -> stage 2
+        (2, t(1), "view"), (2, t(2), "purchase"), (2, t(3), "click"),
+        # u3: only a view -> stage 1
+        (3, t(5), "view"),
+        # u4: no view at all -> excluded
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.withColumn("value", F.lit(1.0)).withColumn(
+            "event_id", F.col("user_id")
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in funnel_view_click_purchase(spark, d).collect()
+        }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == 3
+    assert out[1]["click_us"] > out[1]["view_us"]
+    assert out[1]["purchase_us"] > out[1]["click_us"]
+    assert out[2]["stage"] == 2 and out[2]["purchase_us"] is None
+    assert out[3]["stage"] == 1 and out[3]["click_us"] is None
+
+
+def test_retention_day_zero_counts_all_users(spark, sf_dir):
+    """Every user is active on their own cohort day, so summing
+    day_offset=0 across cohorts equals the distinct-user count; all
+    offsets are non-negative."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.plans.analytics import retention_cohorts_daily
+
+    out = retention_cohorts_daily(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in out if r["day_offset"] == 0) == n_users
+    assert all(r["day_offset"] >= 0 for r in out)
