@@ -118,3 +118,71 @@ def repeated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    stride: int = 4,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scrub cross-document duplicated spans OUT of the text: every
+    token covered by a window whose content occurs in >= ``min_df``
+    distinct documents is dropped, the survivors are rejoined — the
+    span-level removal step of substring dedup (vs the document-level
+    gate of :func:`repeated_span_stats`).
+
+    Returns ``(id_col, clean_text, n_tokens_removed)`` with every
+    input document present (unaffected docs pass through verbatim).
+
+    Plan: window hashes with positions → duplicated-hash set (one
+    count-distinct aggregate) → per-doc ``collect_set`` of duplicated
+    WINDOW INDEXES (ints — k× smaller than shipping covered token
+    positions) → left join onto the docs → pure array expressions
+    expand indexes to covered positions and filter tokens by position.
+    Per-doc agg state is O(duplicated windows in that doc), bounded by
+    the doc's own token count / stride — the same order as the doc
+    text already riding through the pipeline, so no whale-doc hazard
+    beyond what the corpus itself poses.
+    """
+    words = tokens(F.col(text_col))
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(_window_array(words, k, stride)).alias("i", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    dup_idx = (
+        wins.join(dup_h, "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("i").alias("dup_idx"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("dup_idx"),
+                lambda i: F.sequence(i * stride, i * stride + (k - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        words, lambda x, j: ~F.array_contains(F.col("__cov"), j)
+    )
+    return (
+        docs.join(dup_idx, id_col, "left")
+        .withColumn(
+            "__cov",
+            F.coalesce(covered, F.array().cast("array<bigint>")),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            (F.size(words) - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )

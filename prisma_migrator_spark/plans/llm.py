@@ -1849,3 +1849,44 @@ def cross_corpus_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 7 == 0),
         fpp=0.01,
     )
+
+
+_SCRUB_SPANS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), wins AS (
+  SELECT doc_id, i, array_to_string(w[(i*4+1):(i*4+8)], ' ') AS win
+  FROM words, LATERAL UNNEST(range((len(w) - 8) // 4 + 1)) AS t(i)
+  WHERE len(w) >= 8
+), dup AS (
+  SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT wins.doc_id, wins.i * 4 + u.j AS pos
+  FROM wins JOIN dup USING (win), LATERAL UNNEST(range(8)) AS u(j)
+), tok AS (
+  SELECT doc_id, w[i + 1] AS tok, i AS pos
+  FROM words, LATERAL UNNEST(range(len(w))) AS u(i)
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS clean_text,
+       CAST(COUNT(c.pos) AS INT) AS n_tokens_removed
+FROM tok t
+LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+GROUP BY t.doc_id
+"""
+
+
+@query("scrub_repeated_spans", oracle=_SCRUB_SPANS_ORACLE)
+def scrub_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level removal step of substring dedup (llm/spans.py):
+    tokens covered by any 8-token window (stride 4) that occurs in
+    >= 2 distinct documents are dropped; survivors rejoin into
+    clean_text. Unaffected docs pass through verbatim, so the output
+    is the full corpus, scrubbed."""
+    from prisma_migrator_spark.llm.spans import strip_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_repeated_spans(docs, k=8, stride=4)

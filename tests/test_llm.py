@@ -986,3 +986,34 @@ def test_repeated_spans_constructed(spark):
     assert out[4]["n_dup_windows"] == 0  # within-doc repetition ≠ cross-doc
     for d in (0, 1):
         assert out[d]["dup_frac"] is not None and out[d]["dup_frac"] > 0
+
+
+def test_strip_repeated_spans_constructed(spark):
+    """The shared block disappears from BOTH carriers while their
+    unique tails survive intact; untouched docs pass through verbatim
+    (normalized whitespace); removal counts match the token delta."""
+    from prisma_migrator_spark.llm.spans import strip_repeated_spans
+
+    block = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, block + " unique tail zero one two"),
+            (1, block + " other ending here three four"),
+            (2, " ".join(f"solo{i}" for i in range(16))),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_repeated_spans(docs, k=8, stride=4).collect()
+    }
+    for d in (0, 1):
+        assert "w0" not in out[d]["clean_text"]
+        assert out[d]["n_tokens_removed"] == 8
+    assert out[0]["clean_text"] == "unique tail zero one two"
+    assert out[1]["clean_text"] == "other ending here three four"
+    assert out[2]["clean_text"].startswith("solo0 ")
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"] == "too short"
+    assert out[3]["n_tokens_removed"] == 0

@@ -113,3 +113,34 @@ def test_latest_per_key_null_order_key_loses(spark):
     )
     out = latest_per_key(df, ["k"], "ts")
     assert out.collect()[0].v == "real"
+
+
+def test_ntz_parquet_normalized_timezone_independent(spark, tmp_path):
+    """Parquet written with isAdjustedToUTC=false (Spark 4 infers
+    TIMESTAMP_NTZ) must load as a plain TIMESTAMP whose instant equals
+    the wall clock read as UTC — under ANY session timezone. This is
+    the round-2 regression class: unix_micros() and time windows
+    reject NTZ, and a bare cast shifts values in non-UTC sessions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ntz.parquet")
+    ts_type = pa.timestamp("us")  # no tz => isAdjustedToUTC=false
+    wall_us = 1_704_067_798_778_549  # 2024-01-01T00:09:58.778549 (naive)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "ts": pa.array([wall_us], ts_type)}),
+        path,
+    )
+    from prisma_migrator_spark.catalog import read_parquet
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = read_parquet(spark, path)
+            assert dict(df.dtypes)["ts"] == "timestamp", tz
+            got = df.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
+            assert got == wall_us, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
