@@ -61,8 +61,14 @@ def window_hashes(
     """One row per (document, window position): ``(id_col, h)`` where
     ``h`` is the 64-bit fingerprint of that k-token window. Repeated
     window CONTENT within one document yields multiple rows (positions
-    are what span statistics count)."""
-    return docs.select(
+    are what span statistics count).
+
+    ``ensure_parallelism`` spreads the CPU-heavy tokenize+hash map
+    across cores when the source is a single-split file; a no-op on
+    multi-split (production) inputs."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(_window_array(tokens(F.col(text_col)), k, stride)).alias("h"),
     )
@@ -147,6 +153,9 @@ def strip_repeated_spans(
     text already riding through the pipeline, so no whale-doc hazard
     beyond what the corpus itself poses.
     """
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = tokens(F.col(text_col))
     wins = docs.select(
         F.col(id_col),
