@@ -324,3 +324,52 @@ def test_csv_report(spark, tmp_path):
     assert os.path.isfile(path)
     assert text.splitlines()[0] == '"k","link"'
     assert "=HYPERLINK(" in text and "x.example/1" in text
+
+
+def test_write_jsonl_shards_balanced_and_lossless(spark, sf_dir, tmp_path):
+    """JSONL shard export: round-trips every row and column, shards
+    are token-balanced within one document of the target, and the
+    layout is one hive partition dir per shard."""
+    import os
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.text import token_count
+    from prisma_migrator_spark.writers.export import write_jsonl_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    path = str(tmp_path / "shards")
+    n_shards = write_jsonl_shards(docs, path, tokens_per_shard=2_000)
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    # every shard within target + one max-doc slack
+    per_shard = (
+        back.groupBy("shard_id").agg(F.sum("n_tokens").alias("tok")).collect()
+    )
+    max_doc = docs.agg(F.max("n_tokens")).collect()[0][0]
+    assert n_shards == len(per_shard)
+    for r in per_shard:
+        assert r["tok"] <= 2_000 + max_doc
+    assert any(
+        d.startswith("shard_id=") for d in os.listdir(path)
+    )
+
+
+def test_write_jsonl_sized_file_count(spark, sf_dir, tmp_path):
+    """Size-targeted JSONL: file count tracks serialized bytes /
+    target, and the export round-trips."""
+    import glob
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.writers.export import write_jsonl_sized
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "sized")
+    n = write_jsonl_sized(docs, path, target_bytes=64 * 1024)
+    files = glob.glob(f"{path}/part-*.json")
+    assert len(files) == n and n >= 2
+    assert spark.read.json(path).count() == docs.count()
