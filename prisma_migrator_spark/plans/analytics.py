@@ -326,10 +326,16 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
+    # v and c feed BOTH the next stage and the final join; without
+    # persist each consumer recomputes the lineage and the fact is
+    # scanned 6x instead of 3x. The persisted frames are user-level
+    # aggregates (one timestamp per user), orders smaller than the
+    # fact they summarize.
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -337,6 +343,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     p = (
         ev.where(F.col("event_type") == "purchase")

@@ -49,6 +49,16 @@ PINS = {
     "topk_cosine_bruteforce": (1, [2, 2], True),
     "decontaminate_eval": (3, [1, 2, 2], False),
     "pack_stream_512": (2, [2, 2], False),
+    # --- round-3 additions ---
+    "repeated_spans": (3, [1, 2, 2], False),
+    "scrub_repeated_spans": (3, [2, 2, 2], False),
+    # persisted v/c stage aggregates: the plan PRINTER re-emits the
+    # cached subtrees once per consumer (same effect as corpus_recipe,
+    # see PERF.md), inflating both counts — live execution scans the
+    # fact 3x (one per stage) and runs 5 exchanges.
+    "funnel_view_click_purchase": (8, [3, 3, 3, 3, 3, 3], False),
+    "retention_cohorts_daily": (3, [2, 2], False),
+    "token_budget_selection": (1, [3], False),
 }
 
 
