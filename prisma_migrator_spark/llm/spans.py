@@ -94,33 +94,48 @@ def repeated_span_stats(
     a quality column for gating — e.g. drop docs with dup_frac > 0.5,
     the document-level action substring dedup pipelines actually take.
 
-    Plan: explode windows → count distinct docs per hash → hash join
-    window rows back on the hash → per-doc aggregate → left join onto
-    the doc spine. Three shuffles, all keyed on uniform 64-bit values.
+    Plan: ``n_windows`` is MAP-SIDE (the window array's length — no
+    shuffle); only the duplicated-hash join and its per-doc count
+    move rows. Explode windows → count distinct docs per hash → keep
+    hashes with df >= min_df → join window rows to that set → per-doc
+    count → left join onto the map-side spine. The dup-hash side is
+    usually tiny, so AQE converts the join to a runtime broadcast; a
+    boilerplate window shared by most of the corpus concentrates its
+    rows on one reducer only under the sort-merge fallback, where
+    AQE's skew split applies — both documented hazards of any
+    hash-keyed join, with no extra defense needed here because the
+    join output is 1:1 (no amplification).
     """
     wins = window_hashes(docs, k, stride, text_col, id_col)
-    df_counts = wins.groupBy("h").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
     )
-    per_doc = (
-        wins.join(df_counts, "h")
+    per_doc_dup = (
+        wins.join(dup_h, "h")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(
-                F.when(F.col("df") >= min_df, 1).otherwise(0)
-            ).alias("n_dup_windows"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    spine = docs.select(
+        F.col(id_col),
+        F.size(_window_array(tokens(F.col(text_col)), k, stride)).alias(
+            "n_windows"
+        ),
     )
     return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
+        spine.join(per_doc_dup, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.round(
-                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.when(F.col("n_windows") > 0, F.col("n_windows")).cast(
+                    "double"
+                ),
+                6,
             ).alias("dup_frac"),
         )
     )

@@ -50,7 +50,9 @@ PINS = {
     "decontaminate_eval": (3, [1, 2, 2], False),
     "pack_stream_512": (2, [2, 2], False),
     # --- round-3 additions ---
-    "repeated_spans": (3, [1, 2, 2], False),
+    # n_windows is map-side (array length on the 2-col spine scan);
+    # only dup-hash window rows reach the per-doc aggregate
+    "repeated_spans": (3, [2, 2, 2], False),
     "scrub_repeated_spans": (3, [2, 2, 2], False),
     # persisted v/c stage aggregates: the plan PRINTER re-emits the
     # cached subtrees once per consumer (same effect as corpus_recipe,
