@@ -1,0 +1,118 @@
+"""Upsert-path benchmark: full rewrite vs file-granularity CoW vs
+partition-pruned, on an sf0.1 lineitem-derived keyed table.
+
+Scenario: a 600k-row table keyed by l_orderkey (clustered — the table
+is written sorted by key, the natural layout of monotonically
+appended ids), split across 32 files / date partitions; a small batch
+(0.2% of keys, clustered in one key range / one partition) merges in.
+The three paths produce identical table contents; what differs is how
+much of the table each one rewrites:
+
+- ``upsert_parquet``       reads + rewrites all N files
+- ``upsert_parquet_cow``   rewrites only files whose footer key range
+                           intersects the batch (expected: 1-2)
+- ``upsert_partitioned``   rewrites only the touched hive partitions
+
+Run: ``python tools/upsert_bench.py``; prints one JSON line. Results
+recorded in PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from prisma_migrator_spark.catalog import load_table  # noqa: E402
+from prisma_migrator_spark.session import get_spark  # noqa: E402
+from prisma_migrator_spark.writers.upsert import (  # noqa: E402
+    upsert_parquet,
+    upsert_parquet_cow,
+    upsert_partitioned,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("pms-upsert-bench")
+    base = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .withColumn("part_month", F.date_format("last_ship", "yyyy-MM"))
+    )
+    n_rows = base.count()
+    # batch: 0.2% of keys from one narrow key range, values bumped
+    lo, hi = 1, int(n_rows * 0.002) * 4  # orderkeys are sparse (x4 step)
+    batch = base.where(F.col("l_orderkey").between(lo, hi)).withColumn(
+        "total", F.col("total") + 1.0
+    )
+    n_batch = batch.count()
+
+    work = tempfile.mkdtemp(prefix="pms_upsert_bench_")
+    out = {"rows": n_rows, "batch": n_batch}
+    try:
+        # flat table, clustered by key, 32 files
+        flat = os.path.join(work, "flat.parquet")
+        (
+            base.repartitionByRange(32, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.parquet(flat)
+        )
+        cow = os.path.join(work, "cow.parquet")
+        shutil.copytree(flat, cow)
+        part = os.path.join(work, "part.parquet")
+        base.write.partitionBy("part_month").parquet(part)
+
+        t0 = time.time()
+        upsert_parquet(spark, batch, flat, ["l_orderkey"])
+        out["full_rewrite_s"] = round(time.time() - t0, 2)
+
+        before = {
+            f: os.path.getmtime(os.path.join(cow, f))
+            for f in os.listdir(cow)
+            if f.endswith(".parquet")
+        }
+        t0 = time.time()
+        upsert_parquet_cow(spark, batch, cow, ["l_orderkey"])
+        out["cow_s"] = round(time.time() - t0, 2)
+        after = [
+            f
+            for f in os.listdir(cow)
+            if f.endswith(".parquet")
+        ]
+        untouched = sum(1 for f in after if f in before)
+        out["cow_files_total"] = len(after)
+        out["cow_files_untouched"] = untouched
+
+        t0 = time.time()
+        upsert_partitioned(
+            spark, batch, part, ["l_orderkey"], partition_col="part_month"
+        )
+        out["partitioned_s"] = round(time.time() - t0, 2)
+
+        # all three tables end with identical logical content
+        a = spark.read.parquet(flat).select("l_orderkey", "total", "last_ship")
+        b = spark.read.parquet(cow).select("l_orderkey", "total", "last_ship")
+        c = spark.read.parquet(part).select("l_orderkey", "total", "last_ship")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+        out["tables_identical"] = True
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
