@@ -373,3 +373,74 @@ def test_write_jsonl_sized_file_count(spark, sf_dir, tmp_path):
     files = glob.glob(f"{path}/part-*.json")
     assert len(files) == n and n >= 2
     assert spark.read.json(path).count() == docs.count()
+
+
+def test_prisma_schema_parse_models_enums_relations(tmp_path):
+    """DSL → StructType: scalars map, enums become strings, relation
+    fields are dropped, ? controls nullability, [] wraps arrays, and
+    model order is preserved for the migration loop."""
+    from pyspark.sql import types as T
+
+    from prisma_migrator_spark.sources.prisma_schema import (
+        list_models,
+        load_schema,
+        parse_prisma_schema,
+    )
+
+    schema_text = """
+    datasource db {
+      provider = "postgresql"
+      url      = env("DATABASE_URL")
+    }
+    generator client { provider = "prisma-client-js" }
+
+    enum Plan {
+      FREE
+      PAID
+    }
+
+    model Developer {
+      handle    String   @id
+      name      String?
+      createdAt DateTime @default(now())
+      apps      App[]    // relation list -> skipped
+    }
+
+    model App {
+      id         Int      @id @default(autoincrement())
+      handle     String   @unique
+      rating     Float?
+      reviews    BigInt
+      plan       Plan
+      tags       String[]
+      payload    Json?
+      developer  Developer @relation(fields: [devHandle], references: [handle])
+      devHandle  String
+    }
+    """
+    p = tmp_path / "schema.prisma"
+    p.write_text(schema_text)
+    text = load_schema(str(p))
+    assert list_models(text) == ["Developer", "App"]
+    schemas = parse_prisma_schema(text)
+    dev = schemas["Developer"]
+    assert [f.name for f in dev.fields] == ["handle", "name", "createdAt"]
+    assert dev["handle"].dataType == T.StringType()
+    assert not dev["handle"].nullable and dev["name"].nullable
+    app = schemas["App"]
+    names = [f.name for f in app.fields]
+    assert "developer" not in names and "apps" not in names
+    assert "devHandle" in names  # the FK scalar column IS stored
+    assert app["plan"].dataType == T.StringType()  # enum -> string
+    assert app["reviews"].dataType == T.LongType()
+    assert app["tags"].dataType == T.ArrayType(T.StringType(), False)
+    assert app["rating"].nullable and not app["reviews"].nullable
+
+
+def test_prisma_schema_load_error():
+    import pytest
+
+    from prisma_migrator_spark.sources.prisma_schema import load_schema
+
+    with pytest.raises(ValueError, match='Cannot read schema at'):
+        load_schema("/nonexistent/schema.prisma")
