@@ -207,3 +207,53 @@ def assign_shards(
     return off.withColumn(
         "shard_id", (F.col("start_off") / F.lit(tokens_per_shard)).cast("long")
     ).drop("start_off")
+
+
+def length_bucketed_batches(
+    docs_with_len: DataFrame,
+    max_tokens_per_batch: int,
+    len_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    boundaries: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048, 4096),
+) -> DataFrame:
+    """Length-bucketed training batches: documents are grouped by
+    padded sequence length (the smallest power-of-2 boundary that
+    fits), then greedily batched within each bucket so a batch's
+    PADDED token footprint (`bucket width x rows`, what the
+    accelerator actually allocates) stays under the budget. Mixing
+    a 30-token doc with a 4000-token doc pads the short one to 4096;
+    bucketing first is the standard fix.
+
+    Output: one row per doc with ``bucket`` (padded length),
+    ``batch_id`` (dense within bucket, deterministic in ``order_col``
+    order), and the raw length. Docs longer than the top boundary get
+    the ceiling bucket (truncation policy belongs to chunking,
+    llm/dedup-adjacent `doc_chunks`).
+
+    Scale shape: bucket assignment is a map-side integer CASE; the
+    per-bucket cumulative sum runs over ~|boundaries| partitions —
+    each bucket's window is independent, and for corpora where one
+    bucket dominates, the same two-level prefix sum as
+    :func:`global_running_offset` applies (documented swap, identical
+    semantics). The padded-cost formulation makes batch capacity an
+    integer multiple of the bucket width, so batch_id is exclusive
+    padded-prefix // budget — docs never split."""
+    from pyspark.sql import Window
+
+    bucket = F.lit(boundaries[-1])
+    for b in reversed(boundaries):
+        bucket = F.when(F.col(len_col) <= b, F.lit(b)).otherwise(bucket)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    padded_before = F.coalesce(F.sum("bucket").over(w), F.lit(0))
+    return (
+        docs_with_len.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            (padded_before / F.lit(max_tokens_per_batch)).cast("long"),
+        )
+        .select(order_col, len_col, "bucket", "batch_id")
+    )

@@ -1890,3 +1890,111 @@ def scrub_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return strip_repeated_spans(docs, k=8, stride=4)
+
+
+# --- length-bucketed training batches ----------------------------------
+
+_LB_BUDGET = 4_096
+
+_LENGTH_BUCKETS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+              WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+              WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024
+              WHEN n_tokens <= 2048 THEN 2048 ELSE 4096 END AS bucket
+  FROM toks
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(COALESCE(SUM(bucket) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {_LB_BUDGET} AS BIGINT) AS batch_id
+FROM b
+"""
+
+
+@query("length_bucketed_batches", oracle=_LENGTH_BUCKETS_ORACLE)
+def length_bucketed_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch assembly (llm/packing.py): docs bucket
+    by power-of-2 padded length, then batch greedily within the bucket
+    under a padded-token budget — the accelerator-side allocation is
+    bucket_width x rows, which is what the budget bounds."""
+    from prisma_migrator_spark.llm.packing import length_bucketed_batches
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_len = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return length_bucketed_batches(with_len, _LB_BUDGET)
+
+
+# --- broadcast linear quality model ------------------------------------
+
+#: (term, weight) — a tiny fixed logistic model over term counts; the
+#: POINT is the execution shape (model inference as one map-side pass
+#: with a broadcast weight map), not the weights.
+_MODEL_WEIGHTS = [
+    ("the", 0.30), ("and", 0.25), ("of", 0.20), ("a", -0.10),
+    ("table", 0.15), ("query", 0.15), ("spark", 0.40), ("data", 0.35),
+    ("fast", -0.20), ("slow", -0.30), ("error", -0.45), ("value", 0.05),
+]
+_MODEL_BIAS = -1.5
+_MODEL_WLEN = 0.25
+
+_MODEL_SCORE_ORACLE = rf"""
+WITH w(term, wt) AS (
+  VALUES {", ".join(f"('{t}', {w})" for t, w in _MODEL_WEIGHTS)}
+), toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS tok
+  FROM documents
+), hits AS (
+  SELECT t.doc_id, SUM(w.wt) AS term_z
+  FROM toks t, LATERAL UNNEST(t.tok) AS u(term)
+  JOIN w ON u.term = w.term
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       ROUND(1.0 / (1.0 + EXP(-({_MODEL_BIAS}
+             + COALESCE(h.term_z, 0)
+             + {_MODEL_WLEN} * LN(1 + LEN(t.tok))))), 6) AS p_keep
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+@query("quality_model_score", oracle=_MODEL_SCORE_ORACLE)
+def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring as pure columnar inference: a
+    logistic model over term counts evaluated in ONE map-side pass —
+    the weight vector rides into the plan as a map literal (broadcast
+    by value), the per-doc term sum is an `aggregate` fold over the
+    token array, zero shuffles, zero Python. The execution shape any
+    classifier with hand-exportable weights (fasttext-style linear,
+    distilled logreg) compiles to on this engine."""
+    from prisma_migrator_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wmap = F.create_map(
+        *[x for t, w in _MODEL_WEIGHTS for x in (F.lit(t), F.lit(w))]
+    )
+    tok = tokens(F.col("text"))
+    term_z = F.aggregate(
+        tok,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0)),
+    )
+    z = (
+        F.lit(_MODEL_BIAS)
+        + term_z
+        + F.lit(_MODEL_WLEN) * F.log(F.lit(1) + F.size(tok))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p_keep"),
+    )

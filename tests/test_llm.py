@@ -1017,3 +1017,55 @@ def test_strip_repeated_spans_constructed(spark):
     assert out[2]["n_tokens_removed"] == 0
     assert out[3]["clean_text"] == "too short"
     assert out[3]["n_tokens_removed"] == 0
+
+
+def test_length_bucketed_batches_invariants(spark, sf_dir):
+    """Every batch's padded footprint (bucket x rows) fits the budget,
+    batch ids are dense from 0 within each bucket, every doc fits its
+    bucket, and assignment is deterministic."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.packing import length_bucketed_batches
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = length_bucketed_batches(docs, 4_096).collect()
+    assert len(out) == docs.count()
+    by_batch: dict[tuple, int] = {}
+    for r in out:
+        assert r["n_tokens"] <= r["bucket"]
+        by_batch[(r["bucket"], r["batch_id"])] = (
+            by_batch.get((r["bucket"], r["batch_id"]), 0) + 1
+        )
+    for (bucket, _), rows in by_batch.items():
+        assert bucket * rows <= 4_096
+    for bucket in {b for b, _ in by_batch}:
+        ids = sorted(i for b, i in by_batch if b == bucket)
+        assert ids == list(range(len(ids)))
+    again = length_bucketed_batches(docs, 4_096).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_quality_model_score_direction(spark):
+    """Inference sanity: probabilities live in (0,1) and adding
+    negative-weight terms ('error', 'slow') lowers a doc's score
+    relative to the same doc with positive-weight terms."""
+    import tempfile, os
+
+    from prisma_migrator_spark.plans.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark data table query " * 5, "en", "s", 20),
+            (1, "error slow error slow " * 5, "en", "s", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["p_keep"]
+            for r in QUERIES["quality_model_score"](spark, d).collect()
+        }
+    assert 0.0 < out[1] < out[0] < 1.0
