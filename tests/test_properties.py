@@ -131,3 +131,52 @@ def test_pack_greedy_invariants_random(spark, lens, ctx):
         assert sum(members) <= ctx or (
             len(members) == 1 and members[0] >= ctx
         )
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),  # tiny vocab => many
+        min_size=0, max_size=14,                    # shared windows
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=DOCS, k=st.integers(min_value=2, max_value=4),
+       stride=st.integers(min_value=1, max_value=3))
+@_SETTINGS
+def test_repeated_span_stats_matches_python_reference(spark, docs, k, stride):
+    """Strided-window span stats vs a brute-force Python reference on
+    adversarial tiny-vocab corpora (max collision pressure)."""
+    from prisma_migrator_spark.llm.spans import repeated_span_stats
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in repeated_span_stats(df, k=k, stride=stride).collect()
+    }
+
+    # reference: same normalization (split on whitespace; empty text
+    # tokenizes to [''])
+    toks = {i: (" ".join(w)).strip().lower().split() or [""] for i, w in enumerate(docs)}
+    wins: dict[int, list[str]] = {}
+    for i, w in toks.items():
+        out = []
+        if len(w) >= k:
+            for s in range(0, len(w) - k + 1, stride):
+                out.append(" ".join(w[s : s + k]))
+        wins[i] = out
+    df_count: dict[str, set] = {}
+    for i, ws in wins.items():
+        for win in ws:
+            df_count.setdefault(win, set()).add(i)
+    exp = {
+        i: (
+            len(ws),
+            sum(1 for win in ws if len(df_count[win]) >= 2),
+        )
+        for i, ws in wins.items()
+    }
+    assert got == exp

@@ -177,6 +177,58 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # scenario 4: repeated-span stats under BOILERPLATE skew — 90% of
+    # 200k docs share one 16-token block, so one window hash carries
+    # ~180k rows into the dup-hash join (the hot-reducer hazard the
+    # spans docstring documents). Defense in the plan: the dup-hash
+    # side is tiny -> AQE converts the join to a runtime broadcast, so
+    # the hot hash never concentrates on one reducer. Compare against
+    # an all-unique corpus of identical size/shape.
+    from prisma_migrator_spark.llm.spans import repeated_span_stats
+
+    base = spark.range(200_000).select(F.col("id").alias("doc_id"))
+    block = " ".join(f"bp{i}" for i in range(16))
+    uniq_tail = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}x"), F.col("doc_id")) for j in range(8)]
+    )
+    boiler = base.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(10)) < 9,
+            F.concat(F.lit(block + " "), uniq_tail),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"v{j}x"), F.col("doc_id")) for j in range(24)],
+            )
+        )
+        .alias("text"),
+    ).repartition(32).persist()
+    unique = base.select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}x"), F.col("doc_id")) for j in range(24)]
+        ).alias("text"),
+    ).repartition(32).persist()
+    boiler.count(), unique.count()
+    for name, df in [
+        ("spans_unique", repeated_span_stats(unique, k=8, stride=4)),
+        ("spans_boilerplate90", repeated_span_stats(boiler, k=8, stride=4)),
+    ]:
+        _timed(df)
+        results[name] = round(_timed(df), 3)
+    results["spans_skew_ratio"] = round(
+        results["spans_boilerplate90"] / results["spans_unique"], 3
+    )
+    # sanity: the boilerplate docs (and only those) are flagged
+    flagged = (
+        repeated_span_stats(boiler, k=8, stride=4)
+        .where(F.col("n_dup_windows") > 0)
+        .count()
+    )
+    results["spans_flagged_docs"] = flagged
+
     print(json.dumps({"metric": "skew_bench", "sf_dir": sf_dir, **results}))
 
 
