@@ -344,3 +344,80 @@ def streaming_dedup_first_seen(docs_with_fp: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, view_us bigint, click_us bigint, purchase_us bigint, "
+    "stage int"
+)
+_FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Incremental conversion funnel — the streaming twin of
+    `plans/analytics.funnel_view_click_purchase`: per user, the first
+    stage-1 event, the first stage-2 event strictly after it, the
+    first stage-3 event strictly after that. Emits a row whenever a
+    user's funnel ADVANCES (append mode: emissions are immutable
+    facts; the latest stage per user is the live funnel position).
+
+    State per user is three epoch-micro timestamps. Within a batch
+    the update is three vectorized chained mins (exact regardless of
+    intra-batch arrival order); across batches it assumes per-user
+    event-time order — a stage-2 event arriving in an EARLIER batch
+    than the stage-1 event that precedes it in event time is not
+    replayed (the `us > t` guards make late stage events inert rather
+    than wrong). Bound state with the upstream watermark as usual.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s1, s2, s3 = stages
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        us = batch["ts"].astype("int64") // 1000  # ns -> µs
+        et = batch["event_type"]
+        before = (t1, t2, t3)
+        if t1 is None:
+            hits = us[et == s1]
+            t1 = int(hits.min()) if len(hits) else None
+        if t1 is not None and t2 is None:
+            hits = us[(et == s2) & (us > t1)]
+            t2 = int(hits.min()) if len(hits) else None
+        if t2 is not None and t3 is None:
+            hits = us[(et == s3) & (us > t2)]
+            t3 = int(hits.min()) if len(hits) else None
+        if (t1, t2, t3) == before:
+            return
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "view_us": t1,
+                    "click_us": t2,
+                    "purchase_us": t3,
+                    "stage": 1 + (t2 is not None) + (t3 is not None),
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1069,3 +1069,60 @@ def test_quality_model_score_direction(spark):
             for r in QUERIES["quality_model_score"](spark, d).collect()
         }
     assert 0.0 < out[1] < out[0] < 1.0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Fed the events table in two event-time-ordered micro-batches,
+    the stateful streaming funnel's LATEST emission per user equals
+    the batch funnel query exactly."""
+    from pyspark.sql import Window
+
+    from prisma_migrator_spark.plans.analytics import (
+        funnel_view_click_purchase,
+    )
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_parquet,
+    )
+    from prisma_migrator_spark.streaming.stateful import streaming_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.percentile_approx("ts", 0.5).cast("timestamp").alias("m")
+    ).collect()[0].m
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def drain(chunk):
+        chunk.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("append").parquet(src)
+        run_to_parquet(
+            streaming_funnel(read_events_stream(spark, src, watermark="1 second")),
+            out,
+            ckpt,
+        )
+
+    drain(ev.where(F.col("ts") < mid))
+    drain(ev.where(F.col("ts") >= mid))
+
+    emitted = spark.read.parquet(out)
+    # latest emission per user = the one with the max stage (stages
+    # only advance); ties impossible since each advance emits once
+    latest = {
+        r["user_id"]: r
+        for r in emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("stage"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    exp = {r["user_id"]: r for r in funnel_view_click_purchase(spark, sf_dir).collect()}
+    assert set(latest) == set(exp)
+    for uid, e in exp.items():
+        g = latest[uid]
+        assert (g["view_us"], g["click_us"], g["purchase_us"], g["stage"]) == (
+            e["view_us"], e["click_us"], e["purchase_us"], e["stage"]
+        ), uid
