@@ -61,6 +61,10 @@ PINS = {
     "funnel_view_click_purchase": (8, [3, 3, 3, 3, 3, 3], False),
     "retention_cohorts_daily": (3, [2, 2], False),
     "token_budget_selection": (1, [3], False),
+    "scrub_repeated_spans": (3, [2, 2, 2], False),
+    "length_bucketed_batches": (1, [2], False),
+    # model inference is one map-side pass: zero shuffles by design
+    "quality_model_score": (0, [2], False),
 }
 
 
