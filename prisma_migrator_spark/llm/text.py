@@ -199,3 +199,76 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(t).alias("lang_pred"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    top_v: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``top_v`` most frequent tokens
+    with dense ids 1..V (0 is reserved for OOV/unknown). Ties break on
+    the token itself so the mapping is deterministic across runs,
+    partitionings, and engines.
+
+    Scale shape: one token-level explode + count shuffle (Σ distinct
+    terms keyed near-uniformly), then a distributed top-V
+    (``orderBy(...).limit(V)`` plans as TakeOrdered — per-partition
+    partial top-V, driver merges V rows, never the term table). The
+    final id assignment is a V-row window — vocabulary-sized, not
+    corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        F.row_number().over(w).alias("token_id"), "term", "n"
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document's token stream to vocabulary ids (OOV →
+    0), preserving token order — the id-space handoff a tokenizer
+    produces for training.
+
+    Plan: token-level posexplode → broadcast hash join against the
+    V-row vocabulary (vocab is always broadcast-sized by
+    construction) → per-doc reassembly via ``array_sort`` on
+    (pos, id) structs, which is a plain HashAggregate collect_list —
+    order restored WITHOUT a sort-within-groups shuffle. Per-doc
+    state is the doc's own token ids, the same order as the text
+    riding the pipeline. Zero Python.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("term", "token_id")), "term", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.coalesce("token_id", F.lit(0)).alias("tid"))
+                )
+            ).alias("__ordered")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__ordered"), lambda s: s["tid"]).alias("token_ids"),
+            F.size("__ordered").alias("n_tokens"),
+        )
+    )

@@ -1998,3 +1998,72 @@ def quality_model_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("p_keep"),
     )
+
+
+# --- vocabulary build + token-id encoding ------------------------------
+
+_VOCAB_V = 256
+
+_VOCAB_SQL = rf"""
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS token_id,
+         term, n
+  FROM (
+    SELECT term, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents) t
+    WHERE LEN(term) > 0
+    GROUP BY term ORDER BY n DESC, term LIMIT {_VOCAB_V})
+"""
+
+_VOCAB_ORACLE = f"SELECT token_id, term, n FROM ({_VOCAB_SQL})"
+
+
+@query("vocab_top_terms", oracle=_VOCAB_ORACLE)
+def vocab_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense ids (llm/text.py):
+    token-count shuffle + distributed top-V (TakeOrdered — partial
+    top-V per partition, driver merges V rows); the id window runs
+    over V rows, never the term table."""
+    from prisma_migrator_spark.llm.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, top_v=_VOCAB_V)
+
+
+_ENCODE_ORACLE = rf"""
+WITH vocab AS ({_VOCAB_SQL}),
+words AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS term
+  FROM words, LATERAL UNNEST(range(len(w))) AS u(i)
+)
+SELECT t.doc_id,
+       array_to_string(list(COALESCE(v.token_id, 0) ORDER BY t.pos), ' ')
+         AS token_ids,
+       CAST(COUNT(*) AS INT) AS n_tokens
+FROM toks t LEFT JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+
+@query("encode_token_ids", oracle=_ENCODE_ORACLE)
+def encode_token_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style encoding: every document's token stream mapped
+    to vocabulary ids in order (OOV -> 0) via a broadcast join against
+    the V-row vocab and array_sort reassembly (llm/text.py). The id
+    array is serialized to a space-joined string for the value-hash
+    compare; the library function returns the real array<int>."""
+    from prisma_migrator_spark.llm.text import build_vocab, encode_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_v=_VOCAB_V)
+    enc = encode_token_ids(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("token_ids"),
+        "n_tokens",
+    )

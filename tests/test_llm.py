@@ -1126,3 +1126,30 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         assert (g["view_us"], g["click_us"], g["purchase_us"], g["stage"]) == (
             e["view_us"], e["click_us"], e["purchase_us"], e["stage"]
         ), uid
+
+
+def test_vocab_encode_roundtrip(spark):
+    """Ids are dense 1..V by frequency (ties on term), encoding
+    preserves token order, OOV maps to 0, and decoding through the
+    vocab restores every in-vocab token."""
+    from prisma_migrator_spark.llm.text import build_vocab, encode_token_ids
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b b b a a c rare1"),
+            (1, "a b rare2 c c"),
+            (2, "a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, top_v=3)
+    v = {r["term"]: r["token_id"] for r in vocab.collect()}
+    # freq: a=5, b=5, c=3 -> ties a/b break on term
+    assert v == {"a": 1, "b": 2, "c": 3}
+    enc = {
+        r["doc_id"]: r["token_ids"]
+        for r in encode_token_ids(docs, vocab).collect()
+    }
+    assert enc[0] == [2, 2, 2, 1, 1, 3, 0]
+    assert enc[1] == [1, 2, 0, 3, 3]
+    assert enc[2] == [1, 1, 2]
