@@ -1153,3 +1153,58 @@ def test_vocab_encode_roundtrip(spark):
     assert enc[0] == [2, 2, 2, 1, 1, 3, 0]
     assert enc[1] == [1, 2, 0, 3, 3]
     assert enc[2] == [1, 1, 2]
+
+
+def test_text_ops_null_empty_unicode_robust(spark):
+    """Adversarial text rows — NULL, empty, whitespace-only, CJK,
+    emoji, RTL, a 10k-char single token — flow through the text-op
+    surface without exceptions or dropped rows; NULL text yields NULL
+    or zero outputs, never errors."""
+    from prisma_migrator_spark.llm.spans import (
+        repeated_span_stats,
+        strip_repeated_spans,
+    )
+    from prisma_migrator_spark.llm.text import (
+        build_vocab,
+        encode_token_ids,
+        redact_pii,
+        rolling_fingerprint,
+        text_stats,
+    )
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   \t  \n "),
+        (3, "日本語 のテキスト です 日本語 のテキスト"),
+        (4, "emoji 🎉 party 🎉 emoji"),
+        (5, "نص عربي من اليمين إلى اليسار"),
+        (6, "x" * 10_000),
+        (7, "normal english text with words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats = text_stats(docs)
+    assert stats.count() == len(rows)
+
+    spans = {r["doc_id"]: r for r in repeated_span_stats(docs, k=2, stride=1).collect()}
+    assert set(spans) == {r[0] for r in rows}
+    assert spans[0]["n_windows"] == 0 and spans[0]["dup_frac"] is None
+
+    scrubbed = strip_repeated_spans(docs, k=2, stride=1)
+    assert scrubbed.count() == len(rows)
+
+    fp = docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    assert len(fp) == len(rows)
+
+    red = docs.select(redact_pii(F.col("text")).alias("t")).collect()
+    assert len(red) == len(rows)
+
+    vocab = build_vocab(docs, top_v=10)
+    enc = {r["doc_id"]: r for r in encode_token_ids(docs, vocab).collect()}
+    # NULL text produces no token rows -> doc absent from encode output
+    # (callers left-join the spine); all non-null docs present
+    assert set(enc) >= {1, 3, 4, 5, 6, 7}
+    assert enc[3]["n_tokens"] == 5 and all(isinstance(i, int) for i in enc[3]["token_ids"])
