@@ -413,3 +413,125 @@ def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --- time-grid gap filling / resampling (absent per SURVEY §2.13) ------
+
+_GAP_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+_GAPFILL_ORACLE = f"""
+WITH b AS (
+  SELECT user_id,
+         EPOCH_US(ts) // {_GAP_BUCKET_US} * {_GAP_BUCKET_US} AS bucket_us,
+         value
+  FROM events
+), spans AS (
+  SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b
+  GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, g.bucket_us
+  FROM spans s,
+       LATERAL UNNEST(generate_series(s.lo, s.hi, {_GAP_BUCKET_US}))
+         AS g(bucket_us)
+), agg AS (
+  SELECT user_id, bucket_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 6) AS total_value
+  FROM b GROUP BY user_id, bucket_us
+)
+SELECT grid.user_id, grid.bucket_us,
+       COALESCE(agg.n_events, 0) AS n_events,
+       COALESCE(agg.total_value, 0.0) AS total_value
+FROM grid LEFT JOIN agg USING (user_id, bucket_us)
+"""
+
+
+@query("events_gapfill_6h", oracle=_GAPFILL_ORACLE)
+def events_gapfill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with zero-fill: each user's event
+    stream becomes a DENSE 6-hour series from their first to last
+    bucket — the shape feature pipelines and chart backends need
+    (missing buckets are rows, not absences).
+
+    Plan: bucket map-side (integer epoch arithmetic), per-user span
+    aggregate, grid EXPLODE from a micros sequence (output-sized — the
+    grid is rows ∝ result, never a cross join), left join the bucket
+    aggregate back on (user, bucket). Every stage keys on user_id or
+    (user_id, bucket): co-partitioned after the first exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        (
+            F.floor(F.unix_micros("ts") / _GAP_BUCKET_US)
+            * F.lit(_GAP_BUCKET_US)
+        ).alias("bucket_us"),
+        "value",
+    )
+    agg = b.groupBy("user_id", "bucket_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(_GAP_BUCKET_US))
+            ).alias("bucket_us"),
+        )
+    )
+    return grid.join(agg, ["user_id", "bucket_us"], "left").select(
+        "user_id",
+        "bucket_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+# --- unpivot / melt (absent per SURVEY §2.13) --------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT r.r_name,
+         CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+         CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  GROUP BY r.r_name
+)
+SELECT r_name, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_nations, n_customers, n_suppliers))
+"""
+
+
+@query("region_counts_unpivot", oracle=_UNPIVOT_ORACLE)
+def region_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via native `unpivot` (Spark 3.4+): per-
+    region entity counts melted to (region, metric, value) rows.
+    Unpivot is a zero-shuffle map expansion (each input row emits
+    |metrics| rows); the wide frame upstream is dimension-sized."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    wide = (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(s, s["s_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("r_name")
+        .agg(
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["r_name"],
+        ["n_nations", "n_customers", "n_suppliers"],
+        "metric",
+        "value",
+    )

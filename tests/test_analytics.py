@@ -142,3 +142,24 @@ def test_retention_day_zero_counts_all_users(spark, sf_dir):
     )
     assert sum(r["n_users"] for r in out if r["day_offset"] == 0) == n_users
     assert all(r["day_offset"] >= 0 for r in out)
+
+
+def test_gapfill_series_is_dense(spark, sf_dir):
+    """Each user's resampled series has every consecutive bucket
+    exactly one step apart (zero-filled, no holes), spanning their
+    first to last event bucket."""
+    from prisma_migrator_spark.plans.analytics import (
+        _GAP_BUCKET_US,
+        events_gapfill_6h,
+    )
+
+    rows = events_gapfill_6h(spark, sf_dir).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["bucket_us"])
+    assert by_user
+    for buckets in by_user.values():
+        buckets.sort()
+        assert all(
+            b2 - b1 == _GAP_BUCKET_US for b1, b2 in zip(buckets, buckets[1:])
+        )
