@@ -444,3 +444,52 @@ def test_prisma_schema_load_error():
 
     with pytest.raises(ValueError, match='Cannot read schema at'):
         load_schema("/nonexistent/schema.prisma")
+
+
+def test_maintain_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
+    """Applying daily batches one at a time (with one batch
+    re-delivered) produces exactly the full-recompute rollup: the
+    ledger makes additive merge exactly-once, and the commit is
+    atomic (data + ledger swap together)."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.writers.rollup import (
+        applied_batches,
+        maintain_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        F.lit(1).alias("n"),
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    path = str(tmp_path / "rollup.parquet")
+
+    for day in days[:4]:
+        batch = ev.where(F.col("day") == day)
+        rep = maintain_rollup(
+            spark, batch, path, ["user_id", "day"], ["n", "value"],
+            batch_id=str(day),
+        )
+        assert rep["applied"]
+
+    # re-deliver day 2: must be a no-op
+    rep = maintain_rollup(
+        spark, ev.where(F.col("day") == days[1]), path,
+        ["user_id", "day"], ["n", "value"], batch_id=str(days[1]),
+    )
+    assert not rep["applied"]
+    assert applied_batches(path) == {str(d) for d in days[:4]}
+
+    got = spark.read.parquet(path)
+    exp = (
+        ev.where(F.col("day").isin(days[:4]))
+        .groupBy("user_id", "day")
+        .agg(F.sum("n").alias("n"), F.sum("value").alias("value"))
+    )
+    assert got.count() == exp.count()
+    diff = got.select("user_id", "day", "n", F.round("value", 6).alias("v")).exceptAll(
+        exp.select("user_id", "day", "n", F.round("value", 6).alias("v"))
+    )
+    assert diff.count() == 0
