@@ -640,3 +640,86 @@ def dedupe_against_bloom(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "fp")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Threshold Jaccard pairs via PREFIX FILTERING — the
+    set-similarity-join scale path (PPJoin family): order each doc's
+    shingles by ascending global document frequency (rarest first,
+    ties on the shingle), keep only the first
+    ``|A| - ceil(t·|A|) + 1`` as its prefix, and generate candidates
+    from prefix-shingle collisions only.
+
+    Lossless for the threshold: J(A,B) ≥ t implies
+    |A∩B| ≥ t·|A∪B| ≥ ceil(t·|A|), and two sets whose overlap is ≥ α
+    must collide within prefixes of length |size| − α + 1 (pigeonhole
+    on the shared global order). A length filter
+    (min/max sizes ≥ t) prunes further — also implied by J ≥ t.
+
+    vs :func:`ngram_jaccard_pairs` (cost Σ df² over ALL shingles):
+    candidate cost is Σ df² over PREFIX occurrences only, and prefixes
+    are dominated by RARE shingles (rarest-first order), so the hot
+    boilerplate shingles that blow up the full join never key a
+    candidate pair. Verification is exact per candidate via
+    ``array_intersect`` on the two docs' shingle arrays — per-pair
+    map work, no corpus-sized join. Per-doc array state matches the
+    doc's own shingle count (same order as its text).
+    """
+    from pyspark.sql import Window
+
+    t = min_jaccard
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfc, "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.where(
+        F.col("__r") <= F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
+    ).select(id_col, "shingle", "__sz")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.__sz"), F.col("b.__sz"))
+                >= F.lit(t) * F.greatest(F.col("a.__sz"), F.col("b.__sz"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("__set"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.col("__sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.col("__sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= t)
+    )

@@ -2067,3 +2067,37 @@ def encode_token_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("token_ids", " ").alias("token_ids"),
         "n_tokens",
     )
+
+
+_NGRAM_JACCARD_PREFIX_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+"""
+
+
+@query("ngram_jaccard_prefix", oracle=_NGRAM_JACCARD_PREFIX_ORACLE)
+def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (llm/dedup.py) at t=0.5.
+    The oracle is the NAIVE all-shingles join with the same threshold
+    — an independent implementation, so a hash match proves the prefix
+    filter lossless on the fixture, not just self-consistent."""
+    from prisma_migrator_spark.llm.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(shingles(docs, k=3), min_jaccard=0.5)

@@ -180,3 +180,39 @@ def test_repeated_span_stats_matches_python_reference(spark, docs, k, stride):
         for i, ws in wins.items()
     }
     assert got == exp
+
+
+JDOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=2, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=JDOCS, t=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_jaccard_equals_naive(spark, docs, t):
+    """The prefix-filtered similarity join returns EXACTLY the naive
+    all-shingles join's pairs at the same threshold, on adversarial
+    tiny-vocab corpora (max shared-shingle pressure)."""
+    from prisma_migrator_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sh = shingles(df, k=2)
+    naive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(sh, min_jaccard=t).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs_prefix(sh, min_jaccard=t).collect()
+    }
+    assert pref == naive
