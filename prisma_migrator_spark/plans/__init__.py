@@ -32,7 +32,12 @@ DRIVER_WINDOW: list[str] = [
     "semi_join_orders",          # J3 semi join
     "anti_join_customers",       # anti join (S5 backbone)
     "filter_inlist_range",       # P3-P7 predicates
-    "date_format_orders",        # F5 TO_CHAR
+    # F5 TO_CHAR signal moved to the tail (date_format_orders): the
+    # flagship's latest_ship_date column exercises the same pg
+    # date_format path in-window; the slot carries the round-3
+    # vocab+encode family instead (encode's oracle embeds the vocab
+    # build, so one row covers both).
+    "encode_token_ids",
     "normalized_part_scores",    # F2 NULLIF guard, W1 normalization
     "dynamic_pivot_categories",  # R1 dynamic pivot, A6
     "hyperlink_report",          # F8 hyperlink + CSV escaping
@@ -46,11 +51,17 @@ DRIVER_WINDOW: list[str] = [
     "top_orders_per_customer",   # ranked window top-k
     "revenue_rollup",            # grouping-set rollup
     "event_attribution_24h",     # range-bounded attribution join
-    "order_price_quartiles",     # quantile bucketing
+    # quantile-bucketing signal stays via quality_deciles (same
+    # sketch-cut family); order_price_quartiles moves to the tail and
+    # the slot carries the round-3 funnel family.
+    "funnel_view_click_purchase",
     "asof_last_order",           # as-of join
     "events_tumbling_hourly",    # tumbling time window
     "events_session_30m",        # session window
-    "events_rolling_1h",         # rolling event-time window
+    # rolling-window signal stays via tumbling+session (in-window) and
+    # events_rolling_1h in the tail; the slot carries the round-3
+    # substring-dedup family.
+    "repeated_spans",
     # --- text / LLM pipeline families (25) ---
     "text_stats",                # stats + quality + lang-ID + tokens
     "top_terms_tfidf",           # tf-idf terms
