@@ -90,3 +90,35 @@ def deterministic_shuffle_rank(
         )
         .drop("__b", "__h", "__base")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    exponential-keys / A-ES scheme of Efraimidis & Spirakis): each row
+    draws u = hash_unit(key) and scores u^(1/w); the k largest scores
+    are the sample, and inclusion probabilities follow the weights
+    exactly as in sequential weighted sampling without replacement.
+
+    Fully deterministic — the draw is a pure function of (key, salt) —
+    so retries, AQE re-plans, and the DuckDB oracle all reproduce the
+    same sample. Plan shape: one map-side score, then a distributed
+    top-k (``orderBy().limit(k)`` = TakeOrdered: per-partition partial
+    top-k, driver merges k rows — never a global sort). Zero-weight
+    rows score 0 and are only drawn after every positive-weight row.
+    """
+    u = hash_unit(F.col(key_col), salt)
+    score = F.when(
+        weight > 0, F.pow(u, F.lit(1.0) / weight)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("__ws", F.round(score, 12))
+        .orderBy(F.desc("__ws"), F.asc(key_col))
+        .limit(k)
+        .drop("__ws")
+    )

@@ -2101,3 +2101,54 @@ def ngram_jaccard_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(shingles(docs, k=3), min_jaccard=0.5)
+
+
+# --- weighted sampling without replacement -----------------------------
+
+_WSAMPLE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                   ['the','a','an','and','or','of','to','in','is','it',
+                    'for','on','with','as','at','by','this','that'], t)))
+                 / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS q
+  FROM toks
+), keyed AS (
+  SELECT doc_id, source, q,
+         ROUND(CASE WHEN q > 0 THEN POW(
+             CAST(('0x' || substr(md5('wsample:' || doc_id), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0,
+             1.0 / q) ELSE 0.0 END, 12) AS ws
+  FROM scored
+)
+SELECT doc_id, source, q AS quality
+FROM keyed ORDER BY ws DESC, doc_id LIMIT 100
+"""
+
+
+@query("weighted_sample_100", oracle=_WSAMPLE_ORACLE)
+def weighted_sample_100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample of 100 docs without replacement
+    (Efraimidis-Spirakis exponential keys, llm/sampling.py) — higher-
+    quality docs proportionally likelier, sample fully deterministic
+    under retries/AQE, and the plan is map-side scoring + distributed
+    TakeOrdered (never a global sort)."""
+    from prisma_migrator_spark.llm.sampling import weighted_sample_k
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return weighted_sample_k(
+        scored, 100, F.col("quality"), key_col="doc_id", salt="wsample"
+    )

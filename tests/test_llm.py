@@ -1208,3 +1208,28 @@ def test_text_ops_null_empty_unicode_robust(spark):
     # (callers left-join the spine); all non-null docs present
     assert set(enc) >= {1, 3, 4, 5, 6, 7}
     assert enc[3]["n_tokens"] == 5 and all(isinstance(i, int) for i in enc[3]["token_ids"])
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier-weight rows appear more often across disjoint salt
+    draws; the sample is exactly reproducible; zero-weight rows are
+    picked only when positive weights run out."""
+    from prisma_migrator_spark.llm.sampling import weighted_sample_k
+
+    rows = [(i, 10.0 if i < 50 else 0.5) for i in range(500)] + [
+        (900 + i, 0.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    heavy_hits = 0
+    for salt in ("s1", "s2", "s3"):
+        got = {r["doc_id"] for r in weighted_sample_k(df, 50, F.col("w"), salt=salt).collect()}
+        assert len(got) == 50
+        assert not (got & {900, 901, 902, 903, 904})  # zero-weight absent
+        heavy_hits += len(got & set(range(50)))
+    # 50 heavy (w=10) vs 450 light (w=0.5): heavy should dominate
+    assert heavy_hits / 3 > 25
+
+    a = [r["doc_id"] for r in weighted_sample_k(df, 50, F.col("w"), salt="s1").collect()]
+    b = [r["doc_id"] for r in weighted_sample_k(df, 50, F.col("w"), salt="s1").collect()]
+    assert sorted(a) == sorted(b)
