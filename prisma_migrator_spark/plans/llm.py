@@ -2152,3 +2152,64 @@ def weighted_sample_100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(
         scored, 100, F.col("quality"), key_col="doc_id", salt="wsample"
     )
+
+
+# --- containment pairs (asymmetric overlap) ----------------------------
+
+_CONTAINMENT_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / LEAST(sa.sz, sb.sz) >= 0.8
+"""
+
+
+@query("doc_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER doc's
+    shingles are >= 80% contained in the other — catches quotes,
+    excerpts, and doc-embedded-in-doc cases that symmetric Jaccard
+    misses (a short doc inside a long one has low Jaccard but high
+    containment). Same shingle-keyed Σ df² join machinery as
+    ngram_jaccard_pairs; only the final normalization differs
+    (min-size instead of union-size)."""
+    from prisma_migrator_spark.llm.dedup import ngram_jaccard_pairs, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("n_inter") / F.least("sz_a", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .where(F.col("containment") >= 0.8)
+    )
