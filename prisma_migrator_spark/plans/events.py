@@ -262,3 +262,46 @@ def events_rolling_1h_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 6).alias("sum_value_1h"),
     )
+
+
+_HOPPING_ORACLE = """
+WITH starts AS (
+  SELECT e.event_type, e.value,
+         (EPOCH_US(e.ts) // 900000000 - g.i) * 900000000 AS window_start_us
+  FROM events e, LATERAL UNNEST(range(4)) AS g(i)
+  WHERE (EPOCH_US(e.ts) // 900000000 - g.i) * 900000000
+        > EPOCH_US(e.ts) - 3600000000
+)
+SELECT window_start_us,
+       window_start_us + 3600000000 AS window_end_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM starts
+GROUP BY 1, 2, 3
+"""
+
+
+@query("events_hopping_1h_15m", oracle=_HOPPING_ORACLE)
+def events_hopping_1h_15m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window: 1-hour windows every 15 minutes —
+    each event replicates into window/hop = 4 rows map-side (Spark's
+    Expand, same cost model as ROLLUP), then ONE hash aggregate. The
+    oracle reproduces the window assignment with integer epoch
+    arithmetic; window membership: start in (ts - 1h, ts]."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
