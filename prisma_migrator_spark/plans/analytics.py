@@ -571,3 +571,65 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --- correlated scalar subquery (decorrelated) -------------------------
+
+_ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+FROM orders o
+WHERE o_totalprice > (
+  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("orders_above_cust_avg", oracle=_ABOVE_AVG_ORACLE)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("orders above the customer's own
+    average"), decorrelated the way Catalyst would: the per-customer
+    average is a WINDOW aggregate over the same partition — one
+    shuffle on o_custkey, no join, no per-row subquery execution. The
+    oracle keeps the correlated form, so the hash match pins the
+    decorrelation's semantics (including single-order customers, whose
+    order equals the average and is excluded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("__avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# --- percent_rank within partitions (window family completeness) -------
+
+_PCTRANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+FROM orders
+"""
+
+
+@query("order_pctrank_by_priority", oracle=_PCTRANK_ORACLE)
+def order_pctrank_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank PARTITIONED by order priority — the scale-safe
+    form of the rank-normalization family (a GLOBAL percent_rank is
+    the single-partition hazard `order_price_quartiles` documents;
+    partitioning bounds each sort to its group). Explicit o_orderkey
+    tiebreak keeps the rank deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
