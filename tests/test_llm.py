@@ -1233,3 +1233,40 @@ def test_weighted_sample_bias_and_determinism(spark):
     a = [r["doc_id"] for r in weighted_sample_k(df, 50, F.col("w"), salt="s1").collect()]
     b = [r["doc_id"] for r in weighted_sample_k(df, 50, F.col("w"), salt="s1").collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_streaming_sliding_windows_match_batch(spark, sf_dir, tmp_path):
+    """Hopping windows (1h size, 15m slide) computed incrementally over
+    the event stream equal the batch sliding_windows aggregation —
+    same window assignment, counts, and sums."""
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from prisma_migrator_spark.streaming.windows import sliding_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sliding")
+    ev.write.parquet(src)
+
+    stream = read_events_stream(spark, src)
+    aggs = [F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value")]
+    run_to_memory(
+        sliding_windows(stream, "ts", "1 hour", "15 minutes",
+                        keys=["event_type"], aggs=aggs),
+        "ev_sliding",
+    )
+    got = {
+        (r.w.start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM ev_sliding").collect()
+    }
+    batch = sliding_windows(
+        spark.read.parquet(src), "ts", "1 hour", "15 minutes",
+        keys=["event_type"], aggs=aggs,
+    )
+    want = {
+        (r.w.start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 100
