@@ -2213,3 +2213,88 @@ def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
         .where(F.col("containment") >= 0.8)
     )
+
+
+# --- per-domain heavy hitters ------------------------------------------
+
+_TOP_TERMS_SRC_ORACLE = r"""
+WITH c AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT source,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents) t
+  WHERE LEN(term) > 0
+  GROUP BY source, term
+)
+SELECT source, CAST(rn AS INT) AS rn, term, n
+FROM (
+  SELECT c.*, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n DESC, term) AS rn
+  FROM c) r
+WHERE rn <= 5
+"""
+
+
+@query("top_terms_per_source", oracle=_TOP_TERMS_SRC_ORACLE)
+def top_terms_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain heavy hitters: the 5 most frequent terms in each
+    source. One (source, term) count shuffle with map-side combine,
+    then the existing ranked top-k-per-group operator — the window
+    sorts each SOURCE's term list, never a global order."""
+    from prisma_migrator_spark.llm.text import tokens
+    from prisma_migrator_spark.operators.ranking import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = topk_per_group(counts, ["source"], "n", k=5, tiebreakers=["term"])
+    return top.select(
+        "source", F.col("rn").cast("int").alias("rn"), "term", "n"
+    )
+
+
+# --- corpus composition report -----------------------------------------
+
+_MIXTURE_ORACLE = r"""
+WITH t AS (
+  SELECT lang, source,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+), tot AS (SELECT SUM(n_tokens) AS all_tokens FROM t)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_tokens) / (SELECT all_tokens FROM tot), 6) AS token_share
+FROM t GROUP BY lang, source
+"""
+
+
+@query("corpus_mixture_report", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (lang, source): docs, tokens, and each
+    cell's share of ALL corpus tokens — the mixture table curation
+    tracks against target weights. The global total is a 1-row
+    aggregate broadcast back (never a global window)."""
+    from prisma_migrator_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    cells = t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    total = t.agg(F.sum("n_tokens").alias("__all"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__all"), 6).alias("token_share"),
+    )
