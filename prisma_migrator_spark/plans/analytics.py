@@ -633,3 +633,47 @@ def order_pctrank_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# --- rolling distinct users (WAU) --------------------------------------
+
+_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), contrib AS (
+  SELECT user_id, day + CAST(g.i AS INT) AS as_of_day
+  FROM ud, LATERAL UNNEST(range(7)) AS g(i)
+), days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events)
+SELECT c.as_of_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+FROM contrib c JOIN days ON days.d = c.as_of_day
+GROUP BY c.as_of_day
+"""
+
+
+@query("events_wau", oracle=_WAU_ORACLE)
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU): each (user, day)
+    activity contributes to the 7 as-of days it's visible from — the
+    same map-side replicate-into-windows trick as hopping windows
+    (×7 Expand on the user-day DEDUPED frame, which is orders smaller
+    than the event fact), then one count-distinct per day. No
+    sliding-window distinct (which can't partial-aggregate); restrict
+    to days that exist in the data so the grid carries no phantom
+    trailing days."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("as_of_day"))
+    days = ev.select(F.to_date("ts").alias("as_of_day")).distinct()
+    return (
+        contrib.join(days, "as_of_day")
+        .groupBy("as_of_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
