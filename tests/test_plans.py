@@ -65,6 +65,26 @@ PINS = {
     "length_bucketed_batches": (1, [2], False),
     # model inference is one map-side pass: zero shuffles by design
     "quality_model_score": (0, [2], False),
+    "events_gapfill_6h": (2, [2, 3], False),
+    "region_counts_unpivot": (2, [2, 2, 2, 2], False),
+    # CUBE = Expand + ONE hash aggregate regardless of dimensionality
+    "revenue_cube": (1, [4], False),
+    "events_hopping_1h_15m": (1, [3], False),
+    "orders_above_cust_avg": (1, [3], False),
+    "order_pctrank_by_priority": (1, [3], False),
+    "events_wau": (4, [1, 2], False),
+    "top_terms_per_source": (2, [2], False),
+    # NLJ allowed: the 1-row corpus-total broadcast cross (the
+    # global-max normalization pattern)
+    "corpus_mixture_report": (1, [1, 3], True),
+    # TakeOrdered top-k: zero hash exchanges
+    "weighted_sample_100": (0, [3], False),
+    "vocab_top_terms": (1, [1], False),
+    "encode_token_ids": (2, [1, 2], False),
+    # rank windows + candidate/verify joins; its win case is measured
+    # in PERF.md #23 — the shuffle count is the price of pruning
+    "ngram_jaccard_prefix": (12, [2, 2, 2, 2, 2, 2], False),
+    "doc_containment_pairs": (7, [2, 2, 2, 2], False),
 }
 
 
