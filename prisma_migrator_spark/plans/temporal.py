@@ -1,0 +1,318 @@
+"""Temporal / snapshot-history operators.
+
+The reference's core data model is append-only snapshot history —
+``AppSnapshot (handle, capturedAt)``, ``CategoryAppPositionHistory
+(categoryHandle, appHandle, capturedAt)`` (src/utils/lib.ts:220,
+267-274) — but the only temporal READ it ever performs is
+latest-per-key (``DISTINCT ON … ORDER BY capturedAt DESC``,
+src/utils/lib.ts:303,313). A user who owns that history wants the
+rest of the temporal toolkit: validity intervals (SCD Type 2),
+change detection between consecutive captures, point-in-time
+("as of") reconstruction, and time-bucketed downsampling. Each is
+expressed here over the lineitem fixture's (l_partkey, l_shipdate)
+history, per FIXTURES.md §C.
+
+Scale stance: every window below is PARTITIONED by its key (never a
+global ORDER BY); groupBy shapes rely on partial aggregation. All
+shuffles are on the history's natural key, so at 100 TB each query
+is one key-hash shuffle of pruned columns.
+
+Hash-stability conventions follow plans/core.py: ROUND(x, 6) on
+computed doubles, timestamps as epoch micros, explicit tiebreakers
+under every window order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.operators.dedup import latest_per_key
+from prisma_migrator_spark.plans.registry import query
+
+# --- SCD Type 2: snapshot rows -> validity intervals -------------------
+
+_SCD2_ORACLE = """
+SELECT l_partkey,
+       EPOCH_US(l_shipdate) AS valid_from_us,
+       LEAD(EPOCH_US(l_shipdate)) OVER w AS valid_to_us,
+       CASE WHEN LEAD(l_shipdate) OVER w IS NULL THEN TRUE ELSE FALSE
+            END AS is_current,
+       ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+"""
+
+
+@query("scd2_part_history", oracle=_SCD2_ORACLE)
+def scd2_part_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 intervals from an append-only
+    snapshot log: each capture becomes a row with
+    ``[valid_from, valid_to)`` and the open (current) interval gets
+    ``valid_to = NULL`` — the standard warehouse materialization of
+    the reference's AppSnapshot history (src/utils/lib.ts:220).
+
+    Plan: one shuffle on the key; ``lead()`` runs inside each key
+    partition (bounded by snapshots-per-key, never corpus-sized).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    nxt = F.lead("l_shipdate").over(w)
+    return li.select(
+        "l_partkey",
+        F.unix_micros("l_shipdate").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+# --- change detection between consecutive captures ---------------------
+
+_CHANGES_ORACLE = """
+SELECT l_partkey,
+       EPOCH_US(l_shipdate) AS ts_us,
+       ROUND(prev_price, 2) AS old_price,
+       ROUND(l_extendedprice, 2) AS new_price,
+       ROUND(l_extendedprice - prev_price, 2) AS delta
+FROM (
+  SELECT l_partkey, l_shipdate, l_extendedprice,
+         LAG(l_extendedprice) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+  FROM lineitem) t
+WHERE prev_price IS NOT NULL AND l_extendedprice <> prev_price
+"""
+
+
+@query("part_price_changes", oracle=_CHANGES_ORACLE)
+def part_price_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: emit one row per observed value CHANGE between
+    consecutive captures of a key (old, new, delta) — the audit-log /
+    CDC-extraction read over a snapshot history. First capture per key
+    emits nothing (no predecessor).
+
+    Same single key-partitioned shuffle as SCD2; the change filter is
+    applied after ``lag()`` map-side, so output is change-sized, not
+    history-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    prev = F.lag("l_extendedprice").over(w)
+    return (
+        li.withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull() & (F.col("l_extendedprice") != F.col("__prev")))
+        .select(
+            "l_partkey",
+            F.unix_micros("l_shipdate").alias("ts_us"),
+            F.round("__prev", 2).alias("old_price"),
+            F.round("l_extendedprice", 2).alias("new_price"),
+            F.round(F.col("l_extendedprice") - F.col("__prev"), 2).alias("delta"),
+        )
+    )
+
+
+# --- point-in-time (as-of) state reconstruction ------------------------
+
+_ASOF_STATE_ORACLE = """
+SELECT l_partkey,
+       EPOCH_US(l_shipdate) AS ts_us,
+       ROUND(l_extendedprice, 2) AS price,
+       l_returnflag
+FROM (
+  SELECT li.*, ROW_NUMBER() OVER (
+      PARTITION BY l_partkey
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem li
+  WHERE li.l_shipdate <= TIMESTAMP '1995-06-30 00:00:00') t
+WHERE rn = 1
+"""
+
+
+@query("part_state_asof", oracle=_ASOF_STATE_ORACLE)
+def part_state_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: the state of every key AS OF a
+    literal timestamp — ``WHERE ts <= T`` then latest-per-key. This is
+    the time-travel read over the reference's snapshot tables ("what
+    did the rankings look like last June"). The filter is pushed into
+    the parquet scan (min/max row-group pruning discards post-T files
+    wholesale), then the same max-struct aggregate as W2 latest-per-key
+    — one shuffle of one candidate row per key per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_returnflag",
+    )
+    asof = li.where(F.col("l_shipdate") <= F.lit("1995-06-30 00:00:00").cast("timestamp"))
+    latest = latest_per_key(
+        asof, ["l_partkey"], "l_shipdate", tiebreakers=["l_orderkey", "l_linenumber"]
+    )
+    return latest.select(
+        "l_partkey",
+        F.unix_micros("l_shipdate").alias("ts_us"),
+        F.round("l_extendedprice", 2).alias("price"),
+        "l_returnflag",
+    )
+
+
+# --- OHLC time-bucket downsampling -------------------------------------
+
+_OHLC_ORACLE = """
+SELECT l_partkey, month,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN l_extendedprice END), 2) AS open,
+       ROUND(MAX(l_extendedprice), 2) AS high,
+       ROUND(MIN(l_extendedprice), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN l_extendedprice END), 2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM (
+  SELECT l_partkey, l_extendedprice,
+         STRFTIME(l_shipdate, '%Y-%m') AS month,
+         ROW_NUMBER() OVER (
+             PARTITION BY l_partkey, STRFTIME(l_shipdate, '%Y-%m')
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_a,
+         ROW_NUMBER() OVER (
+             PARTITION BY l_partkey, STRFTIME(l_shipdate, '%Y-%m')
+             ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+         ) AS rn_d
+  FROM lineitem) t
+GROUP BY l_partkey, month
+"""
+
+
+@query("part_price_ohlc_monthly", oracle=_OHLC_ORACLE)
+def part_price_ohlc_monthly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling of a value series into
+    monthly bars per key — the canonical lossy compaction of a dense
+    snapshot history for dashboards and drift monitoring.
+
+    Spark shape: ONE hash-able aggregate per (key, bucket) — open and
+    close ride min/max over a (ts, tiebreak…, value) struct, high/low
+    are plain min/max, so the whole bar is a single groupBy with
+    map-side partials (no windows, no second shuffle; the struct
+    min/max pays SortAggregate like latest_per_key, still one row per
+    group per partition pre-shuffle). The oracle expresses open/close
+    with row_number windows instead — same semantics, independent
+    derivation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    li = li.withColumn("month", F.date_format("l_shipdate", "yyyy-MM"))
+    ordered = F.struct("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+    return (
+        li.groupBy("l_partkey", "month")
+        .agg(
+            F.min(ordered).alias("__first"),
+            F.max(ordered).alias("__last"),
+            F.round(F.max("l_extendedprice"), 2).alias("high"),
+            F.round(F.min("l_extendedprice"), 2).alias("low"),
+            F.count("*").alias("n_obs"),
+        )
+        .select(
+            "l_partkey",
+            "month",
+            F.round(F.col("__first.l_extendedprice"), 2).alias("open"),
+            "high",
+            "low",
+            F.round(F.col("__last.l_extendedprice"), 2).alias("close"),
+            "n_obs",
+        )
+    )
+
+
+# --- exponential time-decay scoring ------------------------------------
+
+#: Decay half-life ~ 7 days: tau such that exp(-age/tau) halves per
+#: 7 days. tau_us = 7d / ln(2) in microseconds. Anchor just past the
+#: fixture events' one-month span (Jan 2024).
+_DECAY_ANCHOR = "2024-02-01 00:00:00"
+_TAU_US = 7.0 * 86_400_000_000.0 / 0.6931471805599453
+
+_DECAY_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value * EXP(-(EPOCH_US(TIMESTAMP '{_DECAY_ANCHOR}')
+                               - EPOCH_US(ts)) / {_TAU_US!r})), 6)
+           AS decayed_score
+FROM events
+WHERE ts <= TIMESTAMP '{_DECAY_ANCHOR}'
+GROUP BY user_id
+"""
+
+
+@query("events_decayed_score", oracle=_DECAY_ORACLE)
+def events_decayed_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity: per-user sum of event values with
+    a 30-day-half-life exponential decay against a fixed anchor — the
+    time-aware upgrade of the reference's reciprocal-rank popularity
+    weighting (src/utils/lib.ts:348-362). Decay is computed map-side
+    (zero extra shuffle over the plain groupBy); the sum keeps partial
+    aggregation because exp() is applied per row, not per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit(_DECAY_ANCHOR).cast("timestamp")
+    age_us = F.unix_micros(anchor) - F.unix_micros(F.col("ts"))
+    return (
+        ev.where(F.col("ts") <= anchor)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-age_us / F.lit(_TAU_US))), 6
+            ).alias("decayed_score"),
+        )
+    )
+
+
+# --- distribution outliers (z-score) -----------------------------------
+
+_OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 2.5
+"""
+
+
+@query("event_value_outliers", oracle=_OUTLIERS_ORACLE)
+def event_value_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits
+    more than 2.5 sigma from their type's mean — the data-quality
+    screen a snapshot-ingest pipeline runs before trusting a scrape.
+    Group stats are a tiny aggregate (one row per event_type) joined
+    back by broadcast; the fact table is scanned once and never
+    shuffled (stats shuffle is group-count-sized).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sigma"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("__sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
