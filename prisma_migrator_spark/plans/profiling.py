@@ -1,0 +1,194 @@
+"""Data-profiling and entity-resolution operators.
+
+A migration tool's users ask two questions the reference never
+answers: "what is actually IN this table?" (before trusting a copy,
+src/migrate.ts:48) and "which of these scraped records are the same
+real-world thing under a slightly different name?" (the reference
+dedups only on exact handles, src/utils/lib.ts:90-91). This module
+adds both as first-class, oracle-verified operators: a one-pass
+column profiler, a blocked fuzzy-match join, and an inverted index
+over the documents corpus.
+
+Hash-stability conventions follow plans/core.py: ROUND(x, 6) on
+computed doubles, sorted arrays, explicit tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.llm.text import normalized_text
+from prisma_migrator_spark.plans.registry import query
+
+# --- one-pass numeric column profiler ----------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND(MIN({c}) + 0.0, 6) AS min_v,
+       ROUND(MAX({c}) + 0.0, 6) AS max_v,
+       ROUND(AVG({c}), 6) AS avg_v
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_lineitem_numeric", oracle=_PROFILE_ORACLE)
+def profile_lineitem_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler: per-column row/null/distinct counts and
+    min/max/mean for the numeric columns — the pre-migration sanity
+    report (does the copy's distribution match the source?).
+
+    Spark shape: ONE scan, ONE aggregate computing all columns' stats
+    together. The multiple COUNT(DISTINCT) columns plan as a single
+    Expand + one hash aggregate (exactly the grouping-sets machinery
+    — rows replicate per distinct-column map-side, partial-agg'd, one
+    shuffle), vs the oracle's per-column UNION ALL which scans the
+    table once per column. At 100 TB: 1 scan vs |columns| scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"__n_{c}"),
+            (F.count("*") - F.count(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"),
+            F.round(F.avg(c), 6).alias(f"__avg_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_v"),
+            F.col(f"__max_{c}").alias("max_v"),
+            F.col(f"__avg_{c}").alias("avg_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("__p")
+    ).select("__p.*")
+
+
+# --- blocked fuzzy-match join (entity resolution) ----------------------
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("fuzzy_part_matches", oracle=_FUZZY_ORACLE)
+def fuzzy_part_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via a blocked fuzzy join: candidate part pairs
+    within the same brand block whose names are within edit distance
+    2 — near-identical records the reference's exact-handle upsert
+    (src/utils/lib.ts:90-91) would treat as distinct entities.
+
+    Scale shape: the equi-join on the block key makes candidate cost
+    Σ block² (never n²); Levenshtein runs JVM-side as a post-join
+    filter inside the hash join. Block key choice is the knob — at
+    100 TB block on (brand, length-bucket) or a phonetic key to keep
+    blocks bounded; an unblocked fuzzy join is a cartesian product and
+    is banned registry-wide (tests/test_plans.py).
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("partkey_a") < F.col("partkey_b"))
+        .where(dist <= 2)
+        .select(
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# --- inverted index (term -> posting list) -----------------------------
+
+_POSTINGS_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id), ',') AS postings
+FROM toks
+WHERE term <> ''
+GROUP BY term
+HAVING COUNT(*) >= 10
+"""
+
+
+@query("term_postings", oracle=_POSTINGS_ORACLE)
+def term_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency + sorted posting
+    list, for terms appearing in ≥10 documents — the search-index /
+    keyword-routing structure over a corpus.
+
+    Shape: explode to distinct (doc, term) pairs (map-side dedup via
+    the aggregate's partials), one shuffle on term, posting lists
+    assembled with collect_list + array_sort (ObjectHashAggregate —
+    same known-good family as distinct_pair_agg). Per-term list size
+    is bounded by document frequency; for web-scale indexes the
+    posting list would be delta-encoded per shard, but the shuffle
+    shape is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .dropDuplicates(["doc_id", "term"])
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= 10)
+        .select("term", "df", "postings")
+    )
