@@ -1,0 +1,182 @@
+"""Graph operators over relationship edges.
+
+The reference's recommendation table IS a graph —
+``RecommendedAppHistory(appHandle → recommendedAppHandle, position)``
+(src/utils/lib.ts:231-238) — but the only graph read it performs is
+weighted in-degree (src/utils/lib.ts:355-362, our
+``recommendation_metrics``). The natural next question ("which apps
+are central in the recommendation network, transitively?") is
+PageRank. This module builds a co-purchase graph from the fixtures
+(parts co-occurring in an order, per FIXTURES.md §C's
+recommendation-edge mapping) and runs a fixed-iteration PageRank —
+expressed entirely in DataFrame joins/aggregations so Catalyst/AQE
+plan every step.
+
+Scale notes:
+- Edge generation is a self-join on the order key: candidate cost is
+  Σ per-order-size² (orders hold ≤7 items), never n².
+- Each PageRank iteration is ONE shuffle: edges ⋈ ranks on src
+  (both pre-partitioned on the join key — AQE reuses the layout),
+  then a groupBy(dst) sum. Ranks are persisted per iteration and
+  unpersisted after the next materializes (same discipline as
+  llm/dedup.connected_components' label propagation).
+- Determinism: contributions are rounded per iteration on BOTH
+  engines, so cross-engine float summation drift cannot compound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.plans.registry import query
+
+#: Damping factor (standard) and fixed iteration count — fixed so the
+#: result is deterministic and SQL-expressible (the oracle unrolls the
+#: same three iterations).
+_DAMPING = 0.85
+_N_ITER = 3
+#: Per-iteration rounding: kills sub-1e-9 cross-engine summation drift
+#: before it can compound through the next iteration.
+_ITER_SCALE = 9
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric co-purchase edges: (src, dst) part pairs appearing in
+    the same order, distinct. Σ per-order² pairs, bounded by order
+    size — the scalable edge generator (contrast: joining on a global
+    attribute would be quadratic in the table)."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+
+def pagerank(edges: DataFrame, n_iter: int = _N_ITER, damping: float = _DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``rank_{k+1}(v) = (1-d)/N + d * Σ_{u→v} rank_k(u)/outdeg(u)``.
+
+    The symmetric co-purchase graph has no dangling nodes (every node
+    with an edge has out-degree ≥ 1), so no dangling-mass term is
+    needed. N is computed as a 1-row aggregate broadcast back — no
+    driver collect. Each iteration: one join + one aggregate = one
+    shuffle on the edge key.
+    """
+    out = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    weighted = (
+        edges.join(out, "src")
+        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
+    )
+    weighted = weighted.persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n_df = nodes.agg(F.count("*").alias("__n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(1.0 / F.col("__n"), _ITER_SCALE).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            weighted.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "__in"), "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    _ITER_SCALE,
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize before dropping the parent
+        prev.unpersist()
+    weighted.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), w AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / o.outdeg AS w
+  FROM edges e JOIN outdeg o USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {_ITER_SCALE}) AS rank
+  FROM nodes
+), r1 AS (
+  SELECT nodes.node,
+         ROUND(CAST({1.0 - _DAMPING!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({_DAMPING!r} AS DOUBLE) * COALESCE(SUM(r0.rank * w.w), 0.0),
+               {_ITER_SCALE}) AS rank
+  FROM nodes
+  LEFT JOIN w ON w.dst = nodes.node
+  LEFT JOIN r0 ON r0.node = w.src
+  GROUP BY nodes.node
+), r2 AS (
+  SELECT nodes.node,
+         ROUND(CAST({1.0 - _DAMPING!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({_DAMPING!r} AS DOUBLE) * COALESCE(SUM(r1.rank * w.w), 0.0),
+               {_ITER_SCALE}) AS rank
+  FROM nodes
+  LEFT JOIN w ON w.dst = nodes.node
+  LEFT JOIN r1 ON r1.node = w.src
+  GROUP BY nodes.node
+), r3 AS (
+  SELECT nodes.node,
+         ROUND(CAST({1.0 - _DAMPING!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({_DAMPING!r} AS DOUBLE) * COALESCE(SUM(r2.rank * w.w), 0.0),
+               {_ITER_SCALE}) AS rank
+  FROM nodes
+  LEFT JOIN w ON w.dst = nodes.node
+  LEFT JOIN r2 ON r2.node = w.src
+  GROUP BY nodes.node
+)
+SELECT node AS l_partkey, ROUND(rank * 1000000.0, 4) AS pagerank_ppm
+FROM r3
+"""
+
+
+@query("part_copurchase_pagerank", oracle=_PAGERANK_ORACLE)
+def part_copurchase_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (3 iterations,
+    d=0.85), reported in parts-per-million — transitive centrality of
+    each part in the purchase network, the graph upgrade of the
+    reference's one-hop weighted in-degree
+    (src/utils/lib.ts:355-362). The oracle unrolls the identical
+    three iterations as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ranks = pagerank(copurchase_edges(li))
+    return ranks.select(
+        F.col("node").alias("l_partkey"),
+        F.round(F.col("rank") * 1_000_000, 4).alias("pagerank_ppm"),
+    )
