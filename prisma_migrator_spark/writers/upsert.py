@@ -359,6 +359,105 @@ def upsert_partitioned(
     return {"path": path, "mode": "update", "partitions": len(parts)}
 
 
+def delete_keys_cow(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+) -> dict:
+    """Key-targeted DELETE from unpartitioned parquet with
+    file-granularity copy-on-write — the "right to be forgotten" /
+    retention-expiry write a data platform needs and the reference
+    (append/upsert only, src/utils/lib.ts:76-95) never had.
+
+    Same machinery as :func:`upsert_parquet_cow`: footer key-range
+    stats prune the file set to those that COULD hold a doomed key;
+    only those are read, anti-joined against the key set, and
+    rewritten — every other file is hard-linked untouched
+    (byte-identical, zero IO). Deleting 1k users from a 100 TB table
+    clustered by user rewrites only the files their rows live in.
+    Idempotent in content; keys outside every file's range (already
+    fully absent) prune to a zero-rewrite noop, while a repeat delete
+    of keys INSIDE a surviving file's min/max conservatively rewrites
+    that file (footer stats prove possible presence, never absence —
+    the same conservatism as the CoW upsert).
+
+    ``keys_df`` needs exactly the ``key_cols`` columns (extra columns
+    are dropped). Multi-column keys prune on ``key_cols[0]`` and
+    match on all columns, like the CoW upsert.
+    """
+    keys = list(key_cols)
+    doomed = keys_df.select(*keys).dropDuplicates(keys)
+    if not os.path.exists(path):
+        return {"path": path, "mode": "noop", "files_rewritten": 0}
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    existing_schema = spark.read.parquet(path).schema
+    prune_key = keys[0]
+    files = _part_files(path)
+    ranges = _file_key_ranges(files, prune_key)
+    ranged = [r for r in ranges if r[1] is not None]
+    rewrite = {f for f, lo, _ in ranges if lo is None}
+    if ranged:
+        key_type = existing_schema[prune_key].dataType
+        rng_schema = StructType(
+            [
+                StructField("__file", StringType()),
+                StructField("__lo", key_type),
+                StructField("__hi", key_type),
+            ]
+        )
+        rng = spark.createDataFrame(ranged, rng_schema)
+        hits = (
+            doomed.select(F.col(prune_key).alias("__k"))
+            .distinct()
+            .join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        rewrite.update(r["__file"] for r in hits)
+
+    matched = sorted(rewrite)
+    untouched = [f for f in files if f not in rewrite]
+    if not matched:
+        return {
+            "path": path,
+            "mode": "noop",
+            "files_total": len(files),
+            "files_rewritten": 0,
+            "files_kept": len(untouched),
+        }
+
+    survivors = anti_join(
+        spark.read.schema(existing_schema).parquet(*matched), doomed, keys
+    )
+    staged_rw = path + ".staging.rewrite"
+    survivors.write.mode("overwrite").parquet(staged_rw)
+    staged = path + ".staging"
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    try:
+        for f in untouched:
+            os.link(f, os.path.join(staged, os.path.basename(f)))
+        for f in _part_files(staged_rw):
+            os.rename(f, os.path.join(staged, "d-" + os.path.basename(f)))
+    finally:
+        shutil.rmtree(staged_rw, ignore_errors=True)
+    _atomic_swap(staged, path)
+    return {
+        "path": path,
+        "mode": "delete",
+        "files_total": len(files),
+        "files_rewritten": len(matched),
+        "files_kept": len(untouched),
+    }
+
+
 def write_entity(
     spark: SparkSession,
     df: DataFrame,

@@ -274,6 +274,59 @@ def test_upsert_cow_do_nothing_and_partial_update(spark, tmp_path):
     assert row["v"] == "P" and row["ts"] == 10
 
 
+def test_delete_keys_cow_rewrites_only_holding_files(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import delete_keys_cow
+
+    path = str(tmp_path / "del.parquet")
+    _cow_table(spark, path)
+    before = _file_bytes(path)
+
+    # keys 5 and 7 live in the first range file; 9999 never existed
+    doomed = _df(spark, [{"k": 5}, {"k": 7}, {"k": 9999}])
+    rep = delete_keys_cow(spark, doomed, path, ["k"])
+    assert rep["mode"] == "delete"
+    assert rep["files_total"] == 4
+    assert rep["files_rewritten"] == 1
+    assert rep["files_kept"] == 3
+
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 398
+    assert 5 not in got and 7 not in got
+    assert 0 in got and 399 in got
+
+    # every kept file is BYTE-identical to its pre-delete self
+    after = _file_bytes(path)
+    kept = [b for b in after if b in before]
+    assert len(kept) == 3
+    for b in kept:
+        assert after[b] == before[b]
+
+    # idempotent in content (the surviving file's 0..99 range still
+    # covers keys 5/7, so it conservatively rewrites — stats prove
+    # possible presence, never absence)
+    rep2 = delete_keys_cow(spark, doomed, path, ["k"])
+    assert rep2["files_rewritten"] == 1
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == got
+
+    # keys beyond every file's range prune to a zero-IO noop
+    rep3 = delete_keys_cow(spark, _df(spark, [{"k": 5000}]), path, ["k"])
+    assert rep3["mode"] == "noop" and rep3["files_rewritten"] == 0
+
+
+def test_delete_keys_cow_composite_key(spark, tmp_path):
+    from prisma_migrator_spark.writers.upsert import delete_keys_cow
+
+    path = str(tmp_path / "del2.parquet")
+    rows = [{"k": i, "sub": s, "v": f"v{i}-{s}"} for i in range(20) for s in ("a", "b")]
+    _df(spark, rows).repartitionByRange(2, "k").write.mode("overwrite").parquet(path)
+
+    # delete only (3, 'a'): (3, 'b') must survive the rewrite
+    delete_keys_cow(spark, _df(spark, [{"k": 3, "sub": "a"}]), path, ["k", "sub"])
+    got = {(r["k"], r["sub"]) for r in spark.read.parquet(path).collect()}
+    assert (3, "a") not in got and (3, "b") in got
+    assert len(got) == 39
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     from prisma_migrator_spark.catalog import load_table
     from prisma_migrator_spark.writers.bucketed import write_bucketed
