@@ -184,3 +184,49 @@ def streaming_ingest_corpus(
         content_fingerprint(F.col("text")).alias("fingerprint"),
     )
     return streaming_ingest_dedup(with_fp)
+
+
+def run_upsert_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> dict | None:
+    """Drain a stream into a KEYED parquet table via per-micro-batch
+    MERGE (``foreachBatch`` + :func:`writers.upsert.upsert_parquet`)
+    — the streaming CDC-apply shape the reference's upsert loop
+    (src/utils/lib.ts:76-95) becomes when the source is a queue
+    instead of a scraper.
+
+    Exactly-once WITHOUT a transactional sink: the checkpoint gives
+    at-least-once micro-batch delivery, and the MERGE is idempotent
+    (same batch re-applied converges to the same table), so replayed
+    batches after a crash cannot duplicate or corrupt rows — the
+    standard foreachBatch-upsert contract. ``order_col`` makes
+    in-batch replays deterministic (latest-wins within the batch).
+
+    Scale: each micro-batch pays one MERGE join keyed on the conflict
+    target. Swap ``upsert_parquet`` for ``upsert_parquet_cow`` /
+    ``upsert_partitioned`` when the table outgrows full rewrites —
+    the sink contract is unchanged.
+    """
+    from prisma_migrator_spark.writers.upsert import upsert_parquet
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(
+            batch.sparkSession, batch, path, key_cols, update_cols, order_col
+        )
+
+    q = (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.lastProgress

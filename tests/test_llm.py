@@ -1270,3 +1270,44 @@ def test_streaming_sliding_windows_match_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_streaming_upsert_sink_merges_per_batch(spark, tmp_path):
+    """foreachBatch MERGE sink: two stream drops with overlapping keys
+    converge to the batch-upsert result; a replayed drop (same input
+    re-delivered with the same checkpoint) is a committed no-op."""
+    from prisma_migrator_spark.streaming.jobs import run_upsert_sink
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table.parquet")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    drop1 = spark.createDataFrame(
+        [Row(k=1, v="a", seq=1), Row(k=2, v="b", seq=1), Row(k=3, v="c", seq=1)]
+    )
+    drop1.write.parquet(src)
+    stream = spark.readStream.schema(drop1.schema).parquet(src)
+    run_upsert_sink(stream, table, ckpt, ["k"], order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1), 3: ("c", 1)}
+
+    # drop 2: update k=2, insert k=4, in-batch replay of k=4 (seq wins)
+    drop2 = spark.createDataFrame(
+        [Row(k=2, v="B2", seq=2), Row(k=4, v="d", seq=2), Row(k=4, v="d2", seq=3)]
+    )
+    drop2.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(drop1.schema).parquet(src)
+    run_upsert_sink(stream, table, ckpt, ["k"], order_col="seq")
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
+    assert got == {
+        1: ("a", 1),
+        2: ("B2", 2),
+        3: ("c", 1),
+        4: ("d2", 3),
+    }
+
+    # third run with NO new files: checkpoint marks all input committed
+    stream = spark.readStream.schema(drop1.schema).parquet(src)
+    run_upsert_sink(stream, table, ckpt, ["k"], order_col="seq")
+    again = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
+    assert again == got
