@@ -85,6 +85,27 @@ PINS = {
     # in PERF.md #23 — the shuffle count is the price of pruning
     "ngram_jaccard_prefix": (12, [2, 2, 2, 2, 2, 2], False),
     "doc_containment_pairs": (7, [2, 2, 2, 2], False),
+    # --- round-4 additions ---
+    # temporal family: one key-partitioned shuffle each, 5-6 pruned
+    # columns of lineitem's 11
+    "scd2_part_history": (1, [5], False),
+    "part_price_changes": (1, [5], False),
+    "part_state_asof": (1, [6], False),
+    "part_price_ohlc_monthly": (1, [5], False),
+    "events_decayed_score": (1, [3], False),
+    # outlier screen: stats agg shuffle only; fact side never shuffles
+    "event_value_outliers": (1, [2, 3], False),
+    # one scan + one Expand aggregate for ALL columns' stats (the
+    # SinglePartition is the 1-row wide stats frame)
+    "profile_lineitem_numeric": (1, [5], False),
+    # blocked fuzzy join: broadcast at this SF (0 shuffles); at scale
+    # it becomes one hash join on the block key — never cartesian
+    "fuzzy_part_matches": (0, [3, 3], False),
+    "term_postings": (2, [2], False),
+    # part_copurchase_pagerank is NOT pinnable this way: its persisted
+    # per-iteration ranks make the plan PRINTER re-emit cached subtrees
+    # once per consumer (same artifact as corpus_recipe — see PERF.md);
+    # it is covered by the plan-audit known-good list instead.
 }
 
 
