@@ -43,12 +43,19 @@ DRIVER_WINDOW: list[str] = [
     "encode_token_ids",
     "normalized_part_scores",    # F2 NULLIF guard, W1 normalization
     "dynamic_pivot_categories",  # R1 dynamic pivot, A6
-    "hyperlink_report",          # F8 hyperlink + CSV escaping
-    "category_report",           # S9 CSV report
+    "hyperlink_report",          # F8 hyperlink + CSV escaping (S9 CSV
+    # path shared with category_report, which moves to the tail; the
+    # slot carries the round-4 entity-resolution family)
+    "fuzzy_part_matches",        # blocked fuzzy-match join
     "events_json_props",         # S8 JSON extraction
-    "category_sizes",            # A1 count distinct per group
-    "rank_scores",               # A2 weighted reciprocal-rank (log10)
-    "recommendation_metrics",    # A3 count + weighted sum
+    # A1/A2/A3 signal stays in-window via flagship_popularity (its
+    # fused plan computes category sizes, weighted reciprocal-rank
+    # scores, and recommendation metrics) and category_difficulty
+    # (COUNT DISTINCT); the three standalone variants move to the
+    # tail and the slots carry round-4 families:
+    "scd2_part_history",         # temporal: SCD2 validity intervals
+    "part_copurchase_pagerank",  # graph: fixed-iteration PageRank
+    "profile_lineitem_numeric",  # one-pass table profiler
     "distinct_pair_agg",         # A4 sorted distinct array agg
     "repeat_customers_setops",   # §2.7 set operations
     "top_orders_per_customer",   # ranked window top-k

@@ -2298,3 +2298,64 @@ def corpus_mixture_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("__all"), 6).alias("token_share"),
     )
+
+
+# --- SemDeDup-style semantic canonical selection -----------------------
+
+_SEMANTIC_CANONICAL_ORACLE = """
+WITH RECURSIVE cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+), reach AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+), clusters AS (
+  SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       MIN(e.vec_id) AS canonical_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+GROUP BY COALESCE(c.cluster_id, e.vec_id)
+"""
+
+
+@query("semantic_canonical_docs", oracle=_SEMANTIC_CANONICAL_ORACLE)
+def semantic_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    PAPERS.md): cluster embeddings whose cosine exceeds the duplicate
+    threshold (bucketed pair generation — label buckets here, IVF/LSH
+    cells at scale), take connected components, and keep ONE canonical
+    representative per semantic cluster (min id; swap in a centroid-
+    distance or quality rank without changing the shape). The
+    embedding-space analog of text canonical_docs: catches paraphrases
+    and re-encodings that shingle-based dedup can't see.
+
+    Scale: pairs are Σ bucket² (never n²), components converge in
+    O(cluster diameter) rounds over pair-sized frames, the final
+    canonical pick is one groupBy over the corpus."""
+    from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs, near_dup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, bucket_col="label", min_cosine=0.35)
+    clusters = near_dup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(clusters, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.min("vec_id").alias("canonical_vec_id"),
+            F.count("*").alias("n_members"),
+        )
+    )

@@ -192,3 +192,49 @@ def term_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 10)
         .select("term", "df", "postings")
     )
+
+
+# --- one-pass pairwise correlation matrix ------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       ROUND(CORR({a}, {b}), 6) AS pearson_r
+FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+@query("corr_matrix_lineitem", oracle=_CORR_ORACLE)
+def corr_matrix_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between all numeric column pairs
+    — the feature-redundancy screen of the profiling toolkit
+    (migrating a table whose columns are >0.99 correlated usually
+    means one is derived; drop it at the source).
+
+    ONE scan + ONE aggregate computes all C(n,2) coefficients
+    (``corr`` is a streaming moment aggregate with map-side partials);
+    the oracle's UNION ALL pays one scan per pair. 1 scan vs 6 at
+    100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    wide = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"__r_{a}_{b}") for a, b in pairs]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__r_{a}_{b}").alias("pearson_r"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("__p")).select("__p.*")

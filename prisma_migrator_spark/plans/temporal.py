@@ -316,3 +316,74 @@ def event_value_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# --- gaps-and-islands sessionization ------------------------------------
+
+_GAP_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       EPOCH_US(MIN(ts)) AS start_us,
+       EPOCH_US(MAX(ts)) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@query("event_sessions_gap30m", oracle=_GAP_SESSIONS_ORACLE)
+def event_sessions_gap30m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the previous event exceeds 30 minutes; the session index is
+    the running count of session starts. The classic SQL idiom — same
+    semantics as ``session_window`` (events_session_30m) but it also
+    yields a per-event session ID that downstream joins can key on,
+    which the native operator doesn't expose.
+
+    Plan: both windows and the final groupBy share the user_id
+    partitioning — ONE shuffle total; the running sum is per-user,
+    never global.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "__new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "start_us",
+            "end_us",
+            "n_events",
+            "total_value",
+        )
+    )

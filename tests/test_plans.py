@@ -102,10 +102,16 @@ PINS = {
     # it becomes one hash join on the block key — never cartesian
     "fuzzy_part_matches": (0, [3, 3], False),
     "term_postings": (2, [2], False),
-    # part_copurchase_pagerank is NOT pinnable this way: its persisted
-    # per-iteration ranks make the plan PRINTER re-emit cached subtrees
+    # gaps-and-islands: both windows + the groupBy share ONE user_id
+    # shuffle
+    "event_sessions_gap30m": (1, [4], False),
+    # all C(4,2) correlations in one scan, zero shuffles (1-row agg)
+    "corr_matrix_lineitem": (0, [4], False),
+    # part_copurchase_pagerank and semantic_canonical_docs are NOT
+    # pinnable this way: their persisted iteration state (ranks /
+    # component labels) makes the plan PRINTER re-emit cached subtrees
     # once per consumer (same artifact as corpus_recipe — see PERF.md);
-    # it is covered by the plan-audit known-good list instead.
+    # both are covered by the plan-audit known-good list instead.
 }
 
 
