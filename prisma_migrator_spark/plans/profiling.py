@@ -108,8 +108,13 @@ def fuzzy_part_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks bounded; an unblocked fuzzy join is a cartesian product and
     is banned registry-wide (tests/test_plans.py).
     """
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = part.select(
+    # the pair fan-out + Levenshtein run inside the probe side's tasks
+    # (the block dim broadcasts); a single-row-group part scan would
+    # serialize ~|block|²/2 edit distances onto one core
+    a = ensure_parallelism(part).select(
         F.col("p_partkey").alias("partkey_a"),
         F.col("p_name").alias("name_a"),
         "p_brand",
@@ -119,11 +124,17 @@ def fuzzy_part_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         "p_brand",
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # |len(a)-len(b)| <= t is necessary for edit distance <= t: a
+    # 1-char length filter prunes most candidates before the O(n*m)
+    # Levenshtein DP; the bounded 3-arg form then early-exits any DP
+    # row that already exceeds the threshold (banded DP, O(t*n) not
+    # O(n*m) — Spark >= 3.5).
+    dist = F.levenshtein("name_a", "name_b", 2)
     return (
         a.join(b, "p_brand")
         .where(F.col("partkey_a") < F.col("partkey_b"))
-        .where(dist <= 2)
+        .where(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .where((dist >= 0) & (dist <= 2))
         .select(
             "partkey_a",
             "partkey_b",
