@@ -2341,7 +2341,13 @@ def semantic_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pairs are Σ bucket² (never n²), components converge in
     O(cluster diameter) rounds over pair-sized frames, the final
-    canonical pick is one groupBy over the corpus."""
+    canonical pick is one groupBy over the corpus. Parallelism bound:
+    the bucket join has only n_buckets distinct keys, so at most
+    n_buckets tasks carry the pairwise-cosine compute — with coarse
+    buckets (10 labels here) that underuses a big cluster. The scale
+    deployment uses finer cells (IVF codebook / LSH hyperplanes, as
+    in topk_cosine_ivf/_lsh) which multiply pruning AND parallelism
+    together; the pipeline shape is unchanged (PERF.md #27)."""
     from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs, near_dup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
