@@ -237,9 +237,16 @@ def corr_matrix_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1:]
     ]
-    wide = li.agg(
-        *[F.round(F.corr(a, b), 6).alias(f"__r_{a}_{b}") for a, b in pairs]
-    )
+    # Pearson r via population co-moments: covar_pop / (σ_pop·σ_pop)
+    # is algebraically identical to corr (the 1/n factors cancel) but
+    # NULLs out zero-variance columns instead of throwing Spark's
+    # ANSI DIVIDE_BY_ZERO from inside the corr aggregate — matching
+    # SQL CORR()'s NULL contract.
+    def _r(a: str, b: str):
+        denom = F.nullif(F.stddev_pop(a) * F.stddev_pop(b), F.lit(0.0))
+        return F.round(F.covar_pop(a, b) / denom, 6)
+
+    wide = li.agg(*[_r(a, b).alias(f"__r_{a}_{b}") for a, b in pairs])
     structs = [
         F.struct(
             F.lit(a).alias("col_a"),

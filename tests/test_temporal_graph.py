@@ -1,0 +1,195 @@
+"""Constructed-frame semantics tests for the round-4 operators
+(temporal history, graph, profiling) — the oracle gate proves
+fixture-level equality; these pin the EDGE semantics on inputs built
+to hit them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_intervals_chain_and_close(spark, tmp_path):
+    """Per key: intervals chain exactly (valid_to == next valid_from),
+    exactly one open (current) interval, ordering resolved by the
+    pinned tiebreakers."""
+    from prisma_migrator_spark.plans.temporal import scd2_part_history_q
+
+    rows = [
+        Row(l_partkey=1, l_shipdate=_ts("1995-01-01"), l_orderkey=1,
+            l_linenumber=1, l_extendedprice=10.0),
+        Row(l_partkey=1, l_shipdate=_ts("1995-02-01"), l_orderkey=2,
+            l_linenumber=1, l_extendedprice=20.0),
+        # same shipdate as above -> tiebreak on orderkey
+        Row(l_partkey=1, l_shipdate=_ts("1995-02-01"), l_orderkey=3,
+            l_linenumber=1, l_extendedprice=30.0),
+        Row(l_partkey=2, l_shipdate=_ts("1995-01-15"), l_orderkey=4,
+            l_linenumber=1, l_extendedprice=5.0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/lineitem.parquet")
+    out = scd2_part_history_q(spark, sf).orderBy("l_partkey", "valid_from_us").collect()
+
+    k1 = [r for r in out if r.l_partkey == 1]
+    assert [r.price for r in k1] == [10.0, 20.0, 30.0]
+    # chain: each interval closes where the next opens
+    assert k1[0].valid_to_us == k1[1].valid_from_us
+    assert k1[1].valid_to_us == k1[2].valid_from_us
+    assert [r.is_current for r in k1] == [False, False, True]
+    k2 = [r for r in out if r.l_partkey == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].valid_to_us is None
+
+
+def test_ohlc_bar_semantics(spark, tmp_path):
+    """Open = chronologically first price, close = last, high/low =
+    extremes — independent of row order in the input."""
+    from prisma_migrator_spark.plans.temporal import part_price_ohlc_monthly_q
+
+    rows = [  # deliberately unordered
+        Row(l_partkey=1, l_shipdate=_ts("1995-03-20"), l_orderkey=3,
+            l_linenumber=1, l_extendedprice=7.0),   # last -> close
+        Row(l_partkey=1, l_shipdate=_ts("1995-03-01"), l_orderkey=1,
+            l_linenumber=1, l_extendedprice=5.0),   # first -> open
+        Row(l_partkey=1, l_shipdate=_ts("1995-03-10"), l_orderkey=2,
+            l_linenumber=1, l_extendedprice=99.0),  # high
+        Row(l_partkey=1, l_shipdate=_ts("1995-03-15"), l_orderkey=2,
+            l_linenumber=2, l_extendedprice=1.0),   # low
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/lineitem.parquet")
+    bar = part_price_ohlc_monthly_q(spark, sf).collect()
+    assert len(bar) == 1
+    b = bar[0]
+    assert (b.open, b.high, b.low, b.close, b.n_obs) == (5.0, 99.0, 1.0, 7.0, 4)
+    assert b.month == "1995-03"
+
+
+def test_gap_sessions_boundary_is_strict(spark, tmp_path):
+    """A gap of exactly 30 minutes does NOT start a new session
+    (strictly-greater threshold); 30min + 1us does."""
+    from prisma_migrator_spark.plans.temporal import event_sessions_gap30m_q
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        Row(event_id=1, ts=t0, user_id=7, event_type="a", value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 + dt.timedelta(minutes=30), user_id=7,
+            event_type="a", value=1.0, props="{}"),  # same session
+        Row(event_id=3, ts=t0 + dt.timedelta(minutes=60, microseconds=1),
+            user_id=7, event_type="a", value=1.0, props="{}"),  # new session
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    out = event_sessions_gap30m_q(spark, sf).orderBy("session_idx").collect()
+    assert [r.n_events for r in out] == [2, 1]
+    assert [r.session_idx for r in out] == [1, 2]
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    """On a symmetric graph ranks sum to ~1 (no dangling mass leaks),
+    and structurally identical nodes get identical ranks."""
+    from prisma_migrator_spark.plans.graph import pagerank
+
+    # a 4-cycle: every node symmetric -> all ranks equal 0.25
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)]]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    for v in ranks.values():
+        assert v == pytest.approx(0.25, abs=1e-6)
+
+    # star: center must outrank leaves, total mass ~1
+    star_pairs = [(0, i) for i in range(1, 6)]
+    star = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in star_pairs]
+        + [Row(src=b, dst=a) for a, b in star_pairs]
+    )
+    ranks = {r.node: r.rank for r in pagerank(star).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-5)
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    leaf_vals = {round(ranks[i], 9) for i in range(1, 6)}
+    assert len(leaf_vals) == 1
+
+
+def test_profiler_counts_nulls_and_distincts(spark, tmp_path):
+    from prisma_migrator_spark.plans.profiling import profile_lineitem_numeric_q
+
+    rows = [
+        Row(l_quantity=1.0, l_extendedprice=10.0, l_discount=None,
+            l_tax=0.1, l_linenumber=1),
+        Row(l_quantity=1.0, l_extendedprice=20.0, l_discount=0.05,
+            l_tax=0.1, l_linenumber=2),
+        Row(l_quantity=2.0, l_extendedprice=20.0, l_discount=None,
+            l_tax=0.1, l_linenumber=3),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/lineitem.parquet")
+    prof = {r.col_name: r for r in profile_lineitem_numeric_q(spark, sf).collect()}
+    q = prof["l_quantity"]
+    assert (q.n_rows, q.n_nulls, q.n_distinct) == (3, 0, 2)
+    assert (q.min_v, q.max_v) == (1.0, 2.0)
+    d = prof["l_discount"]
+    assert (d.n_nulls, d.n_distinct) == (2, 1)
+    assert d.avg_v == pytest.approx(0.05)
+
+
+def test_corr_matrix_perfect_and_anti_correlation(spark, tmp_path):
+    from prisma_migrator_spark.plans.profiling import corr_matrix_lineitem_q
+
+    rows = [
+        Row(l_quantity=float(i), l_extendedprice=2.0 * i + 1,
+            l_discount=-1.0 * i, l_tax=0.5)
+        for i in range(1, 6)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/lineitem.parquet")
+    got = {(r.col_a, r.col_b): r.pearson_r
+           for r in corr_matrix_lineitem_q(spark, sf).collect()}
+    assert got[("l_quantity", "l_extendedprice")] == pytest.approx(1.0)
+    assert got[("l_quantity", "l_discount")] == pytest.approx(-1.0)
+    # zero-variance column -> corr undefined -> NULL (not NaN/crash)
+    assert got[("l_quantity", "l_tax")] is None
+
+
+def test_fuzzy_matches_respect_block_boundary(spark, tmp_path):
+    """Identical names in DIFFERENT brand blocks never pair (blocking
+    is a recall/cost trade, asserted explicitly)."""
+    from prisma_migrator_spark.plans.profiling import fuzzy_part_matches_q
+
+    rows = [
+        Row(p_partkey=1, p_name="blue widget", p_brand="A"),
+        Row(p_partkey=2, p_name="blue widgets", p_brand="A"),  # dist 1
+        Row(p_partkey=3, p_name="blue widget", p_brand="B"),   # other block
+        Row(p_partkey=4, p_name="red gizmo xl", p_brand="A"),  # far
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/part.parquet")
+    got = {(r.partkey_a, r.partkey_b): r.edit_dist
+           for r in fuzzy_part_matches_q(spark, sf).collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_term_postings_sorted_and_distinct(spark, tmp_path):
+    from prisma_migrator_spark.plans.profiling import term_postings_q
+
+    docs = [Row(doc_id=i, text="alpha beta " * 3, lang="en",
+                source="s", n_chars=10) for i in range(20, 8, -1)]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    got = {r.term: r for r in term_postings_q(spark, sf).collect()}
+    assert set(got) == {"alpha", "beta"}
+    # repeated occurrences within a doc count once; postings sorted
+    assert got["alpha"].df == 12
+    assert got["alpha"].postings == ",".join(str(i) for i in range(9, 21))
