@@ -329,21 +329,31 @@ def connected_components(
     ``min(own label, neighbors' labels)``; converges in O(graph
     diameter) rounds — duplicate clusters are near-cliques, so 2-4
     rounds in practice. Each round is one join + one agg (both keyed
-    on node id) over the edge list; labels persist per round and the
-    previous round unpersists, so lineage and memory stay bounded.
-    This is the standard scale pattern (HashToMin) — no driver-side
-    graph, no GraphFrames dependency.
+    on node id) over the edge list. This is the standard scale
+    pattern (HashToMin) — no driver-side graph, no GraphFrames
+    dependency.
+
+    Rounds are snapshotted with eager ``localCheckpoint`` rather than
+    ``persist``: a cached round's plan still references the whole
+    chain of prior rounds, and any partition a probing action didn't
+    materialize recomputes through that chain once the previous round
+    is unpersisted — measured round times GREW 1.7s -> 8.2s over 5
+    rounds with persist and stay flat at ~0.5s with checkpoints
+    (PERF.md #29). The trade: checkpoint blocks are executor-local
+    and unreplicated, so a lost executor fails the job
+    (restart-and-rerun); a 100 TB production run points
+    ``sparkContext.setCheckpointDir`` at durable storage and swaps in
+    ``checkpoint()`` — same plan shape, fault-tolerant snapshots.
     """
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .persist()
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -363,13 +373,13 @@ def connected_components(
             (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
                 "__changed"
             ),
-        ).persist()
-        changed = flagged.where("__changed").limit(1).count()
-        labels.unpersist()
+        ).localCheckpoint()
+        changed = flagged.agg(
+            F.coalesce(F.sum(F.col("__changed").cast("int")), F.lit(0)).alias("n")
+        ).first()["n"]
         labels = flagged.drop("__changed")
         if changed == 0:
             break
-    und.unpersist()
     return labels
 
 
@@ -456,13 +466,30 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     min_cosine: float = 0.9,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. ``bucket_col`` (e.g. an LSH
     bucket or a label) restricts candidates to same-bucket pairs —
     the Σ bucket² scale path; None = full n² (small inputs only).
 
     Norms are attached per row before the self-join so each vector's
-    norm is computed once, not once per candidate pair."""
+    norm is computed once, not once per candidate pair.
+
+    ``n_blocks`` > 1 enables triangle-blocked pair generation: each
+    row is hashed into one of G blocks, and the unordered block pairs
+    (i ≤ j) become extra join-key components, so the pairwise-cosine
+    compute spreads over n_buckets · G(G+1)/2 tasks instead of being
+    bounded by the n_buckets distinct bucket keys (PERF.md #27 — with
+    10 coarse label buckets at most 10 tasks carried 125M cosines no
+    matter how many cores the cluster has). Cost: each row is
+    replicated G+1 times into the shuffle ((G-g) left roles + (g+1)
+    right roles); candidate pairs are generated exactly once — a
+    cross-block pair {x,y} with blocks bi < bj joins only under key
+    (bi, bj) with x on the left, and the diagonal i == j keeps the
+    id_a < id_b half — so no dedup pass is needed. Pick G so that
+    replication (G+1)·|bucket| stays shuffle-friendly while G(G+1)/2
+    saturates the cluster; G=1 degenerates to the plain bucket join.
+    """
     from prisma_migrator_spark.llm.similarity import _dot, _norm
 
     emb = emb.select(
@@ -470,9 +497,29 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         *([bucket_col] if bucket_col else []),
     ).withColumn("__norm", _norm(F.col(vec_col)))
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if n_blocks > 1:
+        g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        # left role: row of block g serves block-pairs (g, j), j >= g
+        a = emb.withColumn("__i", g).withColumn(
+            "__j", F.explode(F.sequence(F.col("__i"), F.lit(n_blocks - 1)))
+        ).alias("a")
+        # right role: row of block g serves block-pairs (i, g), i <= g
+        b = emb.withColumn("__j", g).withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.col("__j")))
+        ).alias("b")
+        cond = (F.col("a.__i") == F.col("b.__i")) & (
+            F.col("a.__j") == F.col("b.__j")
+        )
+        # diagonal blocks hold both copies of every within-block pair;
+        # cross-block pairs appear exactly once (lower block on the left)
+        cond = cond & (
+            (F.col("a.__i") != F.col("a.__j"))
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        )
+    else:
+        a = emb.alias("a")
+        b = emb.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if bucket_col:
         cond = cond & (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
     sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
@@ -481,8 +528,8 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, cond)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
             F.round(sim, 6).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)

@@ -560,8 +560,12 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 @query("embedding_near_dup", oracle=_NEAR_DUP_ORACLE)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_blocks=4 triangle-blocks the within-label pair join so the
+    cosine compute spreads over n_labels*10 tasks, not n_labels."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, bucket_col="label", min_cosine=0.35)
+    return embedding_near_dup_pairs(
+        emb, bucket_col="label", min_cosine=0.35, n_blocks=4
+    )
 
 
 _TOPK_ORACLE = """
@@ -2341,17 +2345,20 @@ def semantic_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pairs are Σ bucket² (never n²), components converge in
     O(cluster diameter) rounds over pair-sized frames, the final
-    canonical pick is one groupBy over the corpus. Parallelism bound:
-    the bucket join has only n_buckets distinct keys, so at most
-    n_buckets tasks carry the pairwise-cosine compute — with coarse
-    buckets (10 labels here) that underuses a big cluster. The scale
-    deployment uses finer cells (IVF codebook / LSH hyperplanes, as
-    in topk_cosine_ivf/_lsh) which multiply pruning AND parallelism
-    together; the pipeline shape is unchanged (PERF.md #27)."""
+    canonical pick is one groupBy over the corpus. Parallelism: the
+    plain bucket join has only n_buckets distinct keys (at most 10
+    tasks carried the 125M cosines here — PERF.md #27), so the pair
+    join is triangle-blocked (n_blocks=8): block pairs join the
+    bucket key, spreading the compute over n_buckets·36 tasks for a
+    9x row-replication cost. Finer cells (IVF codebook / LSH
+    hyperplanes, as in topk_cosine_ivf/_lsh) remain the way to also
+    PRUNE candidates; blocking fixes only the parallelism."""
     from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs, near_dup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, bucket_col="label", min_cosine=0.35)
+    pairs = embedding_near_dup_pairs(
+        emb, bucket_col="label", min_cosine=0.35, n_blocks=8
+    )
     clusters = near_dup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     return (
         emb.select("vec_id")

@@ -1311,3 +1311,32 @@ def test_streaming_upsert_sink_merges_per_batch(spark, tmp_path):
     run_upsert_sink(stream, table, ckpt, ["k"], order_col="seq")
     again = {r.k: (r.v, r.seq) for r in spark.read.parquet(table).collect()}
     assert again == got
+
+
+def test_blocked_pair_generation_matches_plain(spark, sf_dir):
+    """Triangle-blocked all-pairs (n_blocks>1) must yield EXACTLY the
+    plain bucket join's pairs: cross-block pairs appear once (lower
+    block takes the left role), diagonal blocks keep the id_a < id_b
+    half, so no dedup pass exists to hide double-counting."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = embedding_near_dup_pairs(emb, bucket_col="label", min_cosine=0.3)
+    for g in (2, 3, 8):
+        blocked = embedding_near_dup_pairs(
+            emb, bucket_col="label", min_cosine=0.3, n_blocks=g
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, blocked.collect()))
+        assert a == b, f"n_blocks={g}: {len(a)} vs {len(b)} pairs"
+    # unbucketed full n² path too
+    some = emb.limit(200)
+    a = sorted(map(tuple, embedding_near_dup_pairs(some, min_cosine=0.25).collect()))
+    b = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs(some, min_cosine=0.25, n_blocks=4).collect(),
+        )
+    )
+    assert a == b
