@@ -163,3 +163,60 @@ def interval_join(
     for c in carried:
         joined = joined.withColumnRenamed(f"__r_{c}", c)
     return joined
+
+
+def bucketed_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Point-in-interval join on NUMERIC axes (epoch micros, offsets)
+    WITHOUT requiring a selective equi key — the bucketized
+    decomposition of a 1-D range join.
+
+    ``interval_join`` above relies on its equi keys to partition the
+    work; with no key (or a low-cardinality one) that shape degrades
+    to a broadcast-nested-loop over |P|·|I|. Here the axis itself
+    becomes the key: every point maps to ONE bucket
+    (floor(p / width)); every interval explodes to the buckets it
+    overlaps ([start, end) half-open); the join is then a plain hash
+    equi join on (keys…, bucket) with the exact range bound as a
+    residual filter. Each (point, interval) pair can only meet in the
+    point's own bucket, so no post-join dedup exists.
+
+    Scale: shuffle is |P| + Σ(interval spans / width) rows, hash-
+    partitioned on the bucket — parallelism follows the axis, not the
+    key cardinality. Pick ``bucket_width`` near the TYPICAL interval
+    length: much smaller multiplies interval replication, much larger
+    packs many intervals per bucket (toward the nested-loop you were
+    avoiding). Long-tail intervals replicate span/width times — cap
+    or split outliers upstream if the length distribution is heavy-
+    tailed.
+    """
+    on = list(on)
+    b = int(bucket_width)
+    p = points.withColumn(
+        "__bkt", F.floor(F.col(point_col) / F.lit(b)).cast("long")
+    )
+    icols = list(intervals.columns)
+    clash = [c for c in icols if c in points.columns and c not in on]
+    if clash:
+        raise ValueError(f"interval columns collide with points: {clash}")
+    i = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(b)).cast("long"),
+                F.floor((F.col(end_col) - F.lit(1)) / F.lit(b)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, [*on, "__bkt"], "inner").where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bkt")

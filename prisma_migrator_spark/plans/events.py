@@ -305,3 +305,87 @@ def events_hopping_1h_15m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- bucketized interval join: busy-window attribution ----------------
+
+_BUSY_WINDOW_ORACLE = """
+WITH hours AS (
+  SELECT event_type, EPOCH_US(time_bucket(INTERVAL '1 hour', ts)) AS hour_us,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), top3 AS (
+  SELECT event_type, hour_us,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hour_us ASC) AS rn
+  FROM hours
+), win AS (
+  SELECT event_type, hour_us - 3600000000 AS start_us,
+         hour_us + 7200000000 AS end_us
+  FROM top3 WHERE rn <= 3
+)
+SELECT w.event_type, w.start_us AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 6) AS total_value
+FROM win w JOIN events e
+  ON e.event_type = w.event_type
+ AND EPOCH_US(e.ts) >= w.start_us AND EPOCH_US(e.ts) < w.end_us
+GROUP BY 1, 2
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+@query("busy_window_events", oracle=_BUSY_WINDOW_ORACLE)
+def busy_window_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute events to each type's 3 busiest hours, widened to
+    [hour-1h, hour+2h) — overlapping 3-hour windows, so this is a
+    genuine point-in-interval join (an event can land in up to 3
+    windows), not a bucketing groupBy.
+
+    Exercises ``bucketed_interval_join``: the time axis itself becomes
+    a join key (points keyed by their hour bucket, intervals exploded
+    over the ≤3 buckets they overlap), so the join stays a hash equi
+    join with a residual range filter even though event_type alone
+    (4 values) could never partition the work at scale. Windows
+    derive from the same events frame via the ranked top-k-per-group
+    operator with deterministic tie-breaks."""
+    from prisma_migrator_spark.operators.joins import bucketed_interval_join
+    from prisma_migrator_spark.operators.ranking import topk_per_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "value"
+    )
+    hours = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("us") / _HOUR_US) * _HOUR_US).alias("hour_us"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    win = topk_per_group(
+        hours, ["event_type"], "n", k=3, tiebreakers=["hour_us"]
+    ).select(
+        "event_type",
+        (F.col("hour_us") - _HOUR_US).alias("start_us"),
+        (F.col("hour_us") + 2 * _HOUR_US).alias("end_us"),
+    )
+    joined = bucketed_interval_join(
+        ev,
+        win,
+        "us",
+        "start_us",
+        "end_us",
+        on=["event_type"],
+        bucket_width=_HOUR_US,
+    )
+    return (
+        joined.groupBy("event_type", "start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("start_us").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -2372,3 +2372,111 @@ def semantic_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
         )
     )
+
+
+# --- BPE tokenizer training -------------------------------------------
+
+
+@query("bpe_merges_16")  # rows-only: iterative state is not SQL-expressible;
+# pytest test_bpe_matches_python_reference pins it against a pure-Python
+# BPE trainer on the same corpus
+def bpe_merges_16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 16 BPE merge rules from the documents corpus
+    (Sennrich et al. 2016) — tokenizer training as a Spark job. The
+    per-iteration work is one pair-count shuffle over the DISTINCT-
+    WORD table (fastBPE factoring: |vocab| rows, not corpus rows) and
+    a 1-row TakeOrdered; merge application is a map-side array fold.
+    Deterministic tie-breaks make the merge list stable across
+    partitionings and cluster sizes."""
+    from prisma_migrator_spark.llm.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=16)
+
+
+# --- bigram language model scoring ------------------------------------
+
+_BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(ts) AS t(t) GROUP BY 1
+), v AS (SELECT COUNT(*) AS vocab FROM uni),
+doc_bigrams AS (
+  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM doc_bigrams GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LOG10((b.c + 1.0) / (u.c + (SELECT vocab FROM v)))), 6)
+         AS avg_logprob
+FROM doc_bigrams d
+JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+JOIN uni u ON d.w1 = u.w
+GROUP BY d.doc_id
+"""
+
+
+@query("bigram_logprob_score", oracle=_BIGRAM_ORACLE)
+def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on the corpus, scoring each
+    document's mean log10 P(w2|w1) — the bigram upgrade of
+    unigram_logprob_score (fluency/quality signal; low scores flag
+    boilerplate and garbled text).
+
+    Plan: ONE tokenized scan feeds unigram counts, bigram counts, and
+    per-doc bigram spines; vocab size is a 1-row aggregate broadcast
+    back; scoring is two hash joins keyed on the bigram/unigram (the
+    count tables are vocab-sized — Catalyst broadcasts them when they
+    fit, shuffles otherwise) and one per-doc aggregate. Smoothed
+    probabilities mean unseen bigrams would still score — but every
+    scored doc's bigrams are in the training counts here (train =
+    score corpus), matching the oracle's inner joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    spine = toks.select(
+        "doc_id",
+        # sequence(1, 0) is DESCENDING [1, 0]: 1-token docs must short-
+        # circuit to an empty pair list (they contribute no bigrams)
+        F.explode(
+            F.expr(
+                "if(size(ts) < 2, "
+                "array()::array<struct<w1:string,w2:string>>, "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    big = spine.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__vocab"))
+    return (
+        spine.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log10(
+                        (F.col("bc") + F.lit(1.0))
+                        / (F.col("uc") + F.col("__vocab"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

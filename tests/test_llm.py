@@ -1340,3 +1340,70 @@ def test_blocked_pair_generation_matches_plain(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    """Distributed BPE merge learning must reproduce the classic
+    single-machine algorithm (Sennrich et al. 2016) exactly: same
+    rules, same order, same weighted pair counts, under the same
+    deterministic tie-break (count desc, left asc, right asc)."""
+    from collections import Counter
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in learn_bpe_merges(docs, n_merges=12).collect()
+    ]
+
+    # pure-Python reference on the same corpus
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in (r.text or "").strip().lower().split():
+            freqs[w] += 1
+    vocab = {tuple(w): f for w, f in freqs.items()}
+    expected = []
+    for rank in range(1, 13):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        if n < 2:
+            break
+        expected.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    assert got == expected
+
+
+def test_bpe_apply_merges_tokenizes(spark):
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.bpe import apply_bpe_merges
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab aab"), Row(doc_id=2, text="ba")]
+    )
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_merges(docs, [("a", "a"), ("aa", "b")]).collect()
+    }
+    # "aaab" under (a,a): left-to-right non-overlapping -> [aa, a, b];
+    # (aa,b) is not adjacent there, so it stays. "aab" -> [aa, b] -> [aab].
+    assert out == {1: ["aa", "a", "b", "aab"], 2: ["b", "a"]}

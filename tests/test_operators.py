@@ -144,3 +144,44 @@ def test_ntz_parquet_normalized_timezone_independent(spark, tmp_path):
             assert got == wall_us, (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bucketed_interval_join_constructed(spark):
+    """Half-open [start, end) semantics, multi-bucket interval
+    replication, keyless operation, and exactly-once pair emission
+    (no dedup pass exists to hide double-matches)."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.operators.joins import bucketed_interval_join
+
+    points = spark.createDataFrame(
+        [
+            Row(pid=1, t=5),    # inside iv A only
+            Row(pid=2, t=10),   # == A.end (excluded), == B.start (included)
+            Row(pid=3, t=25),   # inside B (B spans buckets 0..2)
+            Row(pid=4, t=99),   # no interval
+            Row(pid=5, t=0),    # == A.start (included)
+        ]
+    )
+    ivs = spark.createDataFrame(
+        [Row(iv="A", s=0, e=10), Row(iv="B", s=10, e=30)]
+    )
+    got = sorted(
+        (r.pid, r.iv)
+        for r in bucketed_interval_join(
+            points, ivs, "t", "s", "e", bucket_width=10
+        ).collect()
+    )
+    assert got == [(1, "A"), (2, "B"), (3, "B"), (5, "A")]
+
+    # overlapping intervals: a point in both matches both, once each
+    ivs2 = spark.createDataFrame(
+        [Row(iv="X", s=0, e=40), Row(iv="Y", s=20, e=30)]
+    )
+    got2 = sorted(
+        (r.pid, r.iv)
+        for r in bucketed_interval_join(
+            points, ivs2, "t", "s", "e", bucket_width=7  # width ∤ bounds
+        ).collect()
+    )
+    assert got2 == [(1, "X"), (2, "X"), (3, "X"), (3, "Y"), (5, "X")]
