@@ -272,3 +272,24 @@ def encode_token_ids(
             F.size("__ordered").alias("n_tokens"),
         )
     )
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a
+    cheap garbled-text / compression-ratio proxy: natural prose sits
+    ~4-4.5 bits, repeated boilerplate and single-char spam fall far
+    below, random bytes push toward log2(alphabet).
+
+    Pure map-side array algebra, zero shuffles and zero UDFs: per
+    distinct character, count occurrences with a filter scan —
+    O(|distinct| · len) per doc, fine for the ~dozens of distinct
+    chars real text has. NULL/empty text → NULL."""
+    chars = F.filter(F.split(F.lower(text), ""), lambda x: x != F.lit(""))
+    n = F.size(chars)
+    p = lambda c: F.size(F.filter(chars, lambda x: x == c)) / n  # noqa: E731
+    ent = -F.aggregate(
+        F.transform(F.array_distinct(chars), lambda c: p(c) * F.log2(p(c))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, ent)

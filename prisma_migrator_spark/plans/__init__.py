@@ -90,8 +90,15 @@ DRIVER_WINDOW: list[str] = [
     "decontaminate_eval",        # eval decontamination
     "pii_redaction",             # PII redaction
     "pack_stream_512",           # stream packing (prefix sum)
-    "training_shards",           # balanced shards
-    "embedding_quantize_int8",   # int8 quantization
+    # training_shards shares pack_stream_512's two-level prefix-sum
+    # machinery (in-window) and moves to the tail; the slot carries
+    # the round-5 bigram-LM scoring family (the unigram variant is in
+    # the tail, same plan family).
+    "bigram_logprob_score",
+    # embedding_quantize_int8 is a zero-shuffle map gated by pytest;
+    # its slot carries the round-5 bucketized point-in-interval join
+    # family (a new operator shape, not covered elsewhere in-window).
+    "busy_window_events",
     "domain_mixture_sample",     # deterministic sampling / mixtures
     "gopher_repetition_flags",   # repetition/boilerplate heuristics
     "cross_corpus_dedup",        # incremental cross-corpus dedup

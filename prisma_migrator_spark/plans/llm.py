@@ -2480,3 +2480,36 @@ def bigram_logprob_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- character-entropy quality signal ---------------------------------
+
+_ENTROPY_ORACLE = r"""
+WITH chars AS (
+  SELECT doc_id, u.c AS c
+  FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) > 0),
+       UNNEST(list_transform(range(1, length(s) + 1), i -> s[i])) AS u(c)
+), hist AS (
+  SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(n) AS tot FROM hist GROUP BY 1
+)
+SELECT h.doc_id, ROUND(-SUM((n / tot) * LOG2(n / tot)), 6) AS entropy_bits
+FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id
+"""
+
+
+@query("char_entropy_quality", oracle=_ENTROPY_ORACLE)
+def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal. The oracle
+    explodes every character through a two-level aggregate; the Spark
+    side is ONE zero-shuffle map pass — per-doc array algebra
+    (distinct chars × filter-count) inside whole-stage codegen, no
+    corpus-sized char explode ever hits a shuffle. At 100 TB that is
+    the entire difference between a free column and a new wide job."""
+    from prisma_migrator_spark.llm.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.length("text") > 0).select(
+        "doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy_bits")
+    )

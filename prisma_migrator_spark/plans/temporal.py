@@ -387,3 +387,226 @@ def event_sessions_gap30m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- session path mining (sequence n-grams) ---------------------------
+
+_PATH_TRIGRAMS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), tri AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER ws AS t2,
+         LEAD(event_type, 2) OVER ws AS t3
+  FROM numbered
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+@query("session_path_trigrams", oracle=_PATH_TRIGRAMS_ORACLE)
+def session_path_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths within 30-minute sessions —
+    sequence mining, n-gram flavor (the useful core of PrefixSpan for
+    funnel/path analysis without the exponential pattern lattice).
+
+    Plan: sessionization windows, the per-session LEADs, and nothing
+    else share ONE user_id-keyed shuffle (the lead window's
+    (user_id, session_idx) partitioning is a refinement of user_id,
+    so Spark reuses the same exchange); the trigram count is a
+    64-key aggregate with map-side combine and the top-20 is a
+    TakeOrdered — no global sort. Scale: state per task is one
+    user's session, never the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.withColumn(
+        "__new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = numbered.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+# --- incremental sessionization (append-only batch maintenance) -------
+
+
+def sessionize_events(ev: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Gaps-and-islands sessionization to one row per session:
+    ``(user_id, session_idx, start_us, end_us, n_events,
+    total_value)``. One user_id-keyed shuffle (both windows and the
+    groupBy share it)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    numbered = ev.withColumn(
+        "__new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_idx")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("bigint"))
+    )
+
+
+def incremental_sessionize(
+    prev: DataFrame, new_events: DataFrame, gap_us: int = 1_800_000_000
+) -> DataFrame:
+    """Maintain a sessions table under an append-only event feed
+    WITHOUT reprocessing history — the daily-batch pattern at 100 TB:
+    yesterday's sessions table plus today's partition in, updated
+    sessions table out, cost proportional to the DELTA.
+
+    Assumes per-user time-ordered appends (every new event lands at
+    or after that user's last known event — true for a time-
+    partitioned feed processed in order; late data beyond the
+    previous batch boundary needs that user re-run from raw events).
+
+    Shape: sessionize ONLY the delta (one shuffle over |delta|), then
+    a per-user merge against the previous LAST session (max-struct
+    latest-per-key, broadcast-or-hash join on user_id): the delta's
+    first session fuses with the previous last one when the gap
+    closes within ``gap_us``; later delta sessions renumber after the
+    previous max index. Unaffected users pass through via an
+    anti-join against the (delta-sized) replaced-session keys — a
+    broadcast when the delta fits, a key-hash shuffle of the sessions
+    TABLE (not the raw events) otherwise; either way history events
+    are never re-read. Output is exactly what full recompute over
+    (history ∪ delta) would produce, which is what the registered
+    query's oracle checks."""
+    new_sess = sessionize_events(new_events, gap_us)
+    last_prev = (
+        prev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("session_idx", "start_us", "end_us",
+                         "n_events", "total_value")
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .withColumnRenamed("session_idx", "last_idx")
+        .withColumnRenamed("start_us", "last_start")
+        .withColumnRenamed("end_us", "last_end")
+        .withColumnRenamed("n_events", "last_n")
+        .withColumnRenamed("total_value", "last_v")
+    )
+    joined = new_sess.join(last_prev, "user_id", "left")
+    merges = (F.col("session_idx") == 1) & (
+        F.col("last_end").isNotNull()
+        & ((F.col("start_us") - F.col("last_end")) <= gap_us)
+    )
+    delta_out = joined.select(
+        "user_id",
+        F.when(
+            merges, F.col("last_idx")
+        ).otherwise(
+            F.col("session_idx")
+            + F.coalesce("last_idx", F.lit(0))
+            - F.when(
+                # the delta's first session merged: later ones shift by 1
+                (F.col("last_idx").isNotNull())
+                & ((F.first("start_us").over(
+                    Window.partitionBy("user_id").orderBy("session_idx")
+                ) - F.col("last_end")) <= gap_us),
+                1,
+            ).otherwise(0)
+        ).alias("session_idx"),
+        F.when(merges, F.col("last_start")).otherwise(F.col("start_us")).alias(
+            "start_us"
+        ),
+        "end_us",
+        (F.col("n_events") + F.when(merges, F.col("last_n")).otherwise(0)).alias(
+            "n_events"
+        ),
+        F.round(
+            F.col("total_value")
+            + F.when(merges, F.col("last_v")).otherwise(0.0),
+            6,
+        ).alias("total_value"),
+    )
+    # previous sessions survive unless replaced by a merged row
+    replaced = delta_out.select(
+        "user_id", F.col("session_idx").alias("__ridx")
+    ).distinct()
+    kept_prev = prev.join(
+        replaced,
+        (prev["user_id"] == replaced["user_id"])
+        & (prev["session_idx"] == replaced["__ridx"]),
+        "left_anti",
+    )
+    return kept_prev.unionByName(delta_out)
+
+
+_INCR_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS newf
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       EPOCH_US(MIN(ts)) AS start_us, EPOCH_US(MAX(ts)) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM numbered GROUP BY 1, 2
+"""
+
+
+@query("incremental_sessions", oracle=_INCR_SESSIONS_ORACLE)
+def incremental_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the events table at its median timestamp, sessionize the
+    first half the ordinary way, then roll the second half in with
+    ``incremental_sessionize`` — the oracle is FULL RECOMPUTE over
+    all events, so a hash match proves the incremental maintenance
+    path is exact (boundary sessions fuse, indexes renumber,
+    untouched users pass through)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5, 10000)").alias("c")
+    )
+    with_cut = ev.crossJoin(F.broadcast(cut))
+    hist = with_cut.where(F.unix_micros("ts") <= F.col("c")).drop("c")
+    delta = with_cut.where(F.unix_micros("ts") > F.col("c")).drop("c")
+    return incremental_sessionize(sessionize_events(hist), delta)

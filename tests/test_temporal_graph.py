@@ -193,3 +193,54 @@ def test_term_postings_sorted_and_distinct(spark, tmp_path):
     # repeated occurrences within a doc count once; postings sorted
     assert got["alpha"].df == 12
     assert got["alpha"].postings == ",".join(str(i) for i in range(9, 21))
+
+
+def test_incremental_sessionize_constructed(spark):
+    """Boundary session fuses when the gap closes, indexes renumber
+    after a merge, new users start at 1, untouched users pass through
+    — each checked against full recompute on the union."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.plans.temporal import (
+        incremental_sessionize,
+        sessionize_events,
+    )
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, eid, mins, v=1.0):
+        return Row(
+            user_id=uid, ts=T0 + dt.timedelta(minutes=mins), event_id=eid, value=v
+        )
+
+    hist_rows = [
+        ev(1, 1, 0), ev(1, 2, 10),        # u1 s1
+        ev(1, 3, 120),                    # u1 s2 (ends 14:00)
+        ev(2, 4, 0),                      # u2 s1 — untouched by delta
+        ev(3, 5, 0), ev(3, 6, 200),       # u3 s1, s2 (ends ~15:20)
+    ]
+    delta_rows = [
+        ev(1, 7, 140), ev(1, 8, 145),     # within 20m of u1 s2 -> fuse
+        ev(1, 9, 400),                    # new session -> s3 (not s4)
+        ev(3, 10, 500),                   # gap > 30m -> u3 s3
+        ev(4, 11, 0),                     # brand-new user -> s1
+    ]
+    hist = spark.createDataFrame(hist_rows)
+    delta = spark.createDataFrame(delta_rows)
+    full = sessionize_events(spark.createDataFrame(hist_rows + delta_rows))
+    incr = incremental_sessionize(sessionize_events(hist), delta)
+    key = lambda r: (r.user_id, r.session_idx)  # noqa: E731
+    assert sorted(map(tuple, incr.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, full.collect()), key=lambda t: t[:2]
+    )
+    got = {key(r): (r.n_events, r.start_us) for r in incr.collect()}
+    # u1's fused session kept its ORIGINAL index and start, grew by 2
+    assert got[(1, 2)][0] == 3
+    # u1's post-merge session renumbered to 3, not 4
+    assert (1, 3) in got and (1, 4) not in got
+    # untouched user byte-identical
+    assert got[(2, 1)][0] == 1
+    # new user starts at 1
+    assert got[(4, 1)][0] == 1
