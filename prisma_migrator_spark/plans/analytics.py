@@ -677,3 +677,44 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("as_of_day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+# --- mergeable-sketch incremental distinct counting -------------------
+
+
+@query("incremental_distinct_users")  # rows-only: HLL estimates are
+# engine-specific (DuckDB's approx_count_distinct uses a different
+# sketch); pytest pins merge-associativity and a 5% error bound
+def incremental_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users via MERGEABLE HyperLogLog sketches: one Datasketches
+    HLL per day, union-merged into the corpus-wide estimate — the
+    incremental pattern for distinct counts at 100 TB: store a
+    KB-sized sketch per partition/day, answer "distinct over any date
+    range" by merging sketches, never rescanning history (the same
+    maintenance shape as incremental_sessions / the rollup writer).
+
+    Returns one row: days merged, the merged estimate, the
+    single-pass estimate over all events, and the exact count.
+    ``test_hll_sketch_merge_is_exact_union`` pins merged == direct
+    (sketch union is lossless for HLL, not a re-approximation) and
+    both within 5% of exact at lgConfigK=14."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias(
+            "est_merged"
+        ),
+    )
+    direct = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(F.broadcast(direct))

@@ -2507,9 +2507,12 @@ def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct chars × filter-count) inside whole-stage codegen, no
     corpus-sized char explode ever hits a shuffle. At 100 TB that is
     the entire difference between a free column and a new wide job."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.text import char_entropy
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-heavy map-only pass: spread a single-row-group fixture scan
+    # across cores (no-op on multi-split production inputs)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.where(F.length("text") > 0).select(
         "doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy_bits")
     )

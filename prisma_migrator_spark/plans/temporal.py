@@ -559,6 +559,10 @@ def incremental_sessionize(
             6,
         ).alias("total_value"),
     )
+    # delta_out feeds BOTH the output union and the replaced-key
+    # anti-join below; snapshot the (delta-sized) frame once so the
+    # delta pipeline doesn't execute twice
+    delta_out = delta_out.localCheckpoint()
     # previous sessions survive unless replaced by a merged row
     replaced = delta_out.select(
         "user_id", F.col("session_idx").alias("__ridx")

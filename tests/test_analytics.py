@@ -163,3 +163,14 @@ def test_gapfill_series_is_dense(spark, sf_dir):
         assert all(
             b2 - b1 == _GAP_BUCKET_US for b1, b2 in zip(buckets, buckets[1:])
         )
+
+
+def test_hll_sketch_merge_is_exact_union(spark, sf_dir):
+    """Merging per-day HLL sketches must equal the single-pass sketch
+    (union is lossless), and both must estimate within 5% of exact."""
+    from prisma_migrator_spark.plans.registry import QUERIES
+
+    row = QUERIES["incremental_distinct_users"](spark, sf_dir).collect()[0]
+    assert row.n_days >= 1
+    assert row.est_merged == row.est_direct
+    assert abs(row.est_merged - row.exact_users) <= 0.05 * row.exact_users

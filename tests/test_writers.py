@@ -546,3 +546,42 @@ def test_maintain_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
         exp.select("user_id", "day", "n", F.round("value", 6).alias("v"))
     )
     assert diff.count() == 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Data identical after compaction, small tail folded into few
+    files, large files carried over byte-identical, second run no-op."""
+    import os
+
+    from prisma_migrator_spark.writers.compact import compact_small_files
+
+    table = str(tmp_path / "t")
+    # 6 tiny files + 1 larger file
+    spark.range(0, 300000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(1).write.parquet(table)
+    big = [f for f in os.listdir(table) if f.endswith(".parquet")]
+    assert len(big) == 1
+    for i in range(6):
+        spark.range(10000 + i * 10, 10000 + i * 10 + 10).selectExpr(
+            "id", "id * 2 AS v"
+        ).coalesce(1).write.mode("append").parquet(table)
+    files0 = sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+    assert len(files0) == 7
+    big_file = max(files0, key=lambda f: os.path.getsize(os.path.join(table, f)))
+    big_bytes = open(os.path.join(table, big_file), "rb").read()
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+
+    rep = compact_small_files(spark, table, target_bytes=1 << 19, min_fill=0.5)
+    assert rep["files_compacted"] == 6
+    files1 = sorted(f for f in os.listdir(table) if f.endswith(".parquet"))
+    assert len(files1) == 2  # big + one compacted
+    assert big_file in files1
+    assert open(os.path.join(table, big_file), "rb").read() == big_bytes
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == before
+
+    rep2 = compact_small_files(spark, table, target_bytes=1 << 19, min_fill=0.5)
+    assert rep2["files_compacted"] == 0
+    assert sorted(
+        f for f in os.listdir(table) if f.endswith(".parquet")
+    ) == files1
