@@ -220,3 +220,58 @@ def bucketed_interval_join(
         & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("__bkt")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salt: int = 16,
+    how: str = "inner",
+    hot_keys: Sequence | None = None,
+) -> DataFrame:
+    """Skew-resistant equi join: identical results to
+    ``left.join(right, on, how)``, but a hot key's probe rows spread
+    over ``n_salt`` reducers instead of serializing onto one.
+
+    AQE's skew-join splitting already handles most cases (it splits
+    oversized LEFT partitions and replicates the matching right
+    partition) — reach for explicit salting when AQE can't see the
+    skew: a skewed side feeding from a cached/exchange-reused stage, a
+    broadcast too large to build, or a join followed by a same-key
+    aggregate where the exchange is reused and AQE must keep it
+    intact.
+
+    Mechanics: the left side gets a DETERMINISTIC per-row salt
+    (hash of the whole row, never ``rand()`` — task retries and AQE
+    re-plans must re-derive the same salt); the right side replicates
+    each row under every salt. ``hot_keys`` (values of ``on[0]`` for
+    single-key joins, tuples for composite) restricts both the
+    salting and the replication to the hot keys only, so the
+    replication cost is n_salt × |hot right rows|, not n_salt ×
+    |right|. ``how`` supports inner/left — the salt never drops or
+    duplicates matches because (key, salt) partitions the original
+    key's row set.
+    """
+    on = list(on)
+    salts = F.sequence(F.lit(0), F.lit(n_salt - 1))
+    no_salt = F.array(F.lit(0))
+    if hot_keys is not None:
+        if len(on) == 1:
+            is_hot = F.col(on[0]).isin(list(hot_keys))
+        else:
+            is_hot = F.struct(*on).isin(
+                [F.struct(*[F.lit(v) for v in t]) for t in hot_keys]
+            )
+        l_salt = F.when(
+            is_hot, F.pmod(F.xxhash64(*left.columns), n_salt)
+        ).otherwise(0)
+        r_salts = F.when(is_hot, salts).otherwise(no_salt)
+    else:
+        l_salt = F.pmod(F.xxhash64(*left.columns), n_salt)
+        r_salts = salts
+    lf = left.withColumn("__salt", l_salt.cast("int"))
+    rf = right.withColumn("__salt", F.explode(r_salts)).withColumn(
+        "__salt", F.col("__salt").cast("int")
+    )
+    return lf.join(rf, [*on, "__salt"], how).drop("__salt")

@@ -74,3 +74,83 @@ def write_jsonl_sized(
     n_files = max(1, math.ceil((total or 0) / target_bytes))
     df.repartition(n_files).write.mode("overwrite").json(path)
     return n_files
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple = (),
+) -> DataFrame:
+    """Export the corpus as WebDataset-style tar shards
+    (``shard-00000.tar`` holding ``{key}.txt`` + ``{key}.json`` per
+    sample) — the sequential-read format dataloaders stream at
+    training time (webdataset.github.io; plain POSIX tar, no library
+    needed on either side).
+
+    Shard assignment is a deterministic hash of the sample id — no
+    global sort, no prefix sum, stable across retries/AQE; shard
+    sizes concentrate tightly around ``samples_per_shard`` (hash
+    balance), which is what WebDataset needs (shuffled shards of
+    roughly equal length), unlike the strictly-sized JSONL shards
+    above. Each shard's tar is written by the ONE task that owns its
+    group (``applyInPandas`` over shard_id — Python is the right
+    layer here: this is sink IO, not compute), samples sorted by key
+    within the tar for byte-stable re-exports. Returns the manifest
+    as a DataFrame: (shard_id, n_samples, data_bytes, path).
+    """
+    import json
+    import math
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    n = df.count()
+    n_shards = max(1, math.ceil(n / samples_per_shard))
+    cols = [id_col, text_col, *meta_cols]
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+
+        shard_id = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values(id_col)
+        out = os.path.join(path, f"shard-{shard_id:05d}.tar")
+        data_bytes = 0
+        with tarfile.open(out + ".tmp", "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[id_col])
+                text = (row[text_col] or "").encode("utf-8")
+                meta = json.dumps(
+                    {c: row[c] for c in meta_cols}, sort_keys=True, default=str
+                ).encode("utf-8")
+                for name, payload in ((f"{key}.txt", text), (f"{key}.json", meta)):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    info.mtime = 0  # byte-stable re-exports
+                    tar.addfile(info, io.BytesIO(payload))
+                    data_bytes += len(payload)
+        os.replace(out + ".tmp", out)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard_id,
+                    "n_samples": len(pdf),
+                    "data_bytes": data_bytes,
+                    "path": out,
+                }
+            ]
+        )
+
+    sharded = df.select(*cols).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    manifest = sharded.groupBy("__shard").applyInPandas(
+        write_shard,
+        "shard_id long, n_samples long, data_bytes long, path string",
+    )
+    # materialize so the write happens before the caller inspects files
+    return manifest.localCheckpoint()

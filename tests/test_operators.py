@@ -185,3 +185,39 @@ def test_bucketed_interval_join_constructed(spark):
         ).collect()
     )
     assert got2 == [(1, "X"), (2, "X"), (3, "X"), (3, "Y"), (5, "X")]
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Salted equi join must be row-for-row identical to the plain
+    join — inner and left, full-salt and hot-key-only forms."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = sorted(map(tuple, li.join(orders, "l_orderkey").collect()))
+    for kwargs in (
+        {},
+        {"n_salt": 7},
+        {"hot_keys": [r.l_orderkey for r in orders.limit(3).collect()]},
+    ):
+        got = sorted(
+            map(tuple, salted_join(li, orders, ["l_orderkey"], **kwargs).collect())
+        )
+        assert got == plain, kwargs
+    # left join keeps unmatched left rows exactly once
+    some = orders.where(F.col("l_orderkey") % 3 == 0)
+    plain_l = sorted(
+        map(tuple, li.join(some, "l_orderkey", "left").collect())
+    )
+    got_l = sorted(
+        map(
+            tuple,
+            salted_join(li, some, ["l_orderkey"], how="left").collect(),
+        )
+    )
+    assert got_l == plain_l
