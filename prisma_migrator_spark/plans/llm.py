@@ -2516,3 +2516,21 @@ def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(F.length("text") > 0).select(
         "doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy_bits")
     )
+
+
+@query("topk_cosine_pq")  # rows-only: ANN; recall pinned in pytest on
+# planted-cluster data (the fixture embeddings are near-isotropic
+# random, where no quantizer separates top-5 margins)
+def topk_cosine_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization + ADC (Jégou et al. 2011):
+    dim floats become m byte codes at ingest (map-only), and each
+    probe scans CODES with an m-lookup table instead of the raw
+    vectors — the memory-bandwidth side of ANN, complementary to
+    IVF/LSH pruning (`topk_cosine_ivf`/`_lsh`). Codebook training is
+    fused distributed L2 k-means: one job per iteration for ALL m
+    subspaces."""
+    from prisma_migrator_spark.llm.similarity import topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return topk_pq(emb, probes, k=5, m=10, ksub=16, iters=1)
