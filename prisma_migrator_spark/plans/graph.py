@@ -180,3 +180,79 @@ def part_copurchase_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("l_partkey"),
         F.round(F.col("rank") * 1_000_000, 4).alias("pagerank_ppm"),
     )
+
+
+# --- triangle counting (degree-oriented) ------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.pa = e1.pb
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY part
+"""
+
+
+@query("copurchase_triangles", oracle=_TRIANGLES_ORACLE)
+def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph (the local
+    clustering signal behind community/bundle detection).
+
+    Spark plan uses the DEGREE-ORIENTED (compact-forward) algorithm:
+    orient each undirected edge from its lower-(degree, id) endpoint
+    to the higher one, build wedges by joining oriented edges
+    head-to-tail, close them against a third oriented edge. Every
+    triangle is found EXACTLY once, and the wedge join's cost is
+    Σ out-deg² where out-degree is bounded by O(√|E|) on any graph —
+    the hub that breaks the naive a<b<c join (its wedge count is
+    Σ deg² over raw degrees) only ever fans out to higher-degree
+    neighbors. The oracle keeps the naive orientation: same
+    triangles, independently derived.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li)  # symmetric
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # orient by (deg, id): lower endpoint -> higher endpoint
+    e = (
+        und.join(deg.withColumnRenamed("src", "s_join"), und.src == F.col("s_join"))
+        .drop("s_join")
+        .withColumnRenamed("deg", "deg_src")
+        .join(
+            deg.select(F.col("src").alias("d_join"), F.col("deg").alias("deg_dst")),
+            und.dst == F.col("d_join"),
+        )
+        .drop("d_join")
+        .where(
+            (F.col("deg_src") < F.col("deg_dst"))
+            | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    wedges = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(
+            e.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v"
+        )
+    )
+    closed = wedges.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+    )
+    corners = (
+        closed.select(F.col("u").alias("part"))
+        .unionByName(closed.select(F.col("v").alias("part")))
+        .unionByName(closed.select(F.col("w").alias("part")))
+    )
+    return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -256,3 +256,103 @@ def corr_matrix_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in pairs
     ]
     return wide.select(F.explode(F.array(*structs)).alias("__p")).select("__p.*")
+
+
+# --- declarative data-quality checks (one-pass) -----------------------
+
+
+def check_constraints(df, checks) -> "DataFrame":
+    """Deequ-style constraint report: ``checks`` is a list of
+    (rule_name, violation_condition Column) pairs; returns one row per
+    rule with total rows, violations, and the violation rate.
+
+    ALL rules evaluate in ONE scan and one 1-row aggregate (each rule
+    is a conditional sum — map-side partials, no per-rule jobs, no
+    shuffle beyond the single global agg), then a map-side unpivot of
+    the 1×(2+R) frame into R rows. At 100 TB adding a rule costs one
+    more sum column, not another pass over the table."""
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(cond.cast("long")).alias(f"__v{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__total").alias("n_rows"),
+                F.col(f"__v{i}").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select(
+            "r.rule",
+            "r.n_rows",
+            "r.n_violations",
+            F.round(F.col("r.n_violations") / F.col("r.n_rows"), 6).alias(
+                "violation_rate"
+            ),
+        )
+    )
+
+
+_DQ_ORACLE = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                        OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+         CAST(SUM(CASE WHEN l_shipdate IS NULL
+                        OR l_shipdate < TIMESTAMP '1992-01-01'
+                        OR l_shipdate >= TIMESTAMP '2031-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM lineitem
+)
+SELECT rule, n_rows, n_violations,
+       ROUND(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM (
+  SELECT 'quantity_positive' AS rule, n_rows, v_qty AS n_violations FROM t
+  UNION ALL SELECT 'discount_in_unit_range', n_rows, v_disc FROM t
+  UNION ALL SELECT 'price_positive', n_rows, v_price FROM t
+  UNION ALL SELECT 'returnflag_in_domain', n_rows, v_flag FROM t
+  UNION ALL SELECT 'shipdate_in_era', n_rows, v_date FROM t
+)
+"""
+
+
+@query("lineitem_dq_report", oracle=_DQ_ORACLE)
+def lineitem_dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over lineitem: five declarative constraints
+    evaluated in one scan (see `check_constraints`). The oracle
+    recomputes each rule as an independent CASE sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    era_lo = F.lit("1992-01-01").cast("timestamp")
+    era_hi = F.lit("2031-01-01").cast("timestamp")
+    return check_constraints(
+        li,
+        [
+            ("quantity_positive",
+             F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)),
+            ("discount_in_unit_range",
+             F.col("l_discount").isNull()
+             | (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            ("price_positive",
+             F.col("l_extendedprice").isNull()
+             | (F.col("l_extendedprice") <= 0)),
+            ("returnflag_in_domain",
+             F.col("l_returnflag").isNull()
+             | ~F.col("l_returnflag").isin("A", "N", "R")),
+            ("shipdate_in_era",
+             F.col("l_shipdate").isNull()
+             | (F.col("l_shipdate") < era_lo)
+             | (F.col("l_shipdate") >= era_hi)),
+        ],
+    )

@@ -614,3 +614,50 @@ def incremental_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = with_cut.where(F.unix_micros("ts") <= F.col("c")).drop("c")
     delta = with_cut.where(F.unix_micros("ts") > F.col("c")).drop("c")
     return incremental_sessionize(sessionize_events(hist), delta)
+
+
+# --- exponential smoothing (recursive filter as a fold) ---------------
+
+_SES_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, x) -> 0.3 * x + 0.7 * acc) AS DOUBLE),
+             6) AS ses_level
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_value_ses", oracle=_SES_ORACLE)
+def user_value_ses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α = 0.3) of each user's event
+    values in time order — the recursive filter
+    ``level ← α·x + (1-α)·level`` that SQL window functions cannot
+    express (each step depends on the previous OUTPUT, not a frame of
+    inputs). Spark-first shape: ONE user-keyed shuffle collects each
+    series into an ordered array (struct-sorted for a deterministic
+    tiebreak), then the recursion is a map-side ``F.aggregate`` fold
+    seeded with the first observation — no UDF, no iteration, no
+    driver. Per-task state is one user's series; 100 TB scales by
+    users, and a series too long for one buffer would chunk via the
+    same partial-fold trick as pack_stream's prefix sums (level after
+    a chunk is an affine function of the level before it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    series = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "value"))
+        ).alias("s"),
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"])
+    ses = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "user_id", "n_events", F.round(ses, 6).alias("ses_level")
+    )

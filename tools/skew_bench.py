@@ -134,6 +134,39 @@ def main() -> None:
         results[f"join_aqe_skew_{flag}"] = round(_timed(join), 3)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
+    # scenario 2b: the case AQE can NOT fix — join followed by a
+    # same-key aggregate. The aggregate requires the join's hash
+    # partitioning, so AQE must keep the skewed partition intact
+    # (splitting would break the distribution guarantee) and the hot
+    # key serializes onto one task end-to-end. salted_join makes the
+    # join key (jk, salt): the hot key's probe rows spread over 32
+    # reducers for the join AND the aggregate's map-side combine; the
+    # final jk-keyed agg then receives 32 partial rows for the hot
+    # key, not 16M raw ones.
+    from prisma_migrator_spark.operators.joins import salted_join
+
+    agg_plain = (
+        probe.join(build, "jk")
+        .groupBy("jk")
+        .agg(F.round(F.sum(F.col("payload") * F.col("w")), 2).alias("s"))
+    )
+    agg_salted = (
+        salted_join(probe, build, ["jk"], n_salt=32)
+        .groupBy("jk")
+        .agg(F.round(F.sum(F.col("payload") * F.col("w")), 2).alias("s"))
+    )
+    for name, df in [("join_agg_plain", agg_plain), ("join_agg_salted", agg_salted)]:
+        _timed(df)
+        results[name] = round(_timed(df), 3)
+    results["join_agg_ratio"] = round(
+        results["join_agg_plain"] / results["join_agg_salted"], 3
+    )
+    a = {r["jk"]: r["s"] for r in agg_plain.collect()}
+    b = {r["jk"]: r["s"] for r in agg_salted.collect()}
+    results["join_agg_mismatch"] = sum(1 for k in a if a[k] != b.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+
     # scenario 3: the FLAGSHIP query under a 90%-hot l_suppkey.
     # The pair-level partial aggregate keyed (l_suppkey, l_partkey) is
     # the skew defense: a single hot supplier spreads over its
