@@ -222,7 +222,11 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles, independently derived.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li)  # symmetric
+    # snapshot the symmetric edge list once: it feeds the degree agg
+    # AND (via the orientation) all three legs of the triangle join —
+    # without the checkpoint the lineitem self-join subtree re-executes
+    # per consumer (the plan printer showed it ~100x)
+    und = copurchase_edges(li).localCheckpoint()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # orient by (deg, id): lower endpoint -> higher endpoint
     e = (
@@ -239,7 +243,7 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
-    )
+    ).localCheckpoint()  # one oriented-edge frame feeds three join legs
     wedges = (
         e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .join(

@@ -107,6 +107,25 @@ PINS = {
     "event_sessions_gap30m": (1, [4], False),
     # all C(4,2) correlations in one scan, zero shuffles (1-row agg)
     "corr_matrix_lineitem": (0, [4], False),
+    # --- round-5 additions ---
+    # 1-row vocab broadcast cross (NLJ allowed, the global-total
+    # pattern); unigram/bigram counts + per-doc spine share scans
+    "bigram_logprob_score": (4, [1, 1, 1, 2], True),
+    # bucketized interval join: hourly-count shuffle + top-3 window +
+    # the (type, bucket)-keyed join
+    "busy_window_events": (3, [2, 3], False),
+    # zero-shuffle map-side entropy (the whole point)
+    "char_entropy_quality": (0, [2], False),
+    # sessionize + LEADs + 64-key agg on ONE user_id shuffle, +1 for
+    # the top-20 TakeOrdered exchange
+    "session_path_trigrams": (2, [4], False),
+    # ordered-array fold: one user-keyed shuffle
+    "user_value_ses": (1, [4], False),
+    # 5 rules, one scan, 1-row agg (SinglePartition), map unpivot
+    "lineitem_dq_report": (0, [5], False),
+    # checkpointed oriented edges: 0 parquet scans in the final plan;
+    # wedge + close + corner-agg shuffles
+    "copurchase_triangles": (13, [], False),
     # part_copurchase_pagerank and semantic_canonical_docs are NOT
     # pinnable this way: their persisted iteration state (ranks /
     # component labels) makes the plan PRINTER re-emit cached subtrees
