@@ -770,3 +770,85 @@ def ngram_jaccard_pairs_prefix(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= t)
     )
+
+
+def incremental_lsh_pairs(
+    existing_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates for a DELTA of new documents against an
+    existing corpus's stored MinHash signature index, plus within-
+    delta pairs — the incremental form of :func:`lsh_candidate_pairs`
+    (which is the full-corpus batch job this avoids re-running).
+
+    At 100 TB the signature/band index is a maintained TABLE (8 longs
+    + band keys per doc, written once at ingest like
+    ``cross_corpus_dedup``'s fingerprint index); per batch the work
+    is: signatures for |delta| docs, one band-keyed join of delta
+    bands against the index (hash join — the delta side is small),
+    one in-batch banding of the delta, and the agreement re-join.
+    History text is never re-shingled, history signatures never
+    recomputed. Output matches the full recompute restricted to
+    pairs with at least one delta member — which is what the
+    registered query's oracle checks."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"h{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    existing_sigs = existing_sigs.persist()
+    delta_sigs = delta_sigs.persist()
+    eb = existing_sigs.select(
+        F.col(id_col).alias("__old"), F.explode(bands).alias("band")
+    )
+    db = delta_sigs.select(
+        F.col(id_col).alias("__new"), F.explode(bands).alias("band")
+    )
+    if max_bucket is not None:
+        ok = eb.groupBy("band").agg(F.count(F.lit(1)).alias("__n")).where(
+            F.col("__n") <= max_bucket
+        ).select("band")
+        eb = eb.join(ok, "band")
+    cross = (
+        db.join(eb, "band")
+        .select(
+            F.least("__new", "__old").alias("id_a"),
+            F.greatest("__new", "__old").alias("id_b"),
+        )
+    )
+    in_batch = lsh_candidate_pairs(
+        delta_sigs, id_col, num_hashes, band_size, max_bucket
+    ).select("id_a", "id_b")
+    pairs = cross.unionByName(in_batch).dropDuplicates(["id_a", "id_b"])
+    all_sigs = existing_sigs.unionByName(delta_sigs)
+    sa = all_sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(num_hashes)],
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+        )
+    )

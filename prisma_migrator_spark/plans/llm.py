@@ -2534,3 +2534,38 @@ def topk_cosine_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     return topk_pq(emb, probes, k=5, m=10, ksub=16, iters=1)
+
+
+# --- incremental LSH near-dup (index maintenance) ---------------------
+
+_INCR_LSH_ORACLE = (
+    "SELECT * FROM (" + _LSH_PAIRS_ORACLE + ") WHERE id_b > "
+    "(SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) FROM documents)"
+)
+
+
+@query("incremental_lsh_dedup", oracle=_INCR_LSH_ORACLE)
+def incremental_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll a delta of new documents into MinHash-LSH near-dup
+    detection WITHOUT re-running the corpus batch job: the corpus
+    half keeps only its signature index (never re-shingled); the
+    delta is signed, banded against the index, and banded within
+    itself. The oracle is the FULL-recompute LSH pair query filtered
+    to pairs touching the delta — a hash match proves the incremental
+    path finds exactly the pairs full recompute would."""
+    from prisma_migrator_spark.llm.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") / 2.0).cast("long").alias("__cut")
+    )
+    with_cut = docs.crossJoin(F.broadcast(cut))
+    existing = with_cut.where(F.col("doc_id") <= F.col("__cut")).drop("__cut")
+    delta = with_cut.where(F.col("doc_id") > F.col("__cut")).drop("__cut")
+    existing_sigs = minhash_signatures(shingles(existing, k=3, distinct=False))
+    delta_sigs = minhash_signatures(shingles(delta, k=3, distinct=False))
+    return incremental_lsh_pairs(existing_sigs, delta_sigs)

@@ -640,9 +640,9 @@ def user_value_ses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), then the recursion is a map-side ``F.aggregate`` fold
     seeded with the first observation — no UDF, no iteration, no
     driver. Per-task state is one user's series; 100 TB scales by
-    users, and a series too long for one buffer would chunk via the
-    same partial-fold trick as pack_stream's prefix sums (level after
-    a chunk is an affine function of the level before it)."""
+    users; `user_value_ses_2level` is the same computation decomposed
+    for series too long for one buffer (affine chunk composition,
+    hash-verified equal)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
     )
@@ -660,4 +660,77 @@ def user_value_ses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return series.select(
         "user_id", "n_events", F.round(ses, 6).alias("ses_level")
+    )
+
+
+_SES_2LEVEL_ORACLE = _SES_ORACLE  # same result by construction
+
+
+@query("user_value_ses_2level", oracle=_SES_2LEVEL_ORACLE)
+def user_value_ses_2level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exponential smoothing as `user_value_ses`, computed as
+    a TWO-LEVEL distributed recursion — the shape that survives
+    series too long for one aggregation buffer (the `pack_stream`
+    prefix-sum idea applied to a recursive filter).
+
+    Key identity: a chunk of observations acts on the incoming level
+    as an AFFINE map — level_out = A·level_in + B with
+    A = (1-α)^n and B following the same recursion seeded at 0 — and
+    affine maps compose. So: level 1 groups (user, time-bucket) and
+    folds each bucket's (bounded) slice into (A, B, first-chunk
+    seed); level 2 folds the per-user sequence of bucket summaries in
+    time order. State per task is one BUCKET's rows at level 1 and
+    one user's BUCKET COUNT at level 2 — never the whole series.
+    Registered against the single-fold oracle: the hash match proves
+    the decomposition is exact, not approximately so."""
+    alpha = 0.3
+    bucket_us = 6 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    chunks = (
+        ev.withColumn("bucket", F.floor(F.col("ts_us") / bucket_us))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "value"))
+            ).alias("s"),
+        )
+    )
+    vals = F.transform(F.col("s"), lambda r: r["value"].cast("double"))
+    step = lambda acc, x: F.lit(alpha) * x + F.lit(1 - alpha) * acc  # noqa: E731
+    a_coef = F.pow(F.lit(1 - alpha), F.col("n"))
+    b_coef = F.aggregate(vals, F.lit(0.0), step)
+    seed = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        step,
+    )
+    summaries = chunks.select(
+        "user_id",
+        "bucket",
+        "n",
+        a_coef.alias("a"),
+        b_coef.alias("b"),
+        seed.alias("seed"),
+    )
+    per_user = summaries.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "a", "b", "seed"))
+        ).alias("cs"),
+    )
+    cs = F.col("cs")
+    first = F.element_at(cs, 1)
+    rest = F.slice(cs, 2, F.greatest(F.size(cs) - 1, F.lit(0)))
+    level = F.aggregate(
+        rest,
+        first["seed"],
+        lambda acc, c: c["a"] * acc + c["b"],
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(level, 6).alias("ses_level"),
     )
