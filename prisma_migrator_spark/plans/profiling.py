@@ -356,3 +356,29 @@ def lineitem_dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              | (F.col("l_shipdate") >= era_hi)),
         ],
     )
+
+
+@query("heavy_hitter_terms_approx")  # rows-only: approx_top_k's
+# Count-Min-style estimates are engine-specific; pytest pins the
+# sketch against the exact counts at test SF
+def heavy_hitter_terms_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via the native `approx_top_k` sketch —
+    the one-pass, fixed-memory alternative to the exact (term, count)
+    shuffle of top_terms_tfidf/vocab_top_terms. At 100 TB the sketch
+    aggregates map-side into a bounded buffer per partition and
+    merges partials; no term-keyed shuffle of the corpus ever
+    happens. Output: top 15 terms with estimated counts."""
+    from prisma_migrator_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("t")).where(
+        F.length("t") > 0
+    )
+    sk = terms.agg(F.expr("approx_top_k(t, 15, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+    )

@@ -174,3 +174,34 @@ def test_hll_sketch_merge_is_exact_union(spark, sf_dir):
     assert row.n_days >= 1
     assert row.est_merged == row.est_direct
     assert abs(row.est_merged - row.exact_users) <= 0.05 * row.exact_users
+
+
+def test_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
+    """With a 10k-slot sketch over a small-vocab corpus the estimates
+    must equal the exact counts, and the returned set must be the
+    exact top-15 (frequency-sorted prefix)."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.text import tokens
+    from prisma_migrator_spark.plans.registry import QUERIES
+
+    got = {
+        r.term: r.est_count
+        for r in QUERIES["heavy_hitter_terms_approx"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .where(F.length("t") > 0)
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(20)
+        .collect()
+    )
+    exact_counts = {r.t: r["count"] for r in exact}
+    assert len(got) == 15
+    for term, est in got.items():
+        assert exact_counts.get(term) == est, (term, est)
+    # every returned term's exact count >= the 16th exact count
+    floor = exact[15]["count"]
+    assert all(exact_counts[t] >= floor for t in got)
