@@ -2569,3 +2569,90 @@ def incremental_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing_sigs = minhash_signatures(shingles(existing, k=3, distinct=False))
     delta_sigs = minhash_signatures(shingles(delta, k=3, distinct=False))
     return incremental_lsh_pairs(existing_sigs, delta_sigs)
+
+
+# --- sparse TF-IDF cosine similarity join -----------------------------
+
+_TFIDF_COSINE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE length(term) > 0 GROUP BY doc_id, term
+), stats AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * LN((SELECT n_docs FROM n) / stats.df) AS w
+  FROM tf JOIN stats USING (term)
+  WHERE stats.df <= 0.25 * (SELECT n_docs FROM n)
+), norms AS (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.3
+"""
+
+
+@query("tfidf_cosine_pairs", oracle=_TFIDF_COSINE_ORACLE)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join: document pairs with TF-IDF
+    cosine ≥ 0.3, computed by a TERM-KEYED join (posting-list
+    intersection) — no embeddings, no dense vectors, no all-pairs.
+
+    The scale levers: (a) the pair-generating join keys on the term,
+    so candidate cost is Σ df² over KEPT terms only; (b) stopword-like
+    terms (df > 25% of docs) are dropped before the join — they
+    contribute near-zero IDF weight but would dominate Σ df² (the
+    same economics as the PPJoin prefix filter, ngram_jaccard_prefix);
+    (c) dot products aggregate with map-side combine on the pair key.
+    Norms are over the pruned vectors, so dropped terms don't deflate
+    the cosine — both engines compute the identical pruned geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("__n"))
+    w = (
+        tf.join(stats, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= 0.25 * F.col("__n"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )

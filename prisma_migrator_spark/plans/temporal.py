@@ -734,3 +734,59 @@ def user_value_ses_2level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round(level, 6).alias("ses_level"),
     )
+
+
+# --- robust (MAD) outlier screen --------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND ABS((e.value - m.med) / (1.4826 * d.mad)) > 3.5
+"""
+
+
+@query("event_value_mad_outliers", oracle=_MAD_ORACLE)
+def event_value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: |modified z| > 3.5 using median/MAD
+    (Iglewicz-Hoaglin) — unlike mean/stddev (event_value_outliers),
+    the cutoff itself cannot be dragged by the outliers it hunts.
+
+    Plan: two group-stat passes (median, then MAD — the second needs
+    the first's output), each a GROUP-SIZED exact percentile
+    aggregate broadcast back to the fact scan; the fact table never
+    shuffles. Exact `percentile` is safe here because the groups are
+    few (4 event types) — per-group state is the sorted value list;
+    with high-cardinality groups swap in `percentile_approx` (sketch
+    buffer, same plan shape)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
