@@ -58,7 +58,12 @@ DRIVER_WINDOW: list[str] = [
     "profile_lineitem_numeric",  # one-pass table profiler
     "distinct_pair_agg",         # A4 sorted distinct array agg
     "repeat_customers_setops",   # §2.7 set operations
-    "top_orders_per_customer",   # ranked window top-k
+    # ranked-top-k signal stays via busy_window_events (its top-3
+    # busiest-hours stage is the same topk_per_group operator);
+    # top_orders_per_customer moves to the tail and the slot carries
+    # the round-5 incremental-maintenance family, whose oracle is
+    # FULL RECOMPUTE (the strongest equivalence signal in the repo).
+    "incremental_sessions",
     "revenue_rollup",            # grouping-set rollup
     "event_attribution_24h",     # range-bounded attribution join
     # quantile-bucketing signal stays via quality_deciles (same
@@ -86,7 +91,10 @@ DRIVER_WINDOW: list[str] = [
     "topk_cosine_bruteforce",    # exact top-k cosine (ANN oracle)
     "multimodal_meta",           # multimodal metadata plumbing
     "doc_chunks_overlap",        # chunking with overlap
-    "canonical_docs",            # canonicalization
+    # canonical_docs composes near_dup_clusters (in-window) with a
+    # latest-per-key pick (in-window via latest_per_key_lineitem);
+    # its slot carries the round-5 sparse-similarity-join family.
+    "tfidf_cosine_pairs",
     "decontaminate_eval",        # eval decontamination
     "pii_redaction",             # PII redaction
     "pack_stream_512",           # stream packing (prefix sum)
