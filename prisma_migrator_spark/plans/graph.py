@@ -76,8 +76,11 @@ def pagerank(edges: DataFrame, n_iter: int = _N_ITER, damping: float = _DAMPING)
         edges.join(out, "src")
         .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
     )
-    weighted = weighted.persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    # eager snapshots, not persist: each iteration's plan would chain
+    # through every prior iteration otherwise (PERF.md #29), and the
+    # printed-plan subtree re-emission disappears too
+    weighted = weighted.localCheckpoint()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n_df = nodes.agg(F.count("*").alias("__n"))
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -91,7 +94,6 @@ def pagerank(edges: DataFrame, n_iter: int = _N_ITER, damping: float = _DAMPING)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("__in"))
         )
-        prev = ranks
         ranks = (
             nodes.join(contrib.select(F.col("dst").alias("node"), "__in"), "node", "left")
             .crossJoin(F.broadcast(n_df))
@@ -103,12 +105,8 @@ def pagerank(edges: DataFrame, n_iter: int = _N_ITER, damping: float = _DAMPING)
                     _ITER_SCALE,
                 ).alias("rank"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        ranks.count()  # materialize before dropping the parent
-        prev.unpersist()
-    weighted.unpersist()
-    nodes.unpersist()
     return ranks
 
 

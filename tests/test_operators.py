@@ -221,3 +221,42 @@ def test_salted_join_matches_plain(spark, sf_dir):
         )
     )
     assert got_l == plain_l
+
+
+def test_bucketed_interval_join_randomized_cross_check(spark):
+    """Seeded random points/intervals, three bucket widths, vs the
+    brute-force range join — the decomposition must be exact for
+    arbitrary alignment of interval bounds to bucket edges."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.operators.joins import bucketed_interval_join
+
+    def h(seed, mod):
+        return int.from_bytes(hashlib.md5(str(seed).encode()).digest()[:4], "big") % mod
+
+    points = spark.createDataFrame(
+        [Row(pid=i, t=h(f"p{i}", 10_000)) for i in range(300)]
+    )
+    ivs = spark.createDataFrame(
+        [
+            Row(iv=i, s=(s := h(f"s{i}", 9_000)), e=s + 1 + h(f"l{i}", 2_500))
+            for i in range(80)
+        ]
+    )
+    brute = sorted(
+        (r.pid, r.iv)
+        for r in points.crossJoin(ivs)
+        .where((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .collect()
+    )
+    assert brute, "degenerate fixture: no matches at all"
+    for width in (1, 97, 1024, 5000):
+        got = sorted(
+            (r.pid, r.iv)
+            for r in bucketed_interval_join(
+                points, ivs, "t", "s", "e", bucket_width=width
+            ).collect()
+        )
+        assert got == brute, f"width={width}"
