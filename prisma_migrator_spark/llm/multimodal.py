@@ -168,3 +168,118 @@ def extract_features(
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- WAV/RIFF audio: a FULLY REAL modality (stdlib-only) --------------
+
+
+def synthesize_wav(
+    doc_id: int, seed_text: str, sample_rate: int = 8000, n_samples: int = 400
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV bytes (a real, spec-valid
+    RIFF container — playable, parseable by any tool). Tone frequency
+    derives from a hash of the text, so fixtures are stable across
+    runs and engines. Pure stdlib: no codec needed — which is the
+    point: WAV is the modality this container CAN do end-to-end."""
+    import hashlib
+    import math
+    import struct
+
+    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    freq = 100 + (h % 900)
+    amp = 12000
+    frames = b"".join(
+        struct.pack(
+            "<h",
+            int(amp * math.sin(2 * math.pi * freq * i / sample_rate)),
+        )
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frames))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(frames))
+    )
+    return hdr + frames
+
+
+def attach_wav_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio variant of `attach_binary_payload`: a real WAV per row
+    (Arrow-batched Pandas UDF — byte synthesis is Python-side work,
+    exactly where a real pipeline's download/transcode step sits)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: ``pd`` is function-local, and pandas_udf's hint
+    # resolver evaluates annotations against module globals
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_wav(ids, texts):
+        return pd.Series(
+            [synthesize_wav(int(i), t or "") for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        id_col, make_wav(F.col(id_col), F.col(text_col)).alias("payload")
+    )
+
+
+WAV_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples int, duration_ms double, rms double"
+)
+
+
+def parse_wav_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode: parse the RIFF/fmt/data chunks and compute RMS
+    loudness from the PCM frames — no external codec, `struct` +
+    `audioop`-free stdlib math. Runs as `mapInPandas` so each Arrow
+    batch crosses the JVM↔Python boundary once; at 100 TB this is the
+    same shape as a PIL/libav decode stage, with the scan partitioning
+    carrying the parallelism."""
+    import math
+    import struct
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+                (
+                    _sz,
+                    fmt,
+                    n_ch,
+                    rate,
+                    _brate,
+                    _align,
+                    bits,
+                ) = struct.unpack("<IHHIIHH", b[16:36])
+                assert fmt == 1, "not PCM"
+                data_len = struct.unpack("<I", b[40:44])[0]
+                frames = b[44 : 44 + data_len]
+                n = data_len // (bits // 8) // n_ch
+                samples = struct.unpack(f"<{n * n_ch}h", frames)
+                rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "sample_rate": rate,
+                        "n_channels": n_ch,
+                        "bits": bits,
+                        "n_samples": n,
+                        "duration_ms": round(1000.0 * n / rate, 6),
+                        "rms": round(rms, 6),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, WAV_META_SCHEMA)

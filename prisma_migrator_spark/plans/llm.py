@@ -2656,3 +2656,23 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.3)
     )
+
+
+@query("wav_audio_metadata")  # rows-only: Pandas-UDF decode stage;
+# pytest cross-checks the parser against the stdlib `wave` module
+def wav_audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-REAL audio modality: per doc, synthesize a spec-valid
+    RIFF/PCM WAV (stdlib-only — no codec dependency to stub) and
+    parse it back (`mapInPandas` RIFF chunk walk + RMS over the PCM
+    frames). This is the exact shape of a production decode stage
+    (download/transcode → Arrow batch → parse → typed metadata
+    columns); image/video keep the documented stubs because their
+    codecs aren't in the container, audio doesn't need one."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_wav_payload,
+        parse_wav_metadata,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return parse_wav_metadata(attach_wav_payload(docs))

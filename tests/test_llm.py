@@ -1486,3 +1486,38 @@ def test_pq_adc_recall_on_clustered_data(spark):
     codes = pq_encode(emb, books, dim=32).collect()
     assert all(len(r.pq_codes) == 8 for r in codes)
     assert all(0 <= c < 16 for r in codes for c in r.pq_codes)
+
+
+def test_wav_roundtrip_against_stdlib(spark):
+    """The synthesized container must be readable by the stdlib
+    `wave` module, and our RIFF parser must agree with it field for
+    field; RMS of a full-scale sine must land near amp/sqrt(2)."""
+    import io
+    import wave as wavmod
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_wav_payload,
+        parse_wav_metadata,
+        synthesize_wav,
+    )
+
+    b = synthesize_wav(7, "some text")
+    w = wavmod.open(io.BytesIO(b))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (8000, 1, 2)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(20)]
+    )
+    got = {
+        r.doc_id: r for r in parse_wav_metadata(attach_wav_payload(docs)).collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        ref = wavmod.open(io.BytesIO(synthesize_wav(i, f"doc number {i}")))
+        r = got[i]
+        assert r.sample_rate == ref.getframerate()
+        assert r.n_channels == ref.getnchannels()
+        assert r.n_samples == ref.getnframes()
+        assert abs(r.duration_ms - 1000.0 * ref.getnframes() / ref.getframerate()) < 1e-6
+        # full-scale sine RMS ≈ 12000/sqrt(2) ≈ 8485, within discretization
+        assert 7500 < r.rms < 9500, r.rms
