@@ -718,3 +718,57 @@ def incremental_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
     )
     return merged.crossJoin(F.broadcast(direct))
+
+
+# --- fixed-bin histogram ----------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20.0)) AS INT) + 1,
+                  20) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders, b
+GROUP BY 1
+"""
+
+
+@query("order_price_histogram", oracle=_HISTOGRAM_ORACLE)
+def order_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of order totals — the dashboard
+    primitive. Bounds are a 1-row aggregate broadcast back (the
+    global-max pattern, never a sort); binning is map-side
+    `width_bucket` and the count is one 20-key aggregate with
+    map-side combine; the max value's overflow bin folds into the
+    last one. Bin arithmetic is the same explicit float expression on
+    both engines so boundary values can't straddle."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            # explicit arithmetic (not width_bucket): DuckDB 1.0 lacks
+            # the function, and matching the oracle bit-for-bit at bin
+            # boundaries requires the SAME float expression both sides
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(20.0))
+                ).cast("int")
+                + F.lit(1),
+                F.lit(20),
+            ).cast("int").alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )

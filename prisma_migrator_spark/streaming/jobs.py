@@ -230,3 +230,47 @@ def run_upsert_sink(
     )
     q.awaitTermination()
     return q.lastProgress
+
+
+def streaming_interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    :func:`streaming_interval_join`, but left events with NO match in
+    their lookback window still emit (NULL right side) — the shape
+    behind "views with or without a preceding click".
+
+    Outer results can only emit once the watermark passes the point
+    where a match could still arrive, so NULL rows surface with
+    watermark delay — correctness over latency, which is the right
+    trade for batch-replayed backfills. Both sides must carry a
+    watermark AND the join's time bound, same as the inner form
+    (state stays bounded by watermark + lookback)."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("l_event_id") != F.col("r_event_id"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "r_type",
+        "l_ts",
+        "r_ts",
+    )

@@ -1521,3 +1521,68 @@ def test_wav_roundtrip_against_stdlib(spark):
         assert abs(r.duration_ms - 1000.0 * ref.getnframes() / ref.getframerate()) < 1e-6
         # full-scale sine RMS ≈ 12000/sqrt(2) ≈ 8485, within discretization
         assert 7500 < r.rms < 9500, r.rms
+
+
+def test_streaming_left_outer_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream interval join: matched pairs AND
+    unmatched-left NULL rows must both equal the batch left join over
+    the same static frame (availableNow drains the watermark, so all
+    outer results flush)."""
+    from prisma_migrator_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_parquet,
+        streaming_interval_join_left,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    src = str(tmp_path / "events_loj")
+    out = str(tmp_path / "loj_out")
+    ckpt = str(tmp_path / "loj_ck")
+    ev.write.parquet(src)
+
+    def drain():
+        s1 = read_events_stream(spark, src)
+        s2 = read_events_stream(spark, src)
+        run_to_parquet(
+            streaming_interval_join_left(s1, s2, lookback="30 minutes"),
+            out,
+            ckpt,
+        )
+
+    drain()  # matched pairs emit; trailing outer rows held back —
+    # outer results need the watermark to pass "no match can still
+    # arrive", and end-of-input does not advance it. Production
+    # pipelines see the next day's data do this naturally; the test
+    # appends a far-future sentinel batch to close the books.
+    flush = ev.limit(1).select(
+        F.lit(-1).alias("event_id").cast("long"),
+        (F.col("ts") + F.expr("INTERVAL 1000 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    flush.write.mode("append").parquet(src)
+    drain()
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out).where("user_id >= 0").collect()
+    }
+    b = ev.select("user_id", "ts", "event_id")
+    r = ev.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") <= F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("event_id") != F.col("r_event_id"))
+    )
+    exp = {
+        (x.event_id, x.r_event_id)
+        for x in b.join(r, cond, "left").collect()
+    }
+    assert got == exp
+    assert any(rid is None for (_, rid) in got)  # outer rows actually exist
