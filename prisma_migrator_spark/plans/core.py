@@ -434,3 +434,68 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name")
     )
+
+
+# --- cluster-consistent (key-coherent) sampling -----------------------
+
+_CLUSTER_SAMPLE_ORACLE = """
+WITH keep AS (
+  SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':cs'), 1, 8))
+             AS BIGINT) % 4 = 0
+)
+SELECT k.o_orderkey, k.o_custkey, k.o_totalprice,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS items_value
+FROM keep k JOIN lineitem l ON l.l_orderkey = k.o_orderkey
+GROUP BY 1, 2, 3
+"""
+
+
+@query("order_cluster_sample", oracle=_CLUSTER_SAMPLE_ORACLE)
+def order_cluster_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% sample of ORDERS (not rows) with every sampled order's
+    lineitems intact — cluster/key-coherent sampling, the correct way
+    to downsample relational or conversation-shaped training data
+    (row-level sampling shears children off parents and biases any
+    per-parent statistic).
+
+    Deterministic: membership is a pure hash of the key — stable
+    under retries, AQE, and engine (no rand()). The child table is
+    filtered by JOINING the sampled keys (hash-partitioned on the
+    key both sides, or broadcast when the sample is small) — child
+    rows never evaluate the hash themselves, so parent and child can
+    never disagree on membership."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    # md5-derived membership (not xxhash64): portable across engines,
+    # so the DuckDB oracle reproduces the sample EXACTLY — same device
+    # as the MinHash signatures
+    keep = o.where(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":cs"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(4),
+        )
+        == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    return (
+        keep.join(li, "o_orderkey")
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("items_value"),
+        )
+    )

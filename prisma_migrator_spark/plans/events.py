@@ -8,7 +8,7 @@ window semantics rather than restating them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
@@ -387,5 +387,53 @@ def busy_window_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_us").alias("window_start_us"),
             "n_events",
             "total_value",
+        )
+    )
+
+
+# --- burst dedup (telemetry de-bounce) --------------------------------
+
+_BURST_DEDUP_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 15 MINUTE
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type,
+       EPOCH_US(ts) AS ts_us, ROUND(value, 6) AS value
+FROM flagged WHERE newf = 1
+"""
+
+
+@query("event_burst_dedup", oracle=_BURST_DEDUP_ORACLE)
+def event_burst_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry de-bounce: collapse bursts of the same (user, type)
+    arriving within 15 min of the previous kept-or-dropped event to
+    their FIRST occurrence — double-clicks, retry storms, duplicate
+    beacons. (Real telemetry uses seconds; the fixture's event times
+    are minutes apart, so the tolerance is 15 min to keep the query
+    non-vacuous — 40 events collapse at sf0.01.) Gaps-and-islands with a chain-tolerant twist: an event
+    is kept iff the gap to its immediate PREDECESSOR exceeds the
+    tolerance (so a long burst collapses to one row even if it spans
+    more than the tolerance end-to-end). One (user, type)-keyed shuffle; the
+    lag and the filter are map-side within each key partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn(
+            "__new",
+            F.when(gap_us.isNull() | (gap_us > 900_000_000), 1).otherwise(0),
+        )
+        .where(F.col("__new") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
         )
     )
