@@ -66,3 +66,48 @@ def test_zorder_write_narrows_both_dims(spark, sf_dir, tmp_path):
     # span (sqrt(16)=4x narrowing per dim in the ideal grid).
     assert spans.adp < g.gp / 2, (spans.adp, g.gp)
     assert spans.ads < g.gs / 2, (spans.ads, g.gs)
+
+
+def test_dynamic_partition_pruning_on_hive_partitioned_fact(spark, sf_dir, tmp_path):
+    """Hive-partition the fact on its join key; a selective broadcast
+    dim must inject a dynamicpruning subquery into the fact's
+    PartitionFilters so non-matching partitions never scan — the
+    cluster-side mechanism behind star-schema queries at 100 TB (the
+    file-level sibling of the runtime bloom-filter test)."""
+    from prisma_migrator_spark.catalog import load_table
+
+    fact_path = str(tmp_path / "li_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(fact_path)
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        fact = spark.read.parquet(fact_path)
+        # the selective predicate sits on a NON-join dim column, so it
+        # cannot be statically pushed into the fact scan — pruning the
+        # fact's partitions requires the RUNTIME subquery (DPP)
+        from pyspark.sql import Row
+
+        dim = spark.createDataFrame(
+            [Row(rf="A", grade="keep"), Row(rf="N", grade="drop"),
+             Row(rf="R", grade="drop")]
+        ).where(F.col("grade") == "keep")
+        joined = fact.join(
+            F.broadcast(dim), fact["l_returnflag"] == dim["rf"]
+        ).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        got = {r.l_returnflag: r.n for r in joined.collect()}
+        exact = {
+            r.l_returnflag: r.n
+            for r in li.where("l_returnflag = 'A'")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == exact
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
