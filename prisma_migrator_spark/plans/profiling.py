@@ -382,3 +382,68 @@ def heavy_hitter_terms_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("est_count"),
         )
     )
+
+
+# --- entity clusters: fuzzy pairs -> connected components -------------
+
+_ENTITY_CLUSTERS_ORACLE = """
+WITH RECURSIVE cand AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+), clusters AS (
+  SELECT node AS p_partkey, MIN(r) AS entity_id FROM reach GROUP BY node
+)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       MIN(p_partkey) AS canonical_partkey
+FROM clusters GROUP BY entity_id
+"""
+
+
+@query("part_entity_clusters", oracle=_ENTITY_CLUSTERS_ORACLE)
+def part_entity_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the blocked fuzzy join's
+    candidate pairs (edit distance ≤ 2 within brand blocks) collapsed
+    into ENTITIES via the same HashToMin connected components that
+    powers near-dup clustering — transitive closure matters because
+    record linkage is not transitive ("part A≈B, B≈C" must land A
+    and C in one entity even at distance 4). One row per multi-record
+    entity with its canonical (min-key) record. Oracle: recursive-CTE
+    closure over an independent Levenshtein join."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import near_dup_clusters
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = ensure_parallelism(part).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("na"), "p_brand"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nb"), "p_brand"
+    )
+    pairs = (
+        a.join(b, "p_brand")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("na") - F.length("nb")) <= 2)
+            # 3-arg levenshtein returns -1 when the threshold is
+            # exceeded, so the keep-condition is >= 0, never <= t
+            & (F.levenshtein("na", "nb", 2) >= 0)
+        )
+        .select("id_a", "id_b")
+    )
+    clusters = near_dup_clusters(pairs)
+    return clusters.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("doc_id").alias("canonical_partkey"),
+    )

@@ -41,6 +41,7 @@ qs, oracles = e.queries(), e.oracle_sql()
 if len(sys.argv) > 1:
     qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
 ok = bad = 0
+vacuous = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     sdf = fn(spark, SF)
@@ -55,7 +56,12 @@ for name, fn in sorted(qs.items()):
     oh = Counter(tuple(norm(r[i]) for i in oo) for r in o_rows)
     match = sorted(s_cols)==sorted(o_cols) and sh==oh
     ok += match; bad += (not match)
-    print(f"  {name}: {'MATCH' if match else 'MISMATCH'} {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+    vac = " [VACUOUS: 0 rows]" if len(s_rows) == 0 else ""
+    print(f"  {name}: {'MATCH' if match else 'MISMATCH'} {len(s_rows)} rows ({time.time()-t0:.1f}s){vac}")
     if not match:
         print("   oracle-only:", list((oh-sh).items())[:2]); print("   spark-only:", list((sh-oh).items())[:2])
+    if len(s_rows) == 0:
+        vacuous.append(name)
 print(f"RESULT: {ok} match, {bad} mismatch")
+if vacuous:
+    print(f"WARNING: {len(vacuous)} zero-row (vacuously matching) queries: {vacuous}")
