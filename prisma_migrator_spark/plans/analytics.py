@@ -772,3 +772,78 @@ def order_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+# --- funnel conversion-latency percentiles ----------------------------
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), lat AS (
+  SELECT v.user_id,
+         EPOCH_US(c.t2) - EPOCH_US(v.t1) AS view_to_click_us,
+         EPOCH_US(p.t3) - EPOCH_US(c.t2) AS click_to_purchase_us
+  FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(QUANTILE_CONT(view_to_click_us, 0.5) / 1e6, 3) AS vc_p50_s,
+       ROUND(QUANTILE_CONT(view_to_click_us, 0.9) / 1e6, 3) AS vc_p90_s,
+       ROUND(QUANTILE_CONT(click_to_purchase_us, 0.5) / 1e6, 3) AS cp_p50_s,
+       ROUND(QUANTILE_CONT(click_to_purchase_us, 0.9) / 1e6, 3) AS cp_p90_s
+FROM lat
+"""
+
+
+@query("funnel_latency_percentiles", oracle=_FUNNEL_LATENCY_ORACLE)
+def funnel_latency_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles over the view→click→purchase
+    funnel: P50/P90 of each stage gap among fully-converted users.
+    The stage anchors are the same tiny per-user min-timestamp
+    aggregates as funnel_view_click_purchase; the percentile is an
+    exact linear-interpolation `percentile` over the CONVERTED-USER
+    frame (funnel output, orders smaller than the fact) — swap to
+    percentile_approx when the converted population itself is huge."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    cv = v.join(c, "user_id")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cv.select("user_id", "t2"), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = cv.join(p, "user_id").select(
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("vc"),
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("cp"),
+    )
+    # percentile interpolation noise is relative (~1e-16 of the
+    # value); epoch-microsecond magnitudes leak it past ROUND(x, 6),
+    # so report seconds at millisecond precision
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(vc, 0.5) / 1e6"), 3).alias("vc_p50_s"),
+        F.round(F.expr("percentile(vc, 0.9) / 1e6"), 3).alias("vc_p90_s"),
+        F.round(F.expr("percentile(cp, 0.5) / 1e6"), 3).alias("cp_p50_s"),
+        F.round(F.expr("percentile(cp, 0.9) / 1e6"), 3).alias("cp_p90_s"),
+    )
