@@ -447,3 +447,51 @@ def part_entity_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.min("doc_id").alias("canonical_partkey"),
     )
+
+
+# --- join-key skew diagnosis ------------------------------------------
+
+_KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c)
+SELECT key, n,
+       ROUND(n * 1.0 / (SELECT total FROM tot), 6) AS share,
+       ROUND(n * 1.0 * (SELECT n_keys FROM tot)
+             / (SELECT total FROM tot), 6) AS x_uniform
+FROM c
+ORDER BY n DESC, key ASC
+LIMIT 10
+"""
+
+
+@query("lineitem_key_skew_report", oracle=_KEY_SKEW_ORACLE)
+def lineitem_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for a prospective join/agg key: the 10 heaviest
+    values of l_suppkey with each one's share of the table and its
+    multiple of the uniform expectation — the number that tells you
+    whether AQE's skew split suffices or `salted_join` / a salted
+    aggregate is warranted (PERF.md #34's decision input). One count
+    shuffle with map-side combine, totals as a 1-row broadcast,
+    top-10 as a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    )
+    c = li.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__nkeys") / F.col("__total"), 6
+            ).alias("x_uniform"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )

@@ -790,3 +790,53 @@ def event_value_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+# --- time-weighted average (TWAP) -------------------------------------
+
+_TWAP_ORACLE = """
+WITH iv AS (
+  SELECT l_partkey,
+         l_extendedprice AS price,
+         EPOCH_US(l_shipdate) AS t0,
+         LEAD(EPOCH_US(l_shipdate)) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS t1
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(SUM(price * (t1 - t0)) / SUM(t1 - t0), 6) AS twap
+FROM iv WHERE t1 IS NOT NULL AND t1 > t0
+GROUP BY l_partkey
+"""
+
+
+@query("part_price_twap", oracle=_TWAP_ORACLE)
+def part_price_twap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per part over its snapshot history:
+    each observation holds until the next one, so the mean weights
+    each price by its interval duration — the correct average for
+    irregularly-sampled state (a plain AVG over-weights busy
+    periods). Zero-duration repeats and the open last interval drop
+    out. Same single key-partitioned lead() shuffle as the SCD2
+    family; the weighted mean is one aggregate over interval rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    t0 = F.unix_micros("l_shipdate")
+    t1 = F.unix_micros(F.lead("l_shipdate").over(w))
+    iv = li.select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("price"),
+        t0.alias("t0"),
+        t1.alias("t1"),
+    ).where(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    dur = F.col("t1") - F.col("t0")
+    return iv.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("price") * dur) / F.sum(dur), 6).alias("twap"),
+    )
