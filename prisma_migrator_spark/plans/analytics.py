@@ -847,3 +847,52 @@ def funnel_latency_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(cp, 0.5) / 1e6"), 3).alias("cp_p50_s"),
         F.round(F.expr("percentile(cp, 0.9) / 1e6"), 3).alias("cp_p90_s"),
     )
+
+
+# --- order-to-ship lag percentiles ------------------------------------
+
+_SHIP_LAG_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority,
+         (EPOCH_US(l.l_shipdate) - EPOCH_US(o.o_orderdate)) / 86400000000.0
+           AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(QUANTILE_CONT(lag_days, 0.5), 3) AS p50_days,
+       ROUND(QUANTILE_CONT(lag_days, 0.9), 3) AS p90_days,
+       ROUND(QUANTILE_CONT(lag_days, 0.99), 3) AS p99_days
+FROM lag GROUP BY o_orderpriority
+"""
+
+
+@query("ship_lag_percentiles", oracle=_SHIP_LAG_ORACLE)
+def ship_lag_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency P50/P90/P99 per order priority — the SLA
+    report. One fact-fact equi join on the order key (orders side
+    pruned to 2 columns), lag computed map-side in days, exact
+    interpolated percentiles per priority (5 groups; the group-sized
+    buffer caveat and percentile_approx swap per
+    event_value_mad_outliers apply)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    )
+    lag_days = (
+        F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+    ) / 86_400_000_000.0
+    lag = (
+        li.join(o, "o_orderkey")
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select("o_orderpriority", lag_days.alias("lag_days"))
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(lag_days, 0.5)"), 3).alias("p50_days"),
+        F.round(F.expr("percentile(lag_days, 0.9)"), 3).alias("p90_days"),
+        F.round(F.expr("percentile(lag_days, 0.99)"), 3).alias("p99_days"),
+    )

@@ -495,3 +495,45 @@ def lineitem_key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(10)
     )
+
+
+# --- group-wise regression (trend) ------------------------------------
+
+_TREND_ORACLE = """
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(REGR_SLOPE(l_extendedprice,
+                        EPOCH_US(l_shipdate) / 86400000000.0), 6) AS slope_per_day,
+       ROUND(REGR_R2(l_extendedprice,
+                     EPOCH_US(l_shipdate) / 86400000000.0), 6) AS r2
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) >= 30
+"""
+
+
+@query("supplier_price_trend", oracle=_TREND_ORACLE)
+def supplier_price_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price trend: least-squares slope (per day) and R²
+    of price against time, for suppliers with ≥30 observations —
+    drift detection as a GROUPED AGGREGATE (regr_slope/regr_r2 keep
+    constant state per group: sums and cross-moments), not a per-key
+    model fit loop. One shuffle with map-side partials; at 100 TB
+    this is the cheapest possible "which series are trending"
+    screen."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.unix_micros("l_shipdate") / 86_400_000_000.0).alias("day"),
+        "l_extendedprice",
+    )
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.expr("regr_slope(l_extendedprice, day)"), 6).alias(
+                "slope_per_day"
+            ),
+            F.round(F.expr("regr_r2(l_extendedprice, day)"), 6).alias("r2"),
+        )
+        .where(F.col("n_obs") >= 30)
+    )

@@ -840,3 +840,42 @@ def part_price_twap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(F.sum(F.col("price") * dur) / F.sum(dur), 6).alias("twap"),
     )
+
+
+# --- running balance (keyed cumulative sum) ---------------------------
+
+_RUNNING_BALANCE_ORACLE = """
+SELECT l_partkey,
+       EPOCH_US(l_shipdate) AS ts_us,
+       l_orderkey, l_linenumber,
+       ROUND(SUM(l_quantity) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING), 6) AS cum_qty
+FROM lineitem
+"""
+
+
+@query("part_running_balance", oracle=_RUNNING_BALANCE_ORACLE)
+def part_running_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running quantity balance per part over its event history — the
+    ledger/inventory read. KEY-partitioned running sum (one shuffle,
+    window state = one accumulator per key partition); the global
+    single-task variant of this is the banned shape
+    (order_price_quartiles' NTILE lesson), but per-key prefix sums
+    scale with the key count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_partkey",
+        F.unix_micros("l_shipdate").alias("ts_us"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 6).alias("cum_qty"),
+    )
