@@ -258,3 +258,78 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(closed.select(F.col("w").alias("part")))
     )
     return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- market-basket lift -----------------------------------------------
+
+_BASKET_LIFT_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+         FROM baskets),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM baskets GROUP BY l_partkey
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_pair,
+       ROUND(n_pair * (SELECT n_orders FROM n)
+             / (ia.n_item * ib.n_item), 6) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+WHERE n_pair >= 3
+"""
+
+
+@query("basket_lift_pairs", oracle=_BASKET_LIFT_ORACLE)
+def basket_lift_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for co-purchased part pairs seen in ≥3
+    orders (63 pairs at sf0.01 — the fixture's baskets are small), the LIFT P(a,b)·N / (P(a)·P(b)·N²·…) — >1 means the pair
+    co-occurs more than independence predicts (the association-rule
+    screen behind "bought together"). Pair generation is the same
+    Σ per-order² order-keyed join as copurchase_edges (bounded by
+    basket size, never catalog²); item counts broadcast back onto the
+    support-filtered pair frame, so the expensive join output shrinks
+    before the lift math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("__n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    return (
+        pair.join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("__ia")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("__ib")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair") * F.col("__n_orders")
+                / (F.col("__ia") * F.col("__ib")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1586,3 +1586,39 @@ def test_streaming_left_outer_interval_join_matches_batch(spark, sf_dir, tmp_pat
     }
     assert got == exp
     assert any(rid is None for (_, rid) in got)  # outer rows actually exist
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark, sf_dir):
+    """The LSH signature-agreement estimate must TRACK exact shingle
+    Jaccard: mean absolute error within the binomial noise of 8
+    hashes (~0.17), and high-vs-low separation preserved on the
+    candidate pairs the banding surfaces."""
+    from prisma_migrator_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3, distinct=False)
+    sigs = minhash_signatures(sh, num_hashes=8)
+    est = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(sh, min_jaccard=0.0).collect()
+    }
+    common = [k for k in est if k in exact]
+    assert len(common) >= 10, f"only {len(common)} comparable pairs"
+    errs = [abs(est[k] - exact[k]) for k in common]
+    assert sum(errs) / len(errs) <= 0.2, sum(errs) / len(errs)
+    # ranking preserved in the aggregate: mean estimate over the
+    # top-half exact pairs must exceed the bottom half's
+    ranked = sorted(common, key=lambda k: exact[k])
+    half = len(ranked) // 2
+    lo = sum(est[k] for k in ranked[:half]) / half
+    hi = sum(est[k] for k in ranked[half:]) / (len(ranked) - half)
+    assert hi > lo, (hi, lo)
