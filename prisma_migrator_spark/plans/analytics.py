@@ -896,3 +896,110 @@ def ship_lag_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_days, 0.9)"), 3).alias("p90_days"),
         F.round(F.expr("percentile(lag_days, 0.99)"), 3).alias("p99_days"),
     )
+
+
+# --- contribution analysis (share within group) -----------------------
+
+_NATION_SHARE_ORACLE = """
+WITH s AS (
+  SELECT n.n_name, su.s_suppkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = su.s_nationkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT n_name, SUM(revenue) AS nation_rev FROM s GROUP BY 1
+)
+SELECT s.n_name, s.s_suppkey, s.revenue,
+       ROUND(s.revenue / t.nation_rev, 6) AS nation_share
+FROM s JOIN t USING (n_name)
+"""
+
+
+@query("supplier_nation_share", oracle=_NATION_SHARE_ORACLE)
+def supplier_nation_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each supplier's share of its NATION's
+    revenue (ratio-to-report). The denominators come from a second,
+    GROUP-SIZED aggregate joined back (25 nations — broadcast), not a
+    `SUM() OVER (PARTITION BY nation)` window: the window form
+    re-shuffles the full supplier frame and holds partitions in the
+    window buffer, the re-aggregate touches only group-level rows.
+    Dims broadcast into the fact scan; one fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    s = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .join(F.broadcast(nat), "s_nationkey")
+        .groupBy("n_name", F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+    t = s.groupBy("n_name").agg(F.sum("revenue").alias("__nation_rev"))
+    return s.join(F.broadcast(t), "n_name").select(
+        "n_name",
+        "s_suppkey",
+        "revenue",
+        F.round(F.col("revenue") / F.col("__nation_rev"), 6).alias("nation_share"),
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(EPOCH_US(o_orderdate)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT QUANTILE_DISC(last_us, 0.5) AS r_cut,
+         QUANTILE_DISC(frequency, 0.5) AS f_cut,
+         QUANTILE_DISC(monetary, 0.5) AS m_cut
+  FROM rfm
+)
+SELECT o_custkey, frequency, monetary,
+       CASE WHEN last_us > r_cut THEN 1 ELSE 0 END AS r_hi,
+       CASE WHEN frequency > f_cut THEN 1 ELSE 0 END AS f_hi,
+       CASE WHEN monetary > m_cut THEN 1 ELSE 0 END AS m_hi
+FROM rfm, cuts
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer's recency/frequency/monetary
+    value split at the population median into 8 segments (2³ flags).
+    The cuts are DISCRETE medians from ONE 1-row aggregate broadcast
+    back (the quality_deciles sketch-cut pattern — never a global
+    NTILE sort); exact-value cuts (quantile_disc) keep the boundary
+    deterministic across engines where interpolated medians would
+    float-drift on the > comparison."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.unix_micros("o_orderdate").alias("us"), "o_totalprice"
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        F.expr("percentile_approx(last_us, 0.5, 2147483647)").alias("r_cut"),
+        F.expr("percentile_approx(frequency, 0.5, 2147483647)").alias("f_cut"),
+        F.expr("percentile_approx(monetary, 0.5, 2147483647)").alias("m_cut"),
+    )
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        (F.col("last_us") > F.col("r_cut")).cast("int").alias("r_hi"),
+        (F.col("frequency") > F.col("f_cut")).cast("int").alias("f_hi"),
+        (F.col("monetary") > F.col("m_cut")).cast("int").alias("m_hi"),
+    )
