@@ -213,9 +213,34 @@ def ngram_jaccard_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
+    max_candidate_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for every pair sharing ≥1
-    shingle. Join is shingle-keyed (cost Σ df(shingle)², not n²)."""
+    shingle. Join is shingle-keyed (cost Σ df(shingle)², not n²).
+
+    Guard: Σ df² explodes on boilerplate-heavy corpora (measured 830 s
+    naive vs 5.3 s prefix-filtered at 20k docs — PERF.md #23), so
+    before building the join this estimates the candidate-pair count
+    from the shingle-df histogram (ONE cheap count-aggregate over the
+    shingle frame) and raises past ``max_candidate_pairs``, pointing
+    at :func:`ngram_jaccard_pairs_prefix` — the PPJoin-style scale
+    path. Pass ``None`` to skip the estimate (e.g. when the caller
+    already knows the corpus is near-dup-sparse)."""
+    if max_candidate_pairs is not None:
+        est = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("cand"))
+            .first()["cand"]
+        ) or 0
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: ~{int(est):,} candidate pairs from the "
+                f"shingle-df histogram exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — this corpus is boilerplate-heavy; "
+                "use ngram_jaccard_pairs_prefix (prefix-filtered, same "
+                "result above its threshold) or raise the cap explicitly."
+            )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -806,8 +831,14 @@ def incremental_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    existing_sigs = existing_sigs.persist()
-    delta_sigs = delta_sigs.persist()
+    # localCheckpoint (not persist): both frames feed multiple branches
+    # (band joins + the agreement re-join), and a persist() here would
+    # pin executor storage for the session lifetime since a lazily
+    # returned DataFrame gives no unpersist point. Checkpointing
+    # materializes once, truncates lineage, and its blocks are GC'd
+    # with the DataFrame — the same discipline as the iterative plans.
+    existing_sigs = existing_sigs.localCheckpoint()
+    delta_sigs = delta_sigs.localCheckpoint()
     eb = existing_sigs.select(
         F.col(id_col).alias("__old"), F.explode(bands).alias("band")
     )

@@ -237,49 +237,72 @@ WAV_META_SCHEMA = (
 
 
 def parse_wav_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL decode: parse the RIFF/fmt/data chunks and compute RMS
-    loudness from the PCM frames — no external codec, `struct` +
-    `audioop`-free stdlib math. Runs as `mapInPandas` so each Arrow
+    """REAL decode: a RIFF chunk WALK (iterate (id, size) pairs to
+    locate ``fmt `` and ``data`` — word-aligned skips, so spec-valid
+    extras like LIST/INFO or ``fact`` chunks between them are handled,
+    and WAVE_FORMAT_EXTENSIBLE is unwrapped to its PCM subformat),
+    then RMS loudness from the 16-bit PCM frames — no external codec,
+    ``struct`` + stdlib math. Runs as ``mapInPandas`` so each Arrow
     batch crosses the JVM↔Python boundary once; at 100 TB this is the
     same shape as a PIL/libav decode stage, with the scan partitioning
-    carrying the parallelism."""
+    carrying the parallelism.
+
+    Fault isolation: a malformed payload yields a row of NULL metadata
+    for its id instead of killing the whole Arrow batch/task — one bad
+    blob out of a billion must not fail the stage."""
     import math
     import struct
+
+    def parse_one(b: bytes):
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        fmt_body = data_body = None
+        off = 12
+        while off + 8 <= len(b):
+            cid = b[off : off + 4]
+            (sz,) = struct.unpack("<I", b[off + 4 : off + 8])
+            body = b[off + 8 : off + 8 + sz]
+            if cid == b"fmt ":
+                fmt_body = body
+            elif cid == b"data":
+                data_body = body
+            off += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+        if fmt_body is None or data_body is None or len(fmt_body) < 16:
+            return None
+        tag, n_ch, rate, _brate, _align, bits = struct.unpack(
+            "<HHIIHH", fmt_body[:16]
+        )
+        if tag == 0xFFFE and len(fmt_body) >= 26:  # EXTENSIBLE: real
+            (tag,) = struct.unpack("<H", fmt_body[24:26])  # tag in GUID
+        if tag != 1 or bits != 16 or n_ch == 0 or rate == 0:
+            return None  # only integer PCM16 is in scope
+        n = len(data_body) // 2 // n_ch
+        samples = struct.unpack(f"<{n * n_ch}h", data_body[: n * n_ch * 2])
+        rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
+        return rate, n_ch, bits, n, round(1000.0 * n / rate, 6), round(rms, 6)
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            out = []
+            rows = []
             for i, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
-                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
-                (
-                    _sz,
-                    fmt,
-                    n_ch,
-                    rate,
-                    _brate,
-                    _align,
-                    bits,
-                ) = struct.unpack("<IHHIIHH", b[16:36])
-                assert fmt == 1, "not PCM"
-                data_len = struct.unpack("<I", b[40:44])[0]
-                frames = b[44 : 44 + data_len]
-                n = data_len // (bits // 8) // n_ch
-                samples = struct.unpack(f"<{n * n_ch}h", frames)
-                rms = math.sqrt(sum(s * s for s in samples) / max(len(samples), 1))
-                out.append(
-                    {
-                        "doc_id": int(i),
-                        "sample_rate": rate,
-                        "n_channels": n_ch,
-                        "bits": bits,
-                        "n_samples": n,
-                        "duration_ms": round(1000.0 * n / rate, 6),
-                        "rms": round(rms, 6),
-                    }
-                )
-            yield pd.DataFrame(out)
+                try:
+                    meta = parse_one(bytes(payload))
+                except Exception:
+                    meta = None
+                rows.append((int(i), *(meta or (None,) * 6)))
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols[0], dtype="int64"),
+                    "sample_rate": pd.array(cols[1], dtype="Int32"),
+                    "n_channels": pd.array(cols[2], dtype="Int32"),
+                    "bits": pd.array(cols[3], dtype="Int32"),
+                    "n_samples": pd.array(cols[4], dtype="Int32"),
+                    "duration_ms": pd.array(cols[5], dtype="Float64"),
+                    "rms": pd.array(cols[6], dtype="Float64"),
+                }
+            )
 
     return with_payload.mapInPandas(run, WAV_META_SCHEMA)

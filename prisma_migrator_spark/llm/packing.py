@@ -53,8 +53,12 @@ def global_running_offset(
     b = ((F.col(order_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
     bucketed = df.withColumn("__b", b)
 
+    from prisma_migrator_spark.operators.ranking import bounded_global_window
+
     totals = bucketed.groupBy("__b").agg(F.sum(len_col).alias("__t"))
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_b = bounded_global_window(
+        F.col("__b"), anchor="__b", bound=f"n_buckets={n_buckets} offset rows"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__base")
     )

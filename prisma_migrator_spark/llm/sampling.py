@@ -77,8 +77,12 @@ def deterministic_shuffle_rank(
     bucketed = df.withColumn("__h", hv).withColumn(
         "__b", F.shiftright(F.col("__h"), 60 - bits)
     )
+    from prisma_migrator_spark.operators.ranking import bounded_global_window
+
     counts = bucketed.groupBy("__b").agg(F.count("*").alias("__c"))
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_b = bounded_global_window(
+        F.col("__b"), anchor="__b", bound=f"n_buckets={n_buckets} offset rows"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__b", F.coalesce(F.sum("__c").over(w_b), F.lit(0)).alias("__base")
     )

@@ -218,7 +218,7 @@ def build_vocab(
     final id assignment is a V-row window — vocabulary-sized, not
     corpus-sized.
     """
-    from pyspark.sql import Window
+    from prisma_migrator_spark.operators.ranking import bounded_global_window
 
     counts = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
@@ -228,7 +228,10 @@ def build_vocab(
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(top_v)
     )
-    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    w = bounded_global_window(
+        F.desc("n"), F.asc("term"), anchor="n",
+        bound=f"top_v={top_v} vocabulary rows"
+    )
     return counts.select(
         F.row_number().over(w).alias("token_id"), "term", "n"
     )

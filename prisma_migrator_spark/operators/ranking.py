@@ -34,6 +34,37 @@ def _order_cols(
     return [lead, *(F.col(t).asc() for t in tiebreakers)]
 
 
+def bounded_global_window(*order_cols, anchor: str | Column, bound: str):
+    """A global-order ``WindowSpec`` for frames whose row count is
+    STRUCTURALLY bounded (a top-V vocabulary, an n_buckets offset
+    table, a report page) — ``bound`` is the mandatory one-line
+    rationale naming that bound.
+
+    Partitioning on a constant instead of leaving the partition spec
+    empty makes execution identical (one task sorts the bounded frame)
+    but keeps WindowExec's "No Partition Defined" warning out of the
+    logs — so any remaining warning in a bench run is a REAL unbounded
+    global window, the single strongest scale-smell signal we have.
+    Every global window in this package must come from here; a bare
+    ``Window.orderBy`` is a review error.
+
+    ``anchor`` is any column of the frame: the constant is written as
+    ``pmod(xxhash64(anchor), 1)`` — 0 for every row (xxhash64 is
+    null-safe, so NULL anchors land in the same partition) but not
+    foldable and opaque enough that no optimizer rule strips it;
+    Spark 4's ``EliminateWindowPartitions`` removes a bare ``lit(0)``
+    (and arithmetic reducible to one), restoring the warning.
+    """
+    if not isinstance(bound, str) or not bound.strip():
+        raise ValueError(
+            "bounded_global_window requires a non-empty `bound` rationale"
+        )
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    return Window.partitionBy(F.pmod(F.xxhash64(a), F.lit(1))).orderBy(
+        *order_cols
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     keys: Sequence[str],
@@ -74,5 +105,9 @@ def ntile_buckets(
     ``plans/analytics.approx_event_value_quantiles`` shows the
     sketch-based cut-point computation.
     """
-    w = Window.orderBy(*_order_cols(order_by, descending, tiebreakers))
+    w = bounded_global_window(
+        *_order_cols(order_by, descending, tiebreakers),
+        anchor=order_by,
+        bound="report-sized frame — caller contract (see docstring)",
+    )
     return df.withColumn(bucket_col, F.ntile(n).over(w))

@@ -28,91 +28,62 @@ from prisma_migrator_spark.plans import temporal  # noqa: E402,F401
 # minhash_lsh_pairs) sit after the window; they stay registered and
 # remain covered by tests/test_oracle_parity and tools/drive_driver.
 DRIVER_WINDOW: list[str] = [
-    # --- relational / §2 core + analytics extensions (25) ---
-    "flagship_popularity",       # J1-J12, F1-F4, W1, O1-O2
+    # ROUND-4 ROTATION (VERDICT r3 item 4): 25 never-before-windowed
+    # queries swapped in for entries green >=2 prior rounds; every
+    # rotated-out name keeps replica-gate + pytest coverage in the
+    # tail. One representative per SURVEY §2 / LLM family retained.
+    # --- family representatives retained (25) ---
+    "flagship_popularity",       # J1-J12, A1-A3, W1-W2, F1-F4, O1-O2
     "category_difficulty",       # A5 multi-metric rollup
-    "latest_per_key_lineitem",   # W2 DISTINCT ON
-    "semi_join_orders",          # J3 semi join
     "anti_join_customers",       # anti join (S5 backbone)
-    "filter_inlist_range",       # P3-P7 predicates
-    # F5 TO_CHAR signal moved to the tail (date_format_orders): the
-    # flagship's latest_ship_date column exercises the same pg
-    # date_format path in-window; the slot carries the round-3
-    # vocab+encode family instead (encode's oracle embeds the vocab
-    # build, so one row covers both).
-    "encode_token_ids",
+    "semi_join_orders",          # J3 semi join + runtime bloom story
+    "filter_inlist_range",       # P3-P6 static predicates
     "normalized_part_scores",    # F2 NULLIF guard, W1 normalization
     "dynamic_pivot_categories",  # R1 dynamic pivot, A6
-    "hyperlink_report",          # F8 hyperlink + CSV escaping (S9 CSV
-    # path shared with category_report, which moves to the tail; the
-    # slot carries the round-4 entity-resolution family)
-    "fuzzy_part_matches",        # blocked fuzzy-match join
+    "hyperlink_report",          # F8 hyperlink + CSV escaping (S9)
     "events_json_props",         # S8 JSON extraction
-    # A1/A2/A3 signal stays in-window via flagship_popularity (its
-    # fused plan computes category sizes, weighted reciprocal-rank
-    # scores, and recommendation metrics) and category_difficulty
-    # (COUNT DISTINCT); the three standalone variants move to the
-    # tail and the slots carry round-4 families:
-    "scd2_part_history",         # temporal: SCD2 validity intervals
-    "part_copurchase_pagerank",  # graph: fixed-iteration PageRank
-    "profile_lineitem_numeric",  # one-pass table profiler
     "distinct_pair_agg",         # A4 sorted distinct array agg
     "repeat_customers_setops",   # §2.7 set operations
-    # ranked-top-k signal stays via busy_window_events (its top-3
-    # busiest-hours stage is the same topk_per_group operator);
-    # top_orders_per_customer moves to the tail and the slot carries
-    # the round-5 incremental-maintenance family, whose oracle is
-    # FULL RECOMPUTE (the strongest equivalence signal in the repo).
-    "incremental_sessions",
     "revenue_rollup",            # grouping-set rollup
     "event_attribution_24h",     # range-bounded attribution join
-    # quantile-bucketing signal stays via quality_deciles (same
-    # sketch-cut family); order_price_quartiles moves to the tail and
-    # the slot carries the round-3 funnel family.
-    "funnel_view_click_purchase",
     "asof_last_order",           # as-of join
     "events_tumbling_hourly",    # tumbling time window
     "events_session_30m",        # session window
-    # rolling-window signal stays via tumbling+session (in-window) and
-    # events_rolling_1h in the tail; the slot carries the round-3
-    # substring-dedup family.
-    "repeated_spans",
-    # --- text / LLM pipeline families (25) ---
+    "incremental_sessions",      # r4 CHANGED: unrounded partial sums
     "text_stats",                # stats + quality + lang-ID + tokens
-    "top_terms_tfidf",           # tf-idf terms
-    "clean_corpus",              # quality gating
     "exact_dedup_groups",        # exact dedup
     "minhash_lsh_pairs",         # MinHash + LSH banding
-    "near_dup_clusters",         # duplicate clustering (HashToMin)
-    "ngram_jaccard_pairs",       # n-gram Jaccard
-    "simhash64_near_dup",        # SimHash banded Hamming (scale path)
-    "rolling_fingerprint",       # Rabin-Karp fingerprinting
     "embedding_near_dup",        # embedding-cosine near-dup
     "topk_cosine_bruteforce",    # exact top-k cosine (ANN oracle)
     "multimodal_meta",           # multimodal metadata plumbing
-    "doc_chunks_overlap",        # chunking with overlap
-    # canonical_docs composes near_dup_clusters (in-window) with a
-    # latest-per-key pick (in-window via latest_per_key_lineitem);
-    # its slot carries the round-5 sparse-similarity-join family.
-    "tfidf_cosine_pairs",
     "decontaminate_eval",        # eval decontamination
-    "pii_redaction",             # PII redaction
-    "pack_stream_512",           # stream packing (prefix sum)
-    # training_shards shares pack_stream_512's two-level prefix-sum
-    # machinery (in-window) and moves to the tail; the slot carries
-    # the round-5 bigram-LM scoring family (the unigram variant is in
-    # the tail, same plan family).
-    "bigram_logprob_score",
-    # embedding_quantize_int8 is a zero-shuffle map gated by pytest;
-    # its slot carries the round-5 bucketized point-in-interval join
-    # family (a new operator shape, not covered elsewhere in-window).
-    "busy_window_events",
-    "domain_mixture_sample",     # deterministic sampling / mixtures
-    "gopher_repetition_flags",   # repetition/boilerplate heuristics
-    "cross_corpus_dedup",        # incremental cross-corpus dedup
-    "label_centroids",           # centroids / k-means step
-    "quality_deciles",           # curriculum deciles (sketch cuts)
-    "corpus_recipe",             # end-to-end composed pipeline
+    "pack_stream_512",           # r4 CHANGED: bounded offset window
+    # --- never-before-windowed (25) ---
+    "apps_by_category",          # r4 NEW: P7+J3+W2 composed entry
+    "apps_by_category_open",     # r4 NEW: TRUE-branch assembly
+    "vocab_top_terms",           # vocabulary build (bounded window)
+    "part_entity_clusters",      # entity resolution clustering
+    "copurchase_triangles",      # graph triangle counting
+    "lineitem_dq_report",        # r4 CHANGED: NULL-as-violation gate
+    "corr_matrix_lineitem",      # one-pass correlation matrix
+    "part_price_twap",           # time-weighted average price
+    "part_price_ohlc_monthly",   # OHLC bars
+    "part_state_asof",           # as-of state reconstruction
+    "supplier_price_trend",      # per-key regression slopes
+    "event_sessions_gap30m",     # gaps-and-islands sessionization
+    "session_path_trigrams",     # session path mining
+    "user_value_ses_2level",     # two-level exponential smoothing
+    "event_value_mad_outliers",  # median/MAD robust outliers
+    "events_wau",                # sliding weekly-active distincts
+    "funnel_latency_percentiles",  # funnel step latencies
+    "customer_rfm_segments",     # RFM segmentation
+    "top_terms_per_source",      # tf-idf per group (topk_per_group)
+    "incremental_lsh_dedup",     # incremental LSH index dedup
+    "semantic_canonical_docs",   # cluster-then-canonical-pick
+    "scrub_repeated_spans",      # span scrubbing (the shadowed pin)
+    "quality_gate_p10",          # percentile quality gating
+    "ngram_jaccard_prefix",      # PPJoin prefix-filtered Jaccard
+    "doc_chunks",                # fixed-length chunking
 ]
 
 

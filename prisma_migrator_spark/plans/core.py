@@ -499,3 +499,141 @@ def order_cluster_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("items_value"),
         )
     )
+
+
+# --- P7 + J3 + W2 composed: the parameterized getAppsByCategory entry
+# point (reference src/utils/lib.ts:281-318) ---------------------------
+
+
+def apps_by_category(
+    spark: SparkSession,
+    sf_dir: str,
+    category_handles: list | None = None,
+    max_position: int | None = None,
+) -> DataFrame:
+    """Parameterized replica of the reference's one remaining composed
+    entry point, ``getAppsByCategory(categoriesHandles, maxPosition)``
+    (src/utils/lib.ts:281-318): dynamic predicate assembly (P7 — the
+    category list collapses to TRUE when absent, the position cap is
+    appended only when given), a semi-join against the qualifying
+    handles (J3), then the latest-snapshot-per-key star projection
+    (W2, DISTINCT ON ... ORDER BY capturedAt DESC).
+
+    Fixture realization (FIXTURES.md §C): App→``part``,
+    CategoryAppPositionHistory→``lineitem`` (categoryHandle=l_suppkey,
+    position=l_linenumber), AppCategoryHistory→``lineitem``
+    (role=l_returnflag, PRIMARY/SECONDARY→{'A','N'}),
+    AppSnapshot→``lineitem`` history keyed (l_partkey, l_shipdate).
+
+    Spark-first re-derivation: the reference INNER-joins
+    App⋈capp⋈ach (a multiplicative fan-out) and then dedups through
+    ``IN (...)``; here each existence test is its own LEFT SEMI join
+    on the app key — no fan-out rows ever materialize, each semi is
+    one hash join whose right side is a filtered projection (so at
+    100 TB the selective predicates reach the fact scan, broadcast or
+    bloom-pruned — same physics as ``semi_join_orders``). The dynamic
+    predicates stay Column expressions, so Catalyst pushes them into
+    the parquet scan of each branch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+        "l_shipdate",
+    )
+    # CategoryAppPositionHistory branch: optional handle + position caps
+    capp = li.select("l_partkey", "l_suppkey", "l_linenumber")
+    if category_handles:
+        capp = capp.filter(F.col("l_suppkey").isin(list(category_handles)))
+    if max_position is not None:
+        capp = capp.filter(F.col("l_linenumber") <= max_position)
+    # AppCategoryHistory branch: handle + role filters only when handles
+    # are given (reference: the role predicate lives INSIDE the
+    # category branch; the TRUE branch imposes bare existence)
+    ach = li.select("l_partkey", "l_suppkey", "l_returnflag")
+    if category_handles:
+        ach = ach.filter(
+            F.col("l_suppkey").isin(list(category_handles))
+            & F.col("l_returnflag").isin("A", "N")
+        )
+    keys = load_table(spark, sf_dir, "part").select("p_partkey")
+    keys = semi_join(
+        keys, capp.select(F.col("l_partkey").alias("p_partkey")), ["p_partkey"]
+    )
+    keys = semi_join(
+        keys, ach.select(F.col("l_partkey").alias("p_partkey")), ["p_partkey"]
+    )
+    qualified = semi_join(
+        snap, keys.select(F.col("p_partkey").alias("l_partkey")), ["l_partkey"]
+    )
+    latest = latest_per_key(
+        qualified, ["l_partkey"], "l_shipdate",
+        tiebreakers=["l_orderkey", "l_linenumber"],
+    )
+    return latest.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        "l_returnflag", "l_linestatus",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+_APPS_BY_CATEGORY_ORACLE = """
+WITH keys AS (
+  SELECT p_partkey FROM part
+  WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                      WHERE l_suppkey IN (1, 2, 3) AND l_linenumber <= 3)
+    AND p_partkey IN (SELECT l_partkey FROM lineitem
+                      WHERE l_suppkey IN (1, 2, 3)
+                        AND l_returnflag IN ('A', 'N'))
+)
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice, 2) AS l_extendedprice,
+       l_returnflag, l_linestatus,
+       STRFTIME(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM (
+  SELECT li.*, ROW_NUMBER() OVER (
+      PARTITION BY l_partkey
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem li
+  WHERE l_partkey IN (SELECT p_partkey FROM keys)) t
+WHERE rn = 1
+"""
+
+
+@query("apps_by_category", oracle=_APPS_BY_CATEGORY_ORACLE)
+def apps_by_category_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative instantiation: both dynamic parameters engaged
+    (handles={1,2,3}, max_position=3) — the fully-assembled predicate
+    branch of src/utils/lib.ts:285-299."""
+    return apps_by_category(
+        spark, sf_dir, category_handles=[1, 2, 3], max_position=3
+    )
+
+
+_APPS_BY_CATEGORY_OPEN_ORACLE = """
+WITH keys AS (
+  SELECT p_partkey FROM part
+  WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_linenumber <= 2)
+    AND p_partkey IN (SELECT l_partkey FROM lineitem)
+)
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice, 2) AS l_extendedprice,
+       l_returnflag, l_linestatus,
+       STRFTIME(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM (
+  SELECT li.*, ROW_NUMBER() OVER (
+      PARTITION BY l_partkey
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem li
+  WHERE l_partkey IN (SELECT p_partkey FROM keys)) t
+WHERE rn = 1
+"""
+
+
+@query("apps_by_category_open", oracle=_APPS_BY_CATEGORY_OPEN_ORACLE)
+def apps_by_category_open_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER assembly branch: no category list (condition collapses
+    to TRUE, role filter disengaged — src/utils/lib.ts:293-295) with
+    only the optional position cap appended."""
+    return apps_by_category(spark, sf_dir, max_position=2)

@@ -270,9 +270,15 @@ def check_constraints(df, checks) -> "DataFrame":
     is a conditional sum — map-side partials, no per-rule jobs, no
     shuffle beyond the single global agg), then a map-side unpivot of
     the 1×(2+R) frame into R rows. At 100 TB adding a rule costs one
-    more sum column, not another pass over the table."""
+    more sum column, not another pass over the table.
+
+    NULL semantics: a rule whose condition evaluates to NULL (e.g.
+    ``col('x') > 5`` on a NULL x, with no explicit ``isNull`` guard)
+    counts as a VIOLATION — for a data-quality gate, "unknown" must
+    fail closed, not silently pass (a plain conditional sum would skip
+    the row and undercount)."""
     aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.sum(cond.cast("long")).alias(f"__v{i}")
+        F.sum(F.coalesce(cond, F.lit(True)).cast("long")).alias(f"__v{i}")
         for i, (_, cond) in enumerate(checks)
     ]
     one = df.agg(*aggs)

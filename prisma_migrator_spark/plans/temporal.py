@@ -459,11 +459,19 @@ def session_path_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental sessionization (append-only batch maintenance) -------
 
 
-def sessionize_events(ev: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+def sessionize_events(
+    ev: DataFrame, gap_us: int = 1_800_000_000, round_values: bool = True
+) -> DataFrame:
     """Gaps-and-islands sessionization to one row per session:
     ``(user_id, session_idx, start_us, end_us, n_events,
     total_value)``. One user_id-keyed shuffle (both windows and the
-    groupBy share it)."""
+    groupBy share it).
+
+    ``round_values=False`` leaves ``total_value`` unrounded — required
+    when the output feeds :func:`incremental_sessionize`, which must
+    add partial sums at full precision and round ONCE at the end
+    (adding two already-rounded partials can differ from the
+    full-recompute value in the last digit)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     numbered = ev.withColumn(
@@ -478,14 +486,19 @@ def sessionize_events(ev: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
             F.unix_micros(F.min("ts")).alias("start_us"),
             F.unix_micros(F.max("ts")).alias("end_us"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            (
+                F.round(F.sum("value"), 6) if round_values else F.sum("value")
+            ).alias("total_value"),
         )
         .withColumn("session_idx", F.col("session_idx").cast("bigint"))
     )
 
 
 def incremental_sessionize(
-    prev: DataFrame, new_events: DataFrame, gap_us: int = 1_800_000_000
+    prev: DataFrame,
+    new_events: DataFrame,
+    gap_us: int = 1_800_000_000,
+    round_values: bool = True,
 ) -> DataFrame:
     """Maintain a sessions table under an append-only event feed
     WITHOUT reprocessing history — the daily-batch pattern at 100 TB:
@@ -508,8 +521,15 @@ def incremental_sessionize(
     TABLE (not the raw events) otherwise; either way history events
     are never re-read. Output is exactly what full recompute over
     (history ∪ delta) would produce, which is what the registered
-    query's oracle checks."""
-    new_sess = sessionize_events(new_events, gap_us)
+    query's oracle checks.
+
+    Precision: pass ``prev`` with UNROUNDED ``total_value`` (i.e. from
+    ``sessionize_events(..., round_values=False)`` or a store that
+    keeps full precision). Partial sums are added unrounded here and
+    rounded ONCE at the final output (when ``round_values``); a
+    pre-rounded ``prev`` can differ from full recompute in the last
+    digit on values with >6 decimal places."""
+    new_sess = sessionize_events(new_events, gap_us, round_values=False)
     last_prev = (
         prev.groupBy("user_id")
         .agg(
@@ -553,10 +573,10 @@ def incremental_sessionize(
         (F.col("n_events") + F.when(merges, F.col("last_n")).otherwise(0)).alias(
             "n_events"
         ),
-        F.round(
+        # full-precision partial-sum add; rounding happens ONCE below
+        (
             F.col("total_value")
-            + F.when(merges, F.col("last_v")).otherwise(0.0),
-            6,
+            + F.when(merges, F.col("last_v")).otherwise(0.0)
         ).alias("total_value"),
     )
     # delta_out feeds BOTH the output union and the replaced-key
@@ -573,7 +593,10 @@ def incremental_sessionize(
         & (prev["session_idx"] == replaced["__ridx"]),
         "left_anti",
     )
-    return kept_prev.unionByName(delta_out)
+    out = kept_prev.unionByName(delta_out)
+    if round_values:
+        out = out.withColumn("total_value", F.round("total_value", 6))
+    return out
 
 
 _INCR_SESSIONS_ORACLE = """
@@ -613,7 +636,9 @@ def incremental_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cut = ev.crossJoin(F.broadcast(cut))
     hist = with_cut.where(F.unix_micros("ts") <= F.col("c")).drop("c")
     delta = with_cut.where(F.unix_micros("ts") > F.col("c")).drop("c")
-    return incremental_sessionize(sessionize_events(hist), delta)
+    return incremental_sessionize(
+        sessionize_events(hist, round_values=False), delta
+    )
 
 
 # --- exponential smoothing (recursive filter as a fold) ---------------

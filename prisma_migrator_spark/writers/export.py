@@ -100,15 +100,29 @@ def write_webdataset_shards(
     layer here: this is sink IO, not compute), samples sorted by key
     within the tar for byte-stable re-exports. Returns the manifest
     as a DataFrame: (shard_id, n_samples, data_bytes, path).
+
+    Atomicity: shards are written into a fresh staging directory that
+    is atomically swapped over ``path`` only after every task has
+    finished (same ``_atomic_swap`` as ``compact_small_files``). A
+    re-export with a different shard count or dataset therefore never
+    leaves stale ``shard-*.tar`` files behind for a globbing
+    dataloader, and a mid-job failure leaves the previous export
+    untouched. Within staging each attempt writes a unique-suffix tmp
+    file before ``os.replace``, so task retries / speculative attempts
+    never collide on a shared tmp path.
     """
     import json
     import math
     import os
     import tarfile
+    import uuid
 
     import pandas as pd
 
-    os.makedirs(path, exist_ok=True)
+    from prisma_migrator_spark.writers.upsert import _atomic_swap
+
+    staging = f"{path}.{uuid.uuid4().hex[:8]}.staging"
+    os.makedirs(staging)
     n = df.count()
     n_shards = max(1, math.ceil(n / samples_per_shard))
     cols = [id_col, text_col, *meta_cols]
@@ -118,9 +132,11 @@ def write_webdataset_shards(
 
         shard_id = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values(id_col)
-        out = os.path.join(path, f"shard-{shard_id:05d}.tar")
+        fname = f"shard-{shard_id:05d}.tar"
+        out = os.path.join(staging, fname)
+        tmp = f"{out}.{uuid.uuid4().hex[:8]}.tmp"  # per-attempt unique
         data_bytes = 0
-        with tarfile.open(out + ".tmp", "w") as tar:
+        with tarfile.open(tmp, "w") as tar:
             for _, row in pdf.iterrows():
                 key = str(row[id_col])
                 text = (row[text_col] or "").encode("utf-8")
@@ -133,14 +149,15 @@ def write_webdataset_shards(
                     info.mtime = 0  # byte-stable re-exports
                     tar.addfile(info, io.BytesIO(payload))
                     data_bytes += len(payload)
-        os.replace(out + ".tmp", out)
+        os.replace(tmp, out)
         return pd.DataFrame(
             [
                 {
                     "shard_id": shard_id,
                     "n_samples": len(pdf),
                     "data_bytes": data_bytes,
-                    "path": out,
+                    # report the post-swap location, not staging
+                    "path": os.path.join(path, fname),
                 }
             ]
         )
@@ -152,5 +169,8 @@ def write_webdataset_shards(
         write_shard,
         "shard_id long, n_samples long, data_bytes long, path string",
     )
-    # materialize so the write happens before the caller inspects files
-    return manifest.localCheckpoint()
+    # materialize so every shard is written BEFORE the swap publishes
+    # the staging directory as `path`
+    manifest = manifest.localCheckpoint()
+    _atomic_swap(staging, path)
+    return manifest

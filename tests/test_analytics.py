@@ -205,3 +205,67 @@ def test_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
     # every returned term's exact count >= the 16th exact count
     floor = exact[15]["count"]
     assert all(exact_counts[t] >= floor for t in got)
+
+
+def test_check_constraints_null_condition_counts_as_violation(spark):
+    """A rule whose condition evaluates to NULL (no explicit isNull
+    guard) must fail closed: for a data-quality gate, 'unknown' is a
+    violation, not a silent pass."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.plans.profiling import check_constraints
+
+    df = spark.createDataFrame(
+        [Row(x=10), Row(x=None), Row(x=3)],
+        schema="x int",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations)
+        for r in check_constraints(
+            df, [("x_gt_5", F.col("x") > 5)]
+        ).collect()
+    }
+    # x=10 violates, x=NULL counts as violation, x=3 passes
+    assert got["x_gt_5"] == (3, 2)
+
+
+def test_apps_by_category_dynamic_assembly(spark, sf_dir):
+    """The parameterized entry point must honor each optional
+    predicate independently (reference getAppsByCategory,
+    src/utils/lib.ts:281-318): no args = TRUE branch = latest snapshot
+    per app over ALL apps; a handle list restricts to apps seen under
+    those categories (with the role filter engaged); the position cap
+    restricts further; and handles ∪ cap = intersection of the two
+    restrictions."""
+    from prisma_migrator_spark.plans.core import (
+        apps_by_category,
+        latest_per_key_lineitem,
+    )
+
+    base = apps_by_category(spark, sf_dir)
+    all_latest = latest_per_key_lineitem(spark, sf_dir)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, all_latest.collect())
+    )
+
+    handles = [1, 2, 3]
+    by_cat = apps_by_category(spark, sf_dir, category_handles=handles)
+    capped = apps_by_category(spark, sf_dir, max_position=1)
+    both = apps_by_category(
+        spark, sf_dir, category_handles=handles, max_position=1
+    )
+    base_keys = {r.l_partkey for r in base.select("l_partkey").collect()}
+    cat_keys = {r.l_partkey for r in by_cat.select("l_partkey").collect()}
+    cap_keys = {r.l_partkey for r in capped.select("l_partkey").collect()}
+    both_keys = {r.l_partkey for r in both.select("l_partkey").collect()}
+    assert cat_keys < base_keys  # strict: handles really filter
+    assert cap_keys <= base_keys
+    # both params → ∃ one capp row satisfying the CONJUNCTION: at most
+    # the intersection of the separate existence tests
+    assert both_keys <= (cat_keys & cap_keys) and both_keys
+    # the snapshot row for a key is IDENTICAL across parameterizations
+    # (parameters select apps; they never change which snapshot wins)
+    pick = {r.l_partkey: tuple(r) for r in base.collect()}
+    for r in both.collect():
+        assert tuple(r) == pick[r.l_partkey]

@@ -1622,3 +1622,70 @@ def test_minhash_jaccard_estimate_tracks_exact(spark, sf_dir):
     lo = sum(est[k] for k in ranked[:half]) / half
     hi = sum(est[k] for k in ranked[half:]) / (len(ranked) - half)
     assert hi > lo, (hi, lo)
+
+
+def test_wav_chunk_walk_extra_chunks_and_bad_payloads(spark):
+    """Spec-valid WAVs with extra chunks (LIST/INFO before data, fact
+    after fmt) must parse identically to the canonical layout, and a
+    malformed payload must yield a NULL-metadata row for its id — not
+    kill the Arrow batch."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        parse_wav_metadata,
+        synthesize_wav,
+    )
+
+    def with_extra_chunks(b: bytes) -> bytes:
+        # canonical layout: RIFF hdr(12) | fmt hdr+16 | data hdr+len
+        fmt_chunk = b[12:44 - 8]
+        data_chunk = b[36:]
+        info = b"INFO" + b"x" * 9  # odd size -> exercises word-align pad
+        list_chunk = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 123)
+        body = b"WAVE" + fmt_chunk + fact + list_chunk + data_chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    good = synthesize_wav(1, "hello world")
+    shuffled = with_extra_chunks(good)
+    rows = [
+        Row(doc_id=1, payload=bytearray(good)),
+        Row(doc_id=2, payload=bytearray(shuffled)),
+        Row(doc_id=3, payload=bytearray(b"not a wav at all")),
+        Row(doc_id=4, payload=bytearray(b"RIFF\x04\x00\x00\x00WAVE")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in parse_wav_metadata(spark.createDataFrame(rows)).collect()
+    }
+    assert len(got) == 4
+    # chunk-shuffled payload parses identically to canonical
+    for f in ("sample_rate", "n_channels", "bits", "n_samples",
+              "duration_ms", "rms"):
+        assert getattr(got[2], f) == getattr(got[1], f), f
+    assert got[1].sample_rate == 8000 and got[1].bits == 16
+    # malformed payloads -> NULL metadata, id preserved
+    for bad in (3, 4):
+        assert got[bad].sample_rate is None and got[bad].rms is None
+
+
+def test_ngram_jaccard_guard_trips_on_boilerplate(spark):
+    """The Σ df² candidate estimate must reject a boilerplate-heavy
+    corpus (every doc sharing the same shingles) and point at the
+    prefix-filtered path; with the cap lifted the same frame runs."""
+    import pytest
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.dedup import ngram_jaccard_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the same boilerplate header appears everywhere")
+         for i in range(80)]
+    )
+    sh = shingles(docs, k=3)
+    with pytest.raises(ValueError, match="prefix"):
+        ngram_jaccard_pairs(sh, max_candidate_pairs=1000)
+    n = ngram_jaccard_pairs(sh, max_candidate_pairs=None).count()
+    assert n == 80 * 79 // 2  # all-pairs: they really are duplicates

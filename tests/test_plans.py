@@ -44,11 +44,16 @@ PINS = {
     "text_stats": (0, [2], False),
     "clean_corpus": (1, [2, 2], False),
     # collect_list banding form: one fewer parquet scan than the old
-    # band self-join (signatures computed once, bands exploded from it)
-    "minhash_lsh_pairs": (5, [2, 2, 2], False),
+    # band self-join (signatures computed once, bands exploded from it);
+    # +1 r4: the bounded offset window's constant partition key now
+    # counts as a hash exchange (was Exchange SinglePartition — same
+    # 1-partition movement over n_buckets rows, now warning-free)
+    "minhash_lsh_pairs": (6, [2, 2, 2], False),
     "topk_cosine_bruteforce": (1, [2, 2], True),
     "decontaminate_eval": (3, [1, 2, 2], False),
-    "pack_stream_512": (2, [2, 2], False),
+    # +1 r4: bounded offset window's constant partition key counts as
+    # a hash exchange now (n_buckets rows — see minhash_lsh_pairs note)
+    "pack_stream_512": (3, [2, 2], False),
     # --- round-3 additions ---
     # n_windows is map-side (array length on the 2-col spine scan);
     # only dup-hash window rows reach the per-doc aggregate
@@ -61,7 +66,6 @@ PINS = {
     "funnel_view_click_purchase": (8, [3, 3, 3, 3, 3, 3], False),
     "retention_cohorts_daily": (3, [2, 2], False),
     "token_budget_selection": (1, [3], False),
-    "scrub_repeated_spans": (3, [2, 2, 2], False),
     "length_bucketed_batches": (1, [2], False),
     # model inference is one map-side pass: zero shuffles by design
     "quality_model_score": (0, [2], False),
@@ -171,6 +175,27 @@ def test_headline_plan_pinned(spark, name):
         assert "CartesianProduct" not in plan
 
 
+def test_pins_literal_has_no_duplicate_keys():
+    """A duplicate key in the PINS dict literal silently shadows the
+    earlier entry (Python keeps the last), turning a pin into dead
+    text — exactly what happened to scrub_repeated_spans in round 3.
+    Parse the module source and reject duplicates outright."""
+    import ast
+
+    tree = ast.parse(open(__file__).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "PINS" for t in node.targets
+        ):
+            keys = [
+                k.value for k in node.value.keys if isinstance(k, ast.Constant)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate PINS keys: {sorted(dupes)}"
+            return
+    raise AssertionError("PINS literal not found")
+
+
 def test_order_price_quartiles_has_no_window(spark):
     """The quartile query must bucket by broadcast percentile cuts, not
     NTILE: a WindowExec with an empty partition spec is a single-task
@@ -197,9 +222,25 @@ def test_driver_window_spans_all_families():
     assert list(plans.QUERIES)[:50] == window
 
 
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """windowspecdefinition whose FIRST argument is an ordering
+    expression (`x ASC/DESC ...`) has an empty partition spec — the
+    single-task global-sort hazard WindowExec warns about. Bounded
+    global windows must route through
+    `operators.ranking.bounded_global_window`, which injects a
+    non-foldable constant partition key."""
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        first_arg = m.group(1)
+        if " ASC" in first_arg or " DESC" in first_arg:
+            bad.append(first_arg.strip())
+    return bad
+
+
 def test_no_rowwise_python_udf_registry_wide(spark):
     """Arrow-batched Pandas UDFs only — a row-at-a-time BatchEvalPython
-    in ANY registered query is the 10-100x slow path."""
+    in ANY registered query is the 10-100x slow path. Same sweep also
+    bans cartesian products and unpartitioned (global-sort) windows."""
     offenders = []
     for name in QUERIES:
         plan = _plan(spark, name)
@@ -207,6 +248,8 @@ def test_no_rowwise_python_udf_registry_wide(spark):
             offenders.append(name)
         if "CartesianProduct" in plan:
             offenders.append(f"{name} (cartesian)")
+        for spec in _unpartitioned_window_specs(plan):
+            offenders.append(f"{name} (unpartitioned window: {spec})")
     assert not offenders, offenders
 
 

@@ -244,3 +244,39 @@ def test_incremental_sessionize_constructed(spark):
     assert got[(2, 1)][0] == 1
     # new user starts at 1
     assert got[(4, 1)][0] == 1
+
+
+def test_incremental_sessionize_full_precision_sums(spark):
+    """A boundary merge adds the delta partial sum to the previous
+    session's partial sum; with >6-decimal values the old
+    round-then-add-then-round path could differ from full recompute in
+    the last digit. Values chosen so round(round(a+b,6)+c,6) !=
+    round(a+b+c,6)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.plans.temporal import (
+        incremental_sessionize,
+        sessionize_events,
+    )
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, v):
+        return Row(user_id=1, ts=T0 + dt.timedelta(minutes=mins), event_id=eid,
+                   value=v)
+
+    # hist sum 0.1000004 pre-rounds DOWN to 0.1; the delta's 4e-7
+    # then vanishes (0.1000004 -> 0.1 again), while full recompute
+    # sees 0.1000008 -> 0.100001. Unrounded carry must match full.
+    hist_rows = [ev(1, 0, 0.1000004)]
+    delta_rows = [ev(3, 20, 0.0000004)]
+    full = sessionize_events(spark.createDataFrame(hist_rows + delta_rows))
+    incr = incremental_sessionize(
+        sessionize_events(spark.createDataFrame(hist_rows), round_values=False),
+        spark.createDataFrame(delta_rows),
+    )
+    assert [tuple(r) for r in incr.collect()] == [
+        tuple(r) for r in full.collect()
+    ]

@@ -630,3 +630,28 @@ def test_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
         assert text == (src[k][0] or "")
     # shard count ~ n / samples_per_shard
     assert len(manifest) == max(1, -(-len(src) // 40))
+
+
+def test_webdataset_reexport_removes_stale_shards(spark, sf_dir, tmp_path):
+    """Re-exporting into the same path with a different shard count
+    must atomically replace the directory: a dataloader globbing
+    shard-*.tar must never see shards from the previous export (or
+    leftover .tmp files)."""
+    import os
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.writers.export import write_webdataset_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "wds")
+    first = write_webdataset_shards(docs, out, samples_per_shard=25).collect()
+    assert len(first) > 2
+    second = write_webdataset_shards(
+        docs.limit(30), out, samples_per_shard=1000
+    ).collect()
+    assert len(second) == 1
+    on_disk = sorted(os.listdir(out))
+    assert on_disk == ["shard-00000.tar"], on_disk  # no stale tars/tmp
+    # and no staging directories left beside the target
+    siblings = [p for p in os.listdir(tmp_path) if p.startswith("wds.")]
+    assert siblings == [], siblings
