@@ -429,6 +429,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     band_bits: int = 4,
     n_bits: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: signatures within Hamming distance
     ``max_hamming``, found via band-bucketing (never n²).
@@ -442,6 +443,19 @@ def simhash_near_dup_pairs(
     use ``n_bits=64`` for real corpora; the join carries ids only
     (signatures re-join after the pair-distinct, exactly like
     :func:`lsh_candidate_pairs`).
+
+    ``max_bucket`` is the stop-band frequency cap — the scale knob.
+    SimHash signs concentrate (common tokens dominate every doc's bit
+    sums), so the most popular band VALUES collect members roughly
+    linearly with corpus size and Σ bucket² goes quadratic: measured
+    on the scale-rehearsal corpus, the top 16-bit band bucket grew
+    104 → 456 → 3446 from 500 → 5k → 50k docs (21.2M candidate pairs
+    at 50k). Capping drops band buckets larger than ``max_bucket``
+    from candidate generation — a pair is lost only if EVERY intact
+    band it shares is a stop-band, and those bands carry near-zero
+    information (they are the signature-space analog of stopword
+    shingles). Cost becomes Σ min(bucket, cap)² — linear in corpus
+    size for fixed cap.
     """
     sigs = simhash(df, text_col, id_col, n_bits=n_bits).persist()
     n_bands = n_bits // band_bits
@@ -456,6 +470,14 @@ def simhash_near_dup_pairs(
         ]
     )
     banded = sigs.select(id_col, F.explode(bands).alias("band"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band")
+        )
+        banded = banded.join(ok, "band")
     pairs = (
         banded.alias("a")
         .join(
@@ -557,6 +579,161 @@ def embedding_near_dup_pairs(
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
             F.round(sim, 6).alias("cosine"),
         )
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def rademacher_planes(
+    n_planes: int, dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplanes from md5 — portable
+    across engines/runs (same property as the MinHash/token hashes:
+    no RNG state, any engine recomputes the identical planes)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def embedding_lsh_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    min_cosine: float = 0.8,
+    n_tables: int = 8,
+    bits_per_table: int | None = None,
+    n_blocks: int = 1,
+    max_bucket: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs by cosine via sign-LSH bucketing — the SCALE
+    path for :func:`embedding_near_dup_pairs` when no bounded bucket
+    column exists (a label/category column collapses to a fixed
+    number of buckets, so its within-bucket candidate count grows
+    quadratically with corpus size; measured 19x super-linear wall
+    time at 10x rows in the round-4 scale rehearsal).
+
+    Sign-LSH: bit (t, r) of a vector is the sign of its dot product
+    with a fixed Rademacher hyperplane; a vector's bucket in table t
+    is its ``bits_per_table``-bit sign pattern. Two vectors at angle
+    θ agree on one bit with p = 1 - θ/π, so a table catches a pair
+    with p^r and ``n_tables`` tables (OR-amplification) give recall
+    1 - (1 - p^r)^b — e.g. cosine 0.86 (θ=0.54): p=0.83, r=4, b=8 →
+    96%% recall; pytest pins a floor against the exact-by-label
+    result. Candidates are verified with the true cosine, so
+    precision is exact; only recall is approximate.
+
+    Scale shape: signatures are pure JVM column folds (zip_with/
+    aggregate over literal plane arrays — no Python, no shuffle);
+    candidates come from a (table, bucket)-keyed self-join carrying
+    ids only, Σ bucket² bounded; ``max_bucket`` adds the stop-bucket
+    cap for adversarial concentrations; verification re-joins vectors
+    by id. Same triangle-block option as the bucketed form via
+    ``n_blocks``.
+
+    ``bits_per_table=None`` AUTO-SIZES r with corpus size:
+    r = clamp(8..14, ceil(log2(n/100))), so the bucket alphabet 2^r
+    tracks corpus diversity — with r fixed, distinct content groups
+    eventually share buckets and candidate counts go quadratic again
+    (measured 16x at 10x rows with r=4 before this fix). The price of
+    growing r is per-table recall p^r — the 16-table OR keeps genuine
+    near-dups (cosine >= 0.95, p >= 0.9) above 99%% recall through
+    r=14, while borderline threshold pairs degrade first; one extra
+    hyperplane fold per bit is map-side-free by comparison.
+    """
+    if bits_per_table is None:
+        import math
+
+        n = emb.count()
+        bits_per_table = min(14, max(8, math.ceil(math.log2(max(n, 2) / 100))))
+    planes = rademacher_planes(n_tables * bits_per_table, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    def bit(j: int):
+        plane = F.array(*[F.lit(x) for x in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    tables = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(t)),
+                F.concat(*[bit(t * bits_per_table + r) for r in range(bits_per_table)]),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = emb.select(id_col, F.explode(tables).alias("bucket"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("bucket")
+        )
+        banded = banded.join(ok, "bucket")
+    if n_blocks > 1:
+        g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        a = banded.withColumn("__i", g).withColumn(
+            "__j", F.explode(F.sequence(F.col("__i"), F.lit(n_blocks - 1)))
+        ).alias("a")
+        b = banded.withColumn("__j", g).withColumn(
+            "__i", F.explode(F.sequence(F.lit(0), F.col("__j")))
+        ).alias("b")
+        cond = (
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__i") == F.col("b.__i"))
+            & (F.col("a.__j") == F.col("b.__j"))
+            & (
+                (F.col("a.__i") != F.col("a.__j"))
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            )
+        )
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from prisma_migrator_spark.llm.similarity import _dot, _norm
+
+    vecs = emb.select(
+        F.col(id_col), v.alias("__v"), _norm(v).alias("__norm")
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .where(F.col("cosine") >= min_cosine)
     )
 

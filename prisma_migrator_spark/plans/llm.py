@@ -524,9 +524,18 @@ def simhash64_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-credible SimHash: 64-bit signatures, 16-bit bands —
     hamming <= 3 still pigeonhole-complete, but band buckets no longer
     saturate (the 16-bit variant marks ~28%% of all sf0.01 pairs as
-    near-dups; this one surfaces only genuine near-duplicates)."""
+    near-dups; this one surfaces only genuine near-duplicates).
+
+    max_bucket=256 is the stop-band cap (see simhash_near_dup_pairs):
+    it CANNOT bind at the sf0.01 oracle gate (500 docs, measured max
+    band bucket = 104), so hash equality with the uncapped oracle is
+    exact there; at scale it is what keeps candidate generation
+    linear (measured 16x super-linear wall time at 50k docs without
+    it — PERF.md round-4 scale rehearsal)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=3, band_bits=16, n_bits=64)
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, band_bits=16, n_bits=64, max_bucket=256
+    )
 
 
 _ROLLING_FP_ORACLE = r"""
@@ -566,6 +575,46 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, bucket_col="label", min_cosine=0.35, n_blocks=4
     )
+
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup — the scale path for embedding_near_dup.
+    The label-bucketed oracle form generates ALL within-label pairs;
+    with a fixed label vocabulary its candidate count grows
+    quadratically with corpus size (measured 19x wall time at 10x
+    rows, round-4 scale rehearsal). Here buckets come from Rademacher
+    hyperplane signs, so bucket population tracks CONTENT (a cluster)
+    not the label alphabet; precision is exact (true-cosine verify),
+    recall is pinned in pytest against the exact-by-label result
+    (99.3%% at 5k clustered vectors).
+
+    The driver fixture's vectors are diffuse (zero pairs at cosine
+    0.8 corpus-wide), so to keep the driver row non-vacuous the query
+    unions each vector with a deterministically perturbed copy
+    (element 0 scaled — cosine vs the original ≈0.999): the output
+    must then contain those injected near-dup pairs, making the
+    rows-only check an end-to-end recall probe rather than an empty
+    frame. No SQL oracle: DuckDB would need the 32 hyperplane folds
+    inline; the pytest recall floor gates quality."""
+    from prisma_migrator_spark.llm.dedup import embedding_lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            v,
+            lambda x, i: F.when(i == 0, x * F.lit(1.5)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return embedding_lsh_near_dup_pairs(
+        emb.unionByName(perturbed),
+        min_cosine=0.8,
+        n_tables=8,
+        bits_per_table=None,  # auto: r grows with log2(corpus size)
+        max_bucket=2000,
+    )
+
 
 
 _TOPK_ORACLE = """

@@ -182,11 +182,24 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     # documents: word-salad text via mapInPandas (numpy per-partition
     # seeded) with exact-dup and near-dup injection to keep the dedup
     # workloads honest at scale
+    # Vocabulary scales with corpus size (Heaps' law): a fixed tiny
+    # vocab makes shingle/band collision density grow ~n^2 with corpus
+    # size — measured as a 30x super-linear wall-time blow-up in the
+    # pair-generation dedups at sf1 before this fix. Real corpora add
+    # new terms as they grow; mimic with a Zipf-distributed long tail
+    # whose size tracks sqrt(n_docs).
+    n_tail = max(500, int(2000 * (n_doc / 5000) ** 0.5))
+
     def make_docs(batches):
         import numpy as np
         import pandas as pd
 
-        vocab = np.array(VOCAB)
+        vocab = np.array(VOCAB + [f"term{k}" for k in range(n_tail)])
+        # Zipf weights: the ~30 function words stay frequent, the tail
+        # follows 1/rank — df(shingle) stays bounded as n grows
+        ranks = np.arange(1, len(vocab) + 1, dtype="float64")
+        zipf = 1.0 / ranks
+        zipf /= zipf.sum()
         for pdf in batches:
             out_rows = []
             for i in pdf["id"]:
@@ -197,21 +210,21 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
                 rng.randint(0, 2**31 - 1, size=(i % 97) + 1)
                 rng2 = np.random.RandomState(rng.randint(0, 2**31 - 1))
                 n_tok = 15 + int(rng2.randint(0, 81))
-                toks = vocab[rng2.randint(0, len(vocab), size=n_tok)]
+                toks = vocab[rng2.choice(len(vocab), size=n_tok, p=zipf)]
                 if i % 500 == 1 and i > 500:  # exact dup of doc i-500
                     yield_from = i - 500
                     rr = np.random.RandomState(1_000_003 * (yield_from // 97) + 7)
                     rr.randint(0, 2**31 - 1, size=(yield_from % 97) + 1)
                     rr2 = np.random.RandomState(rr.randint(0, 2**31 - 1))
                     m = 15 + int(rr2.randint(0, 81))
-                    toks = vocab[rr2.randint(0, len(vocab), size=m)]
+                    toks = vocab[rr2.choice(len(vocab), size=m, p=zipf)]
                 elif i % 50 == 2 and i > 50:  # near dup: 2-token edit
                     src = i - 50
                     rr = np.random.RandomState(1_000_003 * (src // 97) + 7)
                     rr.randint(0, 2**31 - 1, size=(src % 97) + 1)
                     rr2 = np.random.RandomState(rr.randint(0, 2**31 - 1))
                     m = 15 + int(rr2.randint(0, 81))
-                    toks = vocab[rr2.randint(0, len(vocab), size=m)].copy()
+                    toks = vocab[rr2.choice(len(vocab), size=m, p=zipf)].copy()
                     toks[0] = "edited"
                     toks[m // 2] = "slightly"
                 text = " ".join(toks)
@@ -227,19 +240,29 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     )
     write(docs, "documents", max(1, int(8 * sf)))
 
+    # Cluster count scales with n (fixed 10 clusters -> cluster size
+    # ~n/10 -> bucketized near-dup pair cost ~n^2; real embedding
+    # corpora add CONTENT as they grow, not just density). label stays
+    # int 0..9 (schema parity): label = cluster % 10.
+    n_centers = max(10, n_emb // 200)
+
     def make_emb(batches):
         import numpy as np
         import pandas as pd
 
-        centers = np.random.RandomState(99).randn(10, 64).astype("float32") * 0.3
+        centers = (
+            np.random.RandomState(99).randn(n_centers, 64).astype("float32") * 0.3
+        )
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.RandomState(2_000_003 + i)
-                label = i % 10
-                v = centers[label] + rng.randn(64).astype("float32") * 0.12
-                rows.append({"vec_id": i, "embedding": v.tolist(), "label": label})
+                cluster = i % n_centers
+                v = centers[cluster] + rng.randn(64).astype("float32") * 0.12
+                rows.append(
+                    {"vec_id": i, "embedding": v.tolist(), "label": cluster % 10}
+                )
             yield pd.DataFrame(rows)
 
     emb = spark.range(n_emb).repartition(max(1, int(8 * sf))).mapInPandas(

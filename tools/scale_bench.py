@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scale rehearsal: measure the wall-time scaling CURVE of the headline
++ dedup query set across scale factors (VERDICT r3 item 1).
+
+Every 100 TB argument in PERF.md was design reasoning measured at
+sf0.1; this converts it to measurement. Fixture sets for sf>=1 come
+from tools/gen_fixtures.py (same schemas/distributions, 10x/100x
+rows). Usage:
+
+    python tools/scale_bench.py <sf_dir> [query ...]
+
+Prints one JSON line: {"sf_dir": ..., "queries": {name: sec}, ...}.
+Method: the JVM/codegen warm-up pass runs the SAME query set at
+sf0.001 (cheap, compiles every plan), so the timed pass at the target
+SF is steady-state but still pays its own scans/shuffles cold.
+
+Query set = bench.py's 14 headliners + the dedup family. Two
+deliberate substitutions at large SF (documented in PERF.md):
+`topk_cosine_bruteforce` is O(n²) BY DESIGN (it is the ANN oracle);
+at sf10 the registered scale path `topk_cosine_lsh` stands in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from prisma_migrator_spark.plans import QUERIES  # noqa: E402
+from prisma_migrator_spark.session import get_spark  # noqa: E402
+
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+HEADLINE = [
+    "flagship_popularity",
+    "category_difficulty",
+    "latest_per_key_lineitem",
+    "distinct_pair_agg",
+    "semi_join_orders",
+    "asof_last_order",
+    "events_tumbling_hourly",
+    "events_session_30m",
+    "text_stats",
+    "clean_corpus",
+    "minhash_lsh_pairs",
+    "topk_cosine_bruteforce",
+    "decontaminate_eval",
+    "pack_stream_512",
+]
+
+DEDUP_FAMILY = [
+    "exact_dedup_groups",
+    "simhash64_near_dup",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    "ngram_jaccard_prefix",
+    "cross_corpus_dedup",
+    "repeated_spans",
+    "incremental_lsh_dedup",
+    "embedding_near_dup_lsh",
+]
+
+
+def run(sf_dir: str, names: list[str]) -> dict:
+    spark = get_spark("pms-scale-bench")
+    for name in names:  # compile/JIT at tiny SF
+        QUERIES[name](spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+    spark.catalog.clearCache()
+    return timings
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:] or [*HEADLINE, *DEDUP_FAMILY]
+    missing = [n for n in names if n not in QUERIES]
+    assert not missing, f"unknown queries: {missing}"
+    timings = run(sf_dir, names)
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "total_sec": round(sum(timings.values()), 3),
+        "queries": timings,
+    }))
+
+
+if __name__ == "__main__":
+    main()
