@@ -6,11 +6,16 @@ typed struct, and decode/feature-extraction runs as Arrow-batched
 Pandas UDFs via ``mapInPandas`` — Python touches each batch once,
 everything else stays columnar.
 
-The actual media codecs are NOT in this container, so ``decode_*``
-raise ``NotImplementedError`` unless ``fake=True``, which substitutes
-a deterministic byte-level feature extractor. The Spark-side plumbing
-— schema, batching, partitioning, UDF signatures — is real and
-tested; swapping the fake for PIL/libav is a one-function change.
+Two modalities run FULLY REAL bytes end-to-end, stdlib-only: WAV/RIFF
+audio (synthesis + chunk-walk parse + RMS) and 24-bit BMP images
+(synthesis + header/pixel parse + nearest-neighbor resize) — each
+pinned against an independent reference in pytest. Compressed-codec
+formats (JPEG/PNG, video) are NOT decodable in this container, so
+those ``decode_*``/``sample_frames`` paths raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic byte-level stand-in. The Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is identical either way;
+swapping the fake for PIL/libav is a one-function change.
 """
 
 from __future__ import annotations
@@ -306,3 +311,194 @@ def parse_wav_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
             )
 
     return with_payload.mapInPandas(run, WAV_META_SCHEMA)
+
+
+# --- BMP: the REAL image modality (stdlib-only, like WAV for audio) ---
+
+
+def synthesize_bmp(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic 24-bit uncompressed BMP bytes — a real, spec-valid
+    image (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows
+    with 4-byte row padding) any viewer opens. Pixels are a horizontal
+    gradient hashed with the text, so fixtures are stable across runs
+    and engines. Pure stdlib: BMP is the image format this container
+    CAN do end-to-end — the decode stage runs on REAL bytes, not a
+    ``fake=True`` stand-in."""
+    import hashlib
+    import struct
+
+    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    rows = []
+    pad = (-(width * 3)) % 4
+    for y in range(height):  # bottom-up row order, per spec
+        row = bytearray()
+        for x in range(width):
+            r = (x * 255 // max(width - 1, 1)) ^ (h & 0xFF)
+            g = (y * 255 // max(height - 1, 1)) ^ ((h >> 8) & 0xFF)
+            b = (doc_id * 37 + x * y) % 256
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    return hdr + info + pixel_data
+
+
+def attach_bmp_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16, height: int = 16,
+) -> DataFrame:
+    """Image variant of ``attach_wav_payload``: a real BMP per row."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_bmp(ids, texts):
+        return pd.Series(
+            [synthesize_bmp(int(i), t or "", width, height)
+             for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        id_col, make_bmp(F.col(id_col), F.col(text_col)).alias("payload")
+    )
+
+
+BMP_META_SCHEMA = (
+    "doc_id bigint, width int, height int, bpp int, "
+    "mean_r double, mean_g double, mean_b double, luma double"
+)
+
+
+def parse_bmp_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode, stdlib-only: parse the BMP headers (file
+    header magic/offset, DIB dimensions/depth, top-down vs bottom-up
+    sign, row padding) and compute per-channel means + BT.601 luma
+    from the actual pixel bytes. Runs as ``mapInPandas`` — one Arrow
+    crossing per batch; at 100 TB this is the identical stage shape
+    as a PIL/turbojpeg decode, with scan partitioning carrying the
+    parallelism (the codec is the only swap).
+
+    Fault isolation: malformed payloads yield NULL metadata rows, as
+    in :func:`parse_wav_metadata` — only uncompressed 24-bit BMPs are
+    in scope; anything else is a NULL row, not a task failure."""
+    import struct
+
+    def parse_one(b: bytes):
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        (_, _, _, offset) = struct.unpack("<IHHI", b[2:14])
+        hdr_size, width, height = struct.unpack("<Iii", b[14:26])
+        planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+        if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            return None
+        top_down = height < 0
+        height = abs(height)
+        if width <= 0 or height <= 0:
+            return None
+        stride = (width * 3 + 3) & ~3
+        if len(b) < offset + stride * height:
+            return None
+        sr = sg = sb = 0
+        for y in range(height):
+            row_off = offset + y * stride
+            row = b[row_off : row_off + width * 3]
+            sb += sum(row[0::3])
+            sg += sum(row[1::3])
+            sr += sum(row[2::3])
+        n = width * height
+        mr, mg, mb = sr / n, sg / n, sb / n
+        luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        # means are row-order independent, so top_down needs no flip
+        _ = top_down
+        return (
+            width, height, bpp,
+            round(mr, 6), round(mg, 6), round(mb, 6), round(luma, 6),
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta = parse_one(bytes(payload))
+                except Exception:
+                    meta = None
+                rows.append((int(i), *(meta or (None,) * 7)))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols[0], dtype="int64"),
+                    "width": pd.array(cols[1], dtype="Int32"),
+                    "height": pd.array(cols[2], dtype="Int32"),
+                    "bpp": pd.array(cols[3], dtype="Int32"),
+                    "mean_r": pd.array(cols[4], dtype="Float64"),
+                    "mean_g": pd.array(cols[5], dtype="Float64"),
+                    "mean_b": pd.array(cols[6], dtype="Float64"),
+                    "luma": pd.array(cols[7], dtype="Float64"),
+                }
+            )
+
+    return with_payload.mapInPandas(run, BMP_META_SCHEMA)
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP — bytes in, valid
+    BMP bytes out, no codec. The per-payload unit a `mapInPandas`
+    resize stage applies (see :func:`resize_bmp_payloads`)."""
+    import struct
+
+    b = payload
+    (_, _, _, offset) = struct.unpack("<IHHI", b[2:14])
+    _, width, height = struct.unpack("<Iii", b[14:26])
+    height_abs = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out_pad = (-(out_w * 3)) % 4
+    rows = []
+    for oy in range(out_h):
+        sy = oy * height_abs // out_h
+        row = bytearray()
+        src_off = offset + sy * stride
+        for ox in range(out_w):
+            sx = ox * width // out_w
+            p = src_off + sx * 3
+            row += b[p : p + 3]
+        row += b"\x00" * out_pad
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h if height > 0 else -out_h,
+        1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    return hdr + info + pixel_data
+
+
+def resize_bmp_payloads(
+    with_payload: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed real-image resize: every payload decoded, resampled,
+    re-encoded inside Arrow batches — the thumbnail stage of an image
+    training pipeline, running genuine bytes end-to-end."""
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    rb = resize_bmp(bytes(payload), out_w, out_h)
+                except Exception:
+                    rb = None
+                out.append({"doc_id": int(i), "payload": rb})
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, f"{id_col} bigint, payload binary")

@@ -2725,3 +2725,27 @@ def wav_audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return parse_wav_metadata(attach_wav_payload(docs))
+
+
+@query("image_metadata")  # rows-only: Pandas-UDF decode stage; pytest
+# pins the parser against a pure-Python pixel-sum reference and pins
+# the resize stage by re-parsing its output bytes
+def image_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-REAL image modality (the WAV pattern applied to
+    pictures): per doc, synthesize a spec-valid 24-bit BMP (stdlib
+    struct only — BMP needs no codec, which is why it closes the
+    'image decode is a fake' gap) and parse it back via a
+    ``mapInPandas`` header walk + per-channel pixel means + BT.601
+    luma over the REAL pixel bytes. Production shape: payload column
+    → Arrow batch → decode → typed metadata columns; swapping BMP
+    parsing for PIL/turbojpeg is the only delta at 100 TB. JPEG/PNG
+    and video keep the documented ``fake=True`` stubs (their codecs
+    are genuinely absent from this container)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_bmp_payload,
+        parse_bmp_metadata,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return parse_bmp_metadata(attach_bmp_payload(docs))

@@ -1767,3 +1767,73 @@ def test_simhash_stop_band_cap_preserves_small_bucket_pairs(spark):
     }
     assert (40, 41) in uncapped and (40, 41) in capped
     assert capped == uncapped  # no bucket exceeds 10 here -> identical
+
+
+def test_bmp_roundtrip_against_pixel_reference(spark):
+    """The BMP parser must agree field-for-field with a pure-Python
+    reference that walks the same synthesized pixels WITHOUT going
+    through the container bytes; malformed payloads yield NULL rows;
+    the resize stage's output re-parses as a valid BMP of the target
+    dimensions with ~preserved channel means."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_bmp_payload,
+        parse_bmp_metadata,
+        resize_bmp_payloads,
+        synthesize_bmp,
+    )
+
+    def reference_means(doc_id: int, text: str, w=16, h=16):
+        hh = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+        sr = sg = sb = 0
+        for y in range(h):
+            for x in range(w):
+                sr += (x * 255 // (w - 1)) ^ (hh & 0xFF)
+                sg += (y * 255 // (h - 1)) ^ ((hh >> 8) & 0xFF)
+                sb += (doc_id * 37 + x * y) % 256
+        n = w * h
+        return sr / n, sg / n, sb / n
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"image number {i}") for i in range(12)]
+    )
+    got = {
+        r.doc_id: r
+        for r in parse_bmp_metadata(attach_bmp_payload(docs)).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        mr, mg, mb = reference_means(i, f"image number {i}")
+        r = got[i]
+        assert (r.width, r.height, r.bpp) == (16, 16, 24)
+        assert abs(r.mean_r - mr) < 1e-9 and abs(r.mean_g - mg) < 1e-9
+        assert abs(r.mean_b - mb) < 1e-9
+        assert abs(r.luma - (0.299 * mr + 0.587 * mg + 0.114 * mb)) < 1e-6
+
+    # malformed payloads -> NULL rows, ids preserved
+    bad = spark.createDataFrame(
+        [Row(doc_id=100, payload=bytearray(b"BM but not a real bmp")),
+         Row(doc_id=101, payload=bytearray(b"PNG?"))]
+    )
+    nulls = {r.doc_id: r for r in parse_bmp_metadata(bad).collect()}
+    assert nulls[100].width is None and nulls[101].luma is None
+
+    # resize: output re-parses at the new dimensions; a gradient's
+    # channel means survive nearest-neighbor resampling approximately
+    resized = resize_bmp_payloads(attach_bmp_payload(docs), 8, 8)
+    meta2 = {r.doc_id: r for r in parse_bmp_metadata(resized).collect()}
+    for i in range(12):
+        r2 = meta2[i]
+        assert (r2.width, r2.height, r2.bpp) == (8, 8, 24)
+        assert abs(r2.mean_r - got[i].mean_r) < 20  # NN-resample drift
+    # odd width exercises the 4-byte row padding path
+    odd = spark.createDataFrame([Row(doc_id=7, text="odd")])
+    b = synthesize_bmp(7, "odd", width=5, height=3)
+    assert len(b) >= 54 + 3 * 16  # 5*3=15 bytes + 1 pad per row
+    om = parse_bmp_metadata(
+        attach_bmp_payload(odd, width=5, height=3)
+    ).collect()[0]
+    assert (om.width, om.height) == (5, 3)

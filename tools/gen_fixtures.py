@@ -204,7 +204,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
             out_rows = []
             for i in pdf["id"]:
                 i = int(i)
-                rng = np.random.RandomState(1_000_003 * (i // 97) + 7)
+                rng = np.random.RandomState((1_000_003 * (i // 97) + 7) % (2**32 - 1))
                 # docs sharing i//97 use the same stream head; offset by
                 # i%97 draws -> deterministic per doc id
                 rng.randint(0, 2**31 - 1, size=(i % 97) + 1)
@@ -213,14 +213,14 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
                 toks = vocab[rng2.choice(len(vocab), size=n_tok, p=zipf)]
                 if i % 500 == 1 and i > 500:  # exact dup of doc i-500
                     yield_from = i - 500
-                    rr = np.random.RandomState(1_000_003 * (yield_from // 97) + 7)
+                    rr = np.random.RandomState((1_000_003 * (yield_from // 97) + 7) % (2**32 - 1))
                     rr.randint(0, 2**31 - 1, size=(yield_from % 97) + 1)
                     rr2 = np.random.RandomState(rr.randint(0, 2**31 - 1))
                     m = 15 + int(rr2.randint(0, 81))
                     toks = vocab[rr2.choice(len(vocab), size=m, p=zipf)]
                 elif i % 50 == 2 and i > 50:  # near dup: 2-token edit
                     src = i - 50
-                    rr = np.random.RandomState(1_000_003 * (src // 97) + 7)
+                    rr = np.random.RandomState((1_000_003 * (src // 97) + 7) % (2**32 - 1))
                     rr.randint(0, 2**31 - 1, size=(src % 97) + 1)
                     rr2 = np.random.RandomState(rr.randint(0, 2**31 - 1))
                     m = 15 + int(rr2.randint(0, 81))
@@ -257,7 +257,7 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                rng = np.random.RandomState(2_000_003 + i)
+                rng = np.random.RandomState((2_000_003 + i) % (2**32 - 1))
                 cluster = i % n_centers
                 v = centers[cluster] + rng.randn(64).astype("float32") * 0.12
                 rows.append(
