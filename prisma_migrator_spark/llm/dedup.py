@@ -621,32 +621,42 @@ def embedding_lsh_near_dup_pairs(
     time at 10x rows in the round-4 scale rehearsal).
 
     Sign-LSH: bit (t, r) of a vector is the sign of its dot product
-    with a fixed Rademacher hyperplane; a vector's bucket in table t
-    is its ``bits_per_table``-bit sign pattern. Two vectors at angle
-    θ agree on one bit with p = 1 - θ/π, so a table catches a pair
-    with p^r and ``n_tables`` tables (OR-amplification) give recall
-    1 - (1 - p^r)^b — e.g. cosine 0.86 (θ=0.54): p=0.83, r=4, b=8 →
-    96%% recall; pytest pins a floor against the exact-by-label
-    result. Candidates are verified with the true cosine, so
-    precision is exact; only recall is approximate.
-
-    Scale shape: signatures are pure JVM column folds (zip_with/
-    aggregate over literal plane arrays — no Python, no shuffle);
-    candidates come from a (table, bucket)-keyed self-join carrying
-    ids only, Σ bucket² bounded; ``max_bucket`` adds the stop-bucket
-    cap for adversarial concentrations; verification re-joins vectors
-    by id. Same triangle-block option as the bucketed form via
-    ``n_blocks``.
+    with a fixed Rademacher hyperplane (md5-derived — engine-portable,
+    no RNG state); a vector's bucket in table t is its
+    ``bits_per_table``-bit sign pattern. Two vectors at angle θ agree
+    on one bit with p = 1 - θ/π, so a table catches a pair with p^r
+    and ``n_tables`` tables (OR-amplification) give recall
+    1 - (1 - p^r)^b; pytest pins a floor against the exact-by-label
+    result. Candidates are verified with the true cosine, so precision
+    is exact; only recall is approximate.
 
     ``bits_per_table=None`` AUTO-SIZES r with corpus size:
     r = clamp(8..14, ceil(log2(n/100))), so the bucket alphabet 2^r
     tracks corpus diversity — with r fixed, distinct content groups
     eventually share buckets and candidate counts go quadratic again
-    (measured 16x at 10x rows with r=4 before this fix). The price of
-    growing r is per-table recall p^r — the 16-table OR keeps genuine
-    near-dups (cosine >= 0.95, p >= 0.9) above 99%% recall through
-    r=14, while borderline threshold pairs degrade first; one extra
-    hyperplane fold per bit is map-side-free by comparison.
+    (measured 16x at 10x rows with r=4 before this fix).
+
+    Scale shape (hardened by the sf10 rehearsal, where the first cut
+    spilled the disk):
+
+    - signatures are pure JVM column folds (zip_with/aggregate over
+      literal plane arrays — no Python, no shuffle);
+    - each banded row CARRIES its vector+norm into the (table,
+      bucket)-keyed self-join, so the cosine is computed inline in
+      the join output and immediately projected away — there is never
+      an O(candidates)·vector-width intermediate. The naive
+      ids-only-then-re-join-vectors form shuffles |candidates| rows
+      twice against the vector table (40 GB of spill at 400k vectors
+      / 640M candidates, job death); this form's big shuffle is
+      n_tables·n rows of (vector, bucket) ≈ 3 GB at the same scale;
+    - a pair is emitted by its FIRST matching table only: each side
+      carries its full bucket array and the join filters out pairs
+      whose earlier tables already matched — exactly-once generation
+      with NO dropDuplicates shuffle over the candidate stream (the
+      8-way redundancy was the other half of the spill);
+    - ``max_bucket`` drops degenerate buckets (the stop-band cap);
+    - ``n_blocks`` adds triangle-blocking for within-bucket
+      parallelism, as in :func:`embedding_near_dup_pairs`.
     """
     if bits_per_table is None:
         import math
@@ -654,7 +664,10 @@ def embedding_lsh_near_dup_pairs(
         n = emb.count()
         bits_per_table = min(14, max(8, math.ceil(math.log2(max(n, 2) / 100))))
     planes = rademacher_planes(n_tables * bits_per_table, dim, seed)
+    from prisma_migrator_spark.llm.similarity import _dot, _norm
+
     v = F.col(vec_col).cast("array<double>")
+
     def bit(j: int):
         plane = F.array(*[F.lit(x) for x in planes[j]])
         dot = F.aggregate(
@@ -664,27 +677,36 @@ def embedding_lsh_near_dup_pairs(
         )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    tables = F.array(
+    buckets_arr = F.array(
         *[
-            F.concat_ws(
-                "|",
-                F.lit(str(t)),
-                F.concat(*[bit(t * bits_per_table + r) for r in range(bits_per_table)]),
+            F.concat(
+                *[bit(t * bits_per_table + r) for r in range(bits_per_table)]
             )
             for t in range(n_tables)
         ]
     )
-    banded = emb.select(id_col, F.explode(tables).alias("bucket"))
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        _norm(v).alias("__n"),
+        buckets_arr.alias("__bk"),
+    )
+    banded = base.select(
+        "__id", "__v", "__n", "__bk",
+        F.posexplode("__bk").alias("__t", "__bucket"),
+    ).withColumn(
+        "__key", F.concat_ws("|", F.col("__t"), F.col("__bucket"))
+    ).drop("__bucket")
     if max_bucket is not None:
         ok = (
-            banded.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") <= max_bucket)
-            .select("bucket")
+            banded.groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= max_bucket)
+            .select("__key")
         )
-        banded = banded.join(ok, "bucket")
+        banded = banded.join(ok, "__key")
     if n_blocks > 1:
-        g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        g = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks))
         a = banded.withColumn("__i", g).withColumn(
             "__j", F.explode(F.sequence(F.col("__i"), F.lit(n_blocks - 1)))
         ).alias("a")
@@ -692,50 +714,50 @@ def embedding_lsh_near_dup_pairs(
             "__i", F.explode(F.sequence(F.lit(0), F.col("__j")))
         ).alias("b")
         cond = (
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__i") == F.col("b.__i"))
             & (F.col("a.__j") == F.col("b.__j"))
             & (
                 (F.col("a.__i") != F.col("a.__j"))
-                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                | (F.col("a.__id") < F.col("b.__id"))
             )
         )
     else:
         a = banded.alias("a")
         b = banded.alias("b")
-        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        cond = (F.col("a.__key") == F.col("b.__key")) & (
+            F.col("a.__id") < F.col("b.__id")
         )
-    pairs = (
-        a.join(b, cond)
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    # exactly-once emission: this table must be the FIRST whose
+    # buckets agree — no earlier-table agreement, no dedup shuffle
+    first_match = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(F.col("a.__bk"), 1, F.col("a.__t")),
+                    F.slice(F.col("b.__bk"), 1, F.col("b.__t")),
+                    lambda x, y: x == y,
+                ),
+                lambda m: m,
+            )
         )
-        .dropDuplicates(["id_a", "id_b"])
+        == 0
     )
-    from prisma_migrator_spark.llm.similarity import _dot, _norm
-
-    vecs = emb.select(
-        F.col(id_col), v.alias("__v"), _norm(v).alias("__norm")
+    sim = _dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__n") * F.col("b.__n")
     )
-    va = vecs.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__norm").alias("__na"),
-    )
-    vb = vecs.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__norm").alias("__nb"),
-    )
-    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        a.join(b, cond)
+        .where(first_match)
+        .select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("id_a"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
 
 
 def dedupe_against(

@@ -130,6 +130,18 @@ PINS = {
     # checkpointed oriented edges: 0 parquet scans in the final plan;
     # wedge + close + corner-agg shuffles
     "copurchase_triangles": (13, [], False),
+    # --- driver-round-4 additions ---
+    # stacked semi joins: ONE exchange (the latest-per-key agg);
+    # capp/ach branch predicates pushed to 3-col lineitem scans, the
+    # 9-col snapshot scan feeds the dedup, part keys broadcast
+    "apps_by_category": (1, [1, 3, 3, 9], False),
+    "apps_by_category_open": (1, [1, 1, 2, 9], False),
+    # sign-LSH near-dup: bucket self-join + stop-bucket count — the
+    # vector-carrying exactly-once form (no candidate dedup shuffle);
+    # scans double per side (original ∪ perturbed copies)
+    "embedding_near_dup_lsh": (2, [1, 1, 1, 1, 2, 2, 2, 2], False),
+    # real BMP decode: one scan, zero shuffles (map-only Arrow stage)
+    "image_metadata": (0, [2], False),
     # part_copurchase_pagerank and semantic_canonical_docs are NOT
     # pinnable this way: their persisted iteration state (ranks /
     # component labels) makes the plan PRINTER re-emit cached subtrees

@@ -84,7 +84,26 @@ def main() -> None:
     names = sys.argv[2:] or [*HEADLINE, *DEDUP_FAMILY]
     missing = [n for n in names if n not in QUERIES]
     assert not missing, f"unknown queries: {missing}"
-    timings = run(sf_dir, names)
+    if os.environ.get("SCALE_BENCH_ISOLATE") == "1" and len(names) > 1:
+        # Fresh JVM per query: suite-order contamination (accumulated
+        # GC pressure / checkpoint & broadcast blocks clearCache does
+        # not free) inflated late-suite queries up to 7x at sf10
+        # (text_stats 37.9s in-suite vs 5.4s isolated). Ratios across
+        # SFs are only meaningful under the same isolation protocol.
+        import subprocess
+
+        env = {k: v for k, v in os.environ.items() if k != "SCALE_BENCH_ISOLATE"}
+        timings = {}
+        for name in names:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, name],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout.strip().splitlines()[-1]
+            timings[name] = json.loads(out)["queries"][name]
+            print(f"  [isolated] {name}: {timings[name]:.2f}s",
+                  file=sys.stderr, flush=True)
+    else:
+        timings = run(sf_dir, names)
     print(json.dumps({
         "sf_dir": sf_dir,
         "total_sec": round(sum(timings.values()), 3),
