@@ -6,16 +6,17 @@ typed struct, and decode/feature-extraction runs as Arrow-batched
 Pandas UDFs via ``mapInPandas`` — Python touches each batch once,
 everything else stays columnar.
 
-Two modalities run FULLY REAL bytes end-to-end, stdlib-only: WAV/RIFF
-audio (synthesis + chunk-walk parse + RMS) and 24-bit BMP images
-(synthesis + header/pixel parse + nearest-neighbor resize) — each
-pinned against an independent reference in pytest. Compressed-codec
-formats (JPEG/PNG, video) are NOT decodable in this container, so
-those ``decode_*``/``sample_frames`` paths raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic byte-level stand-in. The Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is identical either way;
-swapping the fake for PIL/libav is a one-function change.
+Three modalities run FULLY REAL bytes end-to-end, stdlib-only:
+WAV/RIFF audio (synthesis + chunk-walk parse + RMS), 24-bit BMP
+images (synthesis + header/pixel parse + nearest-neighbor resize),
+and truecolor PNG (synthesis via zlib/DEFLATE + chunk-walk with CRC
+verification + scanline defiltering for all five standard filter
+types) — each pinned against an independent reference in pytest.
+Formats that genuinely need an external codec (JPEG's DCT, video)
+raise ``NotImplementedError`` unless ``fake=True``, which substitutes
+a deterministic byte-level stand-in. The Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — is identical either
+way; swapping the fake for PIL/libav is a one-function change.
 """
 
 from __future__ import annotations
@@ -502,3 +503,184 @@ def resize_bmp_payloads(
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(run, f"{id_col} bigint, payload binary")
+
+
+# --- PNG: second REAL image format (stdlib zlib — no codec) -----------
+
+
+def synthesize_png(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic truecolor (8-bit RGB) PNG bytes — a real,
+    spec-valid image: PNG signature, IHDR/IDAT/IEND chunks with CRCs,
+    zlib-compressed scanlines (filter type 0). Same pixel recipe as
+    :func:`synthesize_bmp`, so the two formats' decoded stats agree —
+    which the tests exploit. Pure stdlib (``zlib`` + ``struct``):
+    PNG's container and DEFLATE stream need no external codec, only
+    fancy filters/interlacing do (not used here)."""
+    import hashlib
+    import struct
+    import zlib
+
+    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    raw = bytearray()
+    for y in range(height):  # top-down scanlines, filter byte 0 each
+        raw.append(0)
+        for x in range(width):
+            r = (x * 255 // max(width - 1, 1)) ^ (h & 0xFF)
+            g = (y * 255 // max(height - 1, 1)) ^ ((h >> 8) & 0xFF)
+            b = (doc_id * 37 + x * y) % 256
+            raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16, height: int = 16,
+) -> DataFrame:
+    """PNG variant of ``attach_bmp_payload``: a real PNG per row."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_png(ids, texts):
+        return pd.Series(
+            [synthesize_png(int(i), t or "", width, height)
+             for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        id_col, make_png(F.col(id_col), F.col(text_col)).alias("payload")
+    )
+
+
+def parse_png_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode, stdlib-only: chunk walk (length/tag/CRC
+    framing, CRC verified), IHDR parse, multi-IDAT zlib inflate, and
+    scanline DEFILTERING for the five standard filter types (None,
+    Sub, Up, Average, Paeth — encoders routinely mix these per row),
+    then per-channel means + BT.601 luma from the recovered pixels.
+    Same output schema as :func:`parse_bmp_metadata` (``BMP_META_SCHEMA``),
+    so downstream stages are format-agnostic — exactly how a real
+    multi-format decode stage presents. Malformed payloads (bad
+    magic, CRC mismatch, truncated IDAT, unsupported color
+    type/depth) yield NULL-metadata rows, never task failures.
+    Scope: 8-bit truecolor (color type 2) and RGBA (6, alpha ignored
+    in the means), non-interlaced."""
+    import struct
+    import zlib
+
+    def parse_one(b: bytes):
+        if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        off = 8
+        width = height = None
+        channels = 0
+        idat = bytearray()
+        while off + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[off : off + 4])
+            tag = b[off + 4 : off + 8]
+            body = b[off + 8 : off + 8 + ln]
+            if len(body) < ln or off + 12 + ln > len(b):
+                return None
+            (crc,) = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                return None
+            if tag == b"IHDR":
+                width, height, depth, ctype, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", body)
+                )
+                if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                    return None
+                channels = 3 if ctype == 2 else 4
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            off += 12 + ln
+        if not width or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < (stride + 1) * height:
+            return None
+        sr = sg = sb = 0
+        prev = bytes(stride)
+        pos = 0
+        for _y in range(height):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        prev[i] if pb <= pc else c
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            sr += sum(line[0::channels])
+            sg += sum(line[1::channels])
+            sb += sum(line[2::channels])
+            prev = bytes(line)
+        n = width * height
+        mr, mg, mb = sr / n, sg / n, sb / n
+        luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        return (
+            width, height, 8 * channels,
+            round(mr, 6), round(mg, 6), round(mb, 6), round(luma, 6),
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta = parse_one(bytes(payload))
+                except Exception:
+                    meta = None
+                rows.append((int(i), *(meta or (None,) * 7)))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols[0], dtype="int64"),
+                    "width": pd.array(cols[1], dtype="Int32"),
+                    "height": pd.array(cols[2], dtype="Int32"),
+                    "bpp": pd.array(cols[3], dtype="Int32"),
+                    "mean_r": pd.array(cols[4], dtype="Float64"),
+                    "mean_g": pd.array(cols[5], dtype="Float64"),
+                    "mean_b": pd.array(cols[6], dtype="Float64"),
+                    "luma": pd.array(cols[7], dtype="Float64"),
+                }
+            )
+
+    return with_payload.mapInPandas(run, BMP_META_SCHEMA)

@@ -2749,3 +2749,24 @@ def image_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return parse_bmp_metadata(attach_bmp_payload(docs))
+
+
+@query("png_metadata")  # rows-only: Pandas-UDF decode; pytest pins the
+# parser against the BMP parser on identical pixel recipes AND against
+# hand-filtered scanlines (Sub/Up/Average/Paeth defiltering)
+def png_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image format: spec-valid truecolor PNG per doc
+    (zlib DEFLATE + CRC-framed chunks, all stdlib) decoded back via
+    chunk walk + defilter + pixel stats. Same output schema as
+    ``image_metadata`` (BMP), so a consumer is format-agnostic — the
+    multi-format decode stage of a real image pipeline. JPEG stays a
+    documented stub (DCT needs a real codec); PNG's container +
+    DEFLATE do not."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_png_payload,
+        parse_png_metadata,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return parse_png_metadata(attach_png_payload(docs))

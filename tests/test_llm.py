@@ -1837,3 +1837,101 @@ def test_bmp_roundtrip_against_pixel_reference(spark):
         attach_bmp_payload(odd, width=5, height=3)
     ).collect()[0]
     assert (om.width, om.height) == (5, 3)
+
+
+def test_png_parse_agrees_with_bmp_and_defilters_correctly(spark):
+    """Cross-format pin: BMP and PNG synthesizers share one pixel
+    recipe, so the two REAL decoders must report identical channel
+    means for the same (doc_id, text). The PNG parser must also
+    recover exact means from scanlines encoded with the non-trivial
+    filter types (Sub/Up/Average/Paeth), verify chunk CRCs, and
+    NULL-row malformed payloads."""
+    import struct
+    import zlib
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_bmp_payload,
+        attach_png_payload,
+        parse_bmp_metadata,
+        parse_png_metadata,
+        synthesize_png,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"cross format {i}") for i in range(10)]
+    )
+    bmp = {r.doc_id: r for r in parse_bmp_metadata(attach_bmp_payload(docs)).collect()}
+    png = {r.doc_id: r for r in parse_png_metadata(attach_png_payload(docs)).collect()}
+    for i in range(10):
+        assert (png[i].width, png[i].height, png[i].bpp) == (16, 16, 24)
+        for f in ("mean_r", "mean_g", "mean_b", "luma"):
+            assert abs(getattr(png[i], f) - getattr(bmp[i], f)) < 1e-9, (i, f)
+
+    # re-encode doc 0's pixels with each nontrivial filter type and
+    # assert the defilterer recovers the identical means
+    base = synthesize_png(0, "cross format 0")
+    meta0 = png[0]
+
+    def reencode(filter_type: int) -> bytes:
+        # decode base's raw scanlines (filter 0)
+        off, idat = 8, bytearray()
+        while off + 8 <= len(base):
+            (ln,) = struct.unpack(">I", base[off:off + 4])
+            tag = base[off + 4:off + 8]
+            if tag == b"IDAT":
+                idat += base[off + 8:off + 8 + ln]
+            off += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        stride = 16 * 3
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(16):
+            line = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+            enc = bytearray([filter_type])
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if filter_type == 1:
+                    enc.append((line[i] - a) & 0xFF)
+                elif filter_type == 2:
+                    enc.append((line[i] - up) & 0xFF)
+                elif filter_type == 3:
+                    enc.append((line[i] - ((a + up) >> 1)) & 0xFF)
+                else:  # Paeth
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                    enc.append((line[i] - pred) & 0xFF)
+            out += enc
+            prev = line
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(out)))
+                + chunk(b"IEND", b""))
+
+    refiltered = spark.createDataFrame(
+        [Row(doc_id=ft, payload=bytearray(reencode(ft))) for ft in (1, 2, 3, 4)]
+    )
+    got = {r.doc_id: r for r in parse_png_metadata(refiltered).collect()}
+    for ft in (1, 2, 3, 4):
+        for f in ("mean_r", "mean_g", "mean_b"):
+            assert abs(getattr(got[ft], f) - getattr(meta0, f)) < 1e-9, (ft, f)
+
+    # corrupt CRC and truncated stream -> NULL rows
+    corrupted = bytearray(synthesize_png(1, "x"))
+    corrupted[-5] ^= 0xFF  # flip a bit in IEND CRC region... use IDAT:
+    corrupted[40] ^= 0x01  # flip a data byte so a CRC mismatches
+    bad = spark.createDataFrame(
+        [Row(doc_id=200, payload=bytearray(corrupted)),
+         Row(doc_id=201, payload=bytearray(b"\x89PNG\r\n\x1a\nnope"))]
+    )
+    nm = {r.doc_id: r for r in parse_png_metadata(bad).collect()}
+    assert nm[200].width is None and nm[201].width is None
