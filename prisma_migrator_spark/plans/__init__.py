@@ -53,7 +53,10 @@ DRIVER_WINDOW: list[str] = [
     "text_stats",                # stats + quality + lang-ID + tokens
     "exact_dedup_groups",        # exact dedup
     "minhash_lsh_pairs",         # MinHash + LSH banding
-    "embedding_near_dup",        # embedding-cosine near-dup
+    # embedding_near_dup (label-bucketed oracle form, green r01-r03)
+    # yields its seat to the sign-LSH scale path, which gained a full
+    # DuckDB oracle this round (planes embedded as SQL literals):
+    "embedding_near_dup_lsh",    # sign-LSH near-dup (r4 NEW oracle)
     "topk_cosine_bruteforce",    # exact top-k cosine (ANN oracle)
     "multimodal_meta",           # multimodal metadata plumbing
     "decontaminate_eval",        # eval decontamination

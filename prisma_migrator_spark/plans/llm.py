@@ -576,7 +576,65 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, bucket_col="label", min_cosine=0.35, n_blocks=4
     )
 
-@query("embedding_near_dup_lsh")
+def _lsh_near_dup_oracle() -> str:
+    """DuckDB oracle for the sign-LSH near-dup query: the Rademacher
+    planes are md5-derived (no RNG state), so the SAME planes are
+    embedded as SQL literals and DuckDB recomputes signatures, bucket
+    candidates, and verified cosines independently. r is pinned at 8
+    because the query's auto-size clamp(8..14, log2(n/100)) resolves
+    to 8 for every oracle-scale fixture (n = 2·|embeddings| ≤ 25600).
+    The max_bucket=2000 cap cannot bind at those sizes (≤ 4000 banded
+    rows total), exactly like the SimHash stop-band cap."""
+    from prisma_migrator_spark.llm.dedup import rademacher_planes
+
+    planes = rademacher_planes(64, 64)
+
+    def lit(p):
+        return "[" + ", ".join(str(int(x)) for x in p) + "]::DOUBLE[]"
+
+    buckets = []
+    for t in range(8):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, %s) >= 0 THEN '1' ELSE '0' END)"
+            % lit(planes[t * 8 + r])
+            for r in range(8)
+        )
+        buckets.append(f"({bits})")
+    bks = "[" + ", ".join(buckets) + "]"
+    return f"""
+WITH uni AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000,
+         list_transform(range(1, 65),
+             i -> CASE WHEN i = 1 THEN embedding[i] * 1.5
+                       ELSE embedding[i]::DOUBLE END) AS v
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, v, {bks} AS bks FROM uni
+), banded AS (
+  SELECT vec_id, i AS t, bks[i + 1] AS bucket
+  FROM sig, UNNEST(range(8)) AS tt(i)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.t = b.t AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(sa.v, sb.v)
+             / (SQRT(list_dot_product(sa.v, sa.v))
+                * SQRT(list_dot_product(sb.v, sb.v))), 6) AS cosine
+FROM cand
+JOIN sig sa ON sa.vec_id = id_a
+JOIN sig sb ON sb.vec_id = id_b
+WHERE ROUND(list_dot_product(sa.v, sb.v)
+            / (SQRT(list_dot_product(sa.v, sa.v))
+               * SQRT(list_dot_product(sb.v, sb.v))), 6) >= 0.8
+"""
+
+
+@query("embedding_near_dup_lsh", oracle=_lsh_near_dup_oracle())
 def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH near-dup — the scale path for embedding_near_dup.
     The label-bucketed oracle form generates ALL within-label pairs;
@@ -593,9 +651,10 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unions each vector with a deterministically perturbed copy
     (element 0 scaled — cosine vs the original ≈0.999): the output
     must then contain those injected near-dup pairs, making the
-    rows-only check an end-to-end recall probe rather than an empty
-    frame. No SQL oracle: DuckDB would need the 32 hyperplane folds
-    inline; the pytest recall floor gates quality."""
+    check an end-to-end recall probe rather than an empty frame.
+    Hash-gated: the md5-derived planes are embedded as literals in the
+    DuckDB oracle (see ``_lsh_near_dup_oracle``), which recomputes
+    signatures, candidates, and verified cosines independently."""
     from prisma_migrator_spark.llm.dedup import embedding_lsh_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

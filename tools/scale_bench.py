@@ -95,10 +95,14 @@ def main() -> None:
         env = {k: v for k, v in os.environ.items() if k != "SCALE_BENCH_ISOLATE"}
         timings = {}
         for name in names:
-            out = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), sf_dir, name],
-                capture_output=True, text=True, env=env, check=True,
-            ).stdout.strip().splitlines()[-1]
+                capture_output=True, text=True, env=env,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"{name} failed (rc={proc.returncode})")
+            out = proc.stdout.strip().splitlines()[-1]
             timings[name] = json.loads(out)["queries"][name]
             print(f"  [isolated] {name}: {timings[name]:.2f}s",
                   file=sys.stderr, flush=True)
