@@ -654,7 +654,16 @@ def embedding_lsh_near_dup_pairs(
       whose earlier tables already matched — exactly-once generation
       with NO dropDuplicates shuffle over the candidate stream (the
       8-way redundancy was the other half of the spill);
-    - ``max_bucket`` drops degenerate buckets (the stop-band cap);
+    - ``max_bucket`` drops degenerate buckets (the stop-band cap).
+      Dropped buckets are masked to NULL **inside the carried bucket
+      arrays** (not just filtered from the banded rows), so the
+      first-match test never counts a stop-band table as a prior
+      match — otherwise a pair whose earliest agreeing table was
+      capped would be suppressed at every surviving later table and
+      silently lost (dense regions are exactly where table 0 agrees
+      AND gets capped). The masking costs two narrow O(n·n_tables)
+      shuffles (ids+buckets only) plus one id-keyed join of the
+      vector table, paid only when the cap is enabled;
     - ``n_blocks`` adds triangle-blocking for within-bucket
       parallelism, as in :func:`embedding_near_dup_pairs`.
     """
@@ -675,7 +684,12 @@ def embedding_lsh_near_dup_pairs(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+        # quantize before the sign: a near-zero dot (sum of dim signed
+        # doubles) can flip sign under a different accumulation order,
+        # putting the same vector in different buckets on different
+        # engines (e.g. the DuckDB oracle's list_dot_product); rounding
+        # to 9 decimals makes the boundary deterministic on both sides
+        return F.when(F.round(dot, 9) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     buckets_arr = F.array(
         *[
@@ -691,20 +705,42 @@ def embedding_lsh_near_dup_pairs(
         _norm(v).alias("__n"),
         buckets_arr.alias("__bk"),
     )
+    if max_bucket is not None:
+        # Stop-band masking: NULL-out over-cap buckets inside each
+        # row's bucket ARRAY so (a) banded rows in capped buckets are
+        # dropped and (b) first_match never sees a capped table as an
+        # earlier agreement. ids+buckets only until the final join.
+        keyed = base.select(
+            "__id", F.posexplode("__bk").alias("__t", "__b")
+        )
+        cnt = keyed.groupBy("__t", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        masked = (
+            keyed.join(cnt, ["__t", "__b"])
+            .select(
+                "__id",
+                F.struct(
+                    F.col("__t"),
+                    F.when(F.col("__c") <= max_bucket, F.col("__b")).alias(
+                        "__mb"
+                    ),
+                ).alias("__s"),
+            )
+            .groupBy("__id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda s: s["__mb"]
+                ).alias("__bk")
+            )
+        )
+        base = base.drop("__bk").join(masked, "__id")
     banded = base.select(
         "__id", "__v", "__n", "__bk",
         F.posexplode("__bk").alias("__t", "__bucket"),
-    ).withColumn(
+    ).where(F.col("__bucket").isNotNull()).withColumn(
         "__key", F.concat_ws("|", F.col("__t"), F.col("__bucket"))
     ).drop("__bucket")
-    if max_bucket is not None:
-        ok = (
-            banded.groupBy("__key")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .where(F.col("__c") <= max_bucket)
-            .select("__key")
-        )
-        banded = banded.join(ok, "__key")
     if n_blocks > 1:
         g = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks))
         a = banded.withColumn("__i", g).withColumn(

@@ -268,6 +268,11 @@ def parse_wav_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
             cid = b[off : off + 4]
             (sz,) = struct.unpack("<I", b[off + 4 : off + 8])
             body = b[off + 8 : off + 8 + sz]
+            if cid in (b"fmt ", b"data") and len(body) < sz:
+                # truncated payload: declared size overruns the blob.
+                # NULL row, never plausible-but-wrong stats over a
+                # partial frame slice (fault-isolation contract).
+                return None
             if cid == b"fmt ":
                 fmt_body = body
             elif cid == b"data":

@@ -595,8 +595,8 @@ def _lsh_near_dup_oracle() -> str:
     buckets = []
     for t in range(8):
         bits = " || ".join(
-            "(CASE WHEN list_dot_product(v, %s) >= 0 THEN '1' ELSE '0' END)"
-            % lit(planes[t * 8 + r])
+            "(CASE WHEN ROUND(list_dot_product(v, %s), 9) >= 0"
+            " THEN '1' ELSE '0' END)" % lit(planes[t * 8 + r])
             for r in range(8)
         )
         buckets.append(f"({bits})")
@@ -658,6 +658,16 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prisma_migrator_spark.llm.dedup import embedding_lsh_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the oracle hard-pins r=8, valid only while the auto-size clamp
+    # resolves to 8, i.e. 2*n <= 25_600: fail loudly on fixture growth
+    # instead of surfacing as an opaque hash mismatch at the gate
+    n = emb.count()
+    if 2 * n > 25_600:
+        raise ValueError(
+            f"embedding_near_dup_lsh oracle pins bits_per_table=8, which "
+            f"requires 2*|embeddings| <= 25600; fixture has {n} rows — "
+            f"regenerate the oracle SQL with the larger r before gating"
+        )
     v = F.col("embedding")
     perturbed = emb.select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),

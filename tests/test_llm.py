@@ -1655,19 +1655,22 @@ def test_wav_chunk_walk_extra_chunks_and_bad_payloads(spark):
         Row(doc_id=2, payload=bytearray(shuffled)),
         Row(doc_id=3, payload=bytearray(b"not a wav at all")),
         Row(doc_id=4, payload=bytearray(b"RIFF\x04\x00\x00\x00WAVE")),
+        # truncated mid-data: declared chunk size overruns the blob —
+        # must be NULL, not plausible stats over the partial frames
+        Row(doc_id=5, payload=bytearray(good[: len(good) - 40])),
     ]
     got = {
         r.doc_id: r
         for r in parse_wav_metadata(spark.createDataFrame(rows)).collect()
     }
-    assert len(got) == 4
+    assert len(got) == 5
     # chunk-shuffled payload parses identically to canonical
     for f in ("sample_rate", "n_channels", "bits", "n_samples",
               "duration_ms", "rms"):
         assert getattr(got[2], f) == getattr(got[1], f), f
     assert got[1].sample_rate == 8000 and got[1].bits == 16
     # malformed payloads -> NULL metadata, id preserved
-    for bad in (3, 4):
+    for bad in (3, 4, 5):
         assert got[bad].sample_rate is None and got[bad].rms is None
 
 
@@ -1726,12 +1729,84 @@ def test_embedding_lsh_near_dup_recall_floor(spark):
         ).collect()
     }
     assert exact, "test corpus must contain true near-dup pairs"
-    # no false positives are possible (cosine verify), only misses
-    cross = {p for p in got - exact}
-    for a, b in cross:  # any extra pair is a real >=0.8 cross-label pair
-        pass
+    # no false positives are possible (cosine verify): any pair beyond
+    # the by-label exact set must be a REAL >=0.8 cross-label pair
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    for a, b in got - exact:
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert round(cos, 6) >= 0.8, (a, b, cos)
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, (recall, len(exact))
+
+
+def test_embedding_lsh_stop_band_mask_keeps_later_table_pairs(spark):
+    """A pair whose FIRST agreeing table falls in an over-cap
+    (stop-band) bucket but which also shares an intact bucket in a
+    LATER table must still be emitted: capped buckets are masked out
+    of the carried bucket arrays, so the exactly-once first-match test
+    skips them instead of treating them as a prior (suppressed-
+    elsewhere, emitted-nowhere) match."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.dedup import (
+        embedding_lsh_near_dup_pairs,
+        rademacher_planes,
+    )
+
+    n_tables, r, dim = 4, 6, 16
+    planes = np.array(rademacher_planes(n_tables * r, dim, seed=7))
+
+    def buckets(v):
+        bits = (planes @ v >= 0).astype(int)
+        return [
+            "".join(str(b) for b in bits[t * r : (t + 1) * r])
+            for t in range(n_tables)
+        ]
+
+    rng = np.random.RandomState(11)
+    # a tight near-dup pair: identical vectors -> agree in EVERY table
+    target = rng.randn(dim)
+    tb = buckets(target)
+    # flood table 0's bucket for the target past the cap with vectors
+    # that agree ONLY in table 0 (rejection-sample the other tables)
+    flood, need = [], 12
+    while need:
+        w = rng.randn(dim)
+        wb = buckets(w)
+        if wb[0] == tb[0] and all(wb[t] != tb[t] for t in range(1, 4)):
+            flood.append(w)
+            need -= 1
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in target]),
+        Row(vec_id=1, embedding=[float(x) for x in target]),
+    ] + [
+        Row(vec_id=10 + i, embedding=[float(x) for x in w])
+        for i, w in enumerate(flood)
+    ]
+    emb = spark.createDataFrame(rows)
+    got = {
+        (p.id_a, p.id_b)
+        for p in embedding_lsh_near_dup_pairs(
+            emb,
+            dim=dim,
+            min_cosine=0.99,
+            n_tables=n_tables,
+            bits_per_table=r,
+            max_bucket=5,  # table-0 bucket holds 14 rows -> capped
+        ).collect()
+    }
+    assert (0, 1) in got, got
+    # and exactly once is still exactly once: uncapped result agrees
+    uncapped = {
+        (p.id_a, p.id_b)
+        for p in embedding_lsh_near_dup_pairs(
+            emb, dim=dim, min_cosine=0.99, n_tables=n_tables,
+            bits_per_table=r,
+        ).collect()
+    }
+    assert got == uncapped == {(0, 1)}
 
 
 def test_simhash_stop_band_cap_preserves_small_bucket_pairs(spark):
