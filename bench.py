@@ -10,6 +10,19 @@ JSON line::
 
 Execution is forced with the noop sink (full pipeline runs, nothing
 collected to the driver) — measures engine time, not result transfer.
+
+Two protocols, both recorded (r4 adjudicated a 1.10x "regression" as
+host-noise drift, costing a round of signal — VERDICT r4 item 6):
+
+- in-suite (``value`` / ``queries``): one JVM, warm-up pass, then the
+  14 queries timed back-to-back — comparable with BENCH_r01..r04.
+- isolated (``value_isolated`` / ``queries_isolated``): a fresh JVM
+  per query (same protocol as tools/scale_bench.py), immune to
+  suite-order contamination (GC pressure, checkpoint/broadcast blocks
+  clearCache cannot free). CANONICAL from r5 on, per BASELINE.md.
+
+``BENCH_ISOLATE=0`` skips the isolated pass (quick iteration);
+``BENCH_ONLY=<name>`` restricts to one query (the subprocess leg).
 """
 
 from __future__ import annotations
@@ -45,9 +58,37 @@ HEADLINE = [
 ]
 
 
+def run_isolated(names: list[str]) -> dict[str, float]:
+    """Fresh-JVM-per-query pass: re-invoke this script once per query
+    with BENCH_ONLY set; each subprocess pays its own session spin-up
+    and warm-up, and only its steady-state number is kept."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    for name in names:
+        env = {**os.environ, "BENCH_ONLY": name, "BENCH_ISOLATE": "0"}
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"isolated {name} failed (rc={proc.returncode})")
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        timings[name] = out["queries"][name]
+        print(f"  [isolated] {name}: {timings[name]:.2f}s",
+              file=sys.stderr, flush=True)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    names = HEADLINE
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        assert only in QUERIES, f"unknown query {only}"
+        names = [only]
 
     # Load phase: compact single-row-group fixture files into a scan-
     # splittable layout (the engine's ingest/OPTIMIZE step — identical
@@ -74,28 +115,30 @@ def main() -> None:
     # not engine throughput — measure steady-state on the second pass.
     # clearCache drops anything an operator persisted internally so the
     # timed pass re-reads the parquet and re-runs every exchange.
-    for name in HEADLINE:
+    for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if not only and os.environ.get("BENCH_ISOLATE", "1") != "0":
+        spark.stop()  # free the suite JVM before the per-query ones
+        iso = run_isolated(names)
+        result["queries_isolated"] = iso
+        result["value_isolated"] = round(sum(iso.values()), 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct-word frequency table — BPE's working set. One shuffle
@@ -104,12 +106,13 @@ def learn_bpe_merges(
             ).alias("p"),
             "freq",
         )
-        best = (
+        best = bounded_collect(
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("p.l"), F.asc("p.r"))
-            .limit(1)  # TakeOrdered: 1 row to the driver, no global sort
-            .collect()
+            .limit(1),  # TakeOrdered: 1 row to the driver, no global sort
+            1,
+            "argmax pair per merge round",
         )
         if not best or best[0]["n"] < min_pair_count:
             break

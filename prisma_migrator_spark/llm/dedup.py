@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
 from prisma_migrator_spark.llm.text import content_fingerprint, normalized_text
 
 
@@ -872,14 +874,15 @@ def build_bloom_filter(
             )
         ).alias("p")
     )
-    rows = (
+    rows = bounded_collect(
         pos.groupBy(F.expr("p div 64").alias("w"))
         .agg(
             F.expr(
                 "bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))"
             ).alias("bits")
-        )
-        .collect()
+        ),
+        m // 64,
+        "one row per 64-bit Bloom word (m bits fixed at build time)",
     )
     words = [0] * (m // 64)
     for r in rows:

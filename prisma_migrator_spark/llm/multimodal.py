@@ -6,17 +6,20 @@ typed struct, and decode/feature-extraction runs as Arrow-batched
 Pandas UDFs via ``mapInPandas`` — Python touches each batch once,
 everything else stays columnar.
 
-Three modalities run FULLY REAL bytes end-to-end, stdlib-only:
+Four modalities run FULLY REAL bytes end-to-end, stdlib-only:
 WAV/RIFF audio (synthesis + chunk-walk parse + RMS), 24-bit BMP
 images (synthesis + header/pixel parse + nearest-neighbor resize),
-and truecolor PNG (synthesis via zlib/DEFLATE + chunk-walk with CRC
+truecolor PNG (synthesis via zlib/DEFLATE + chunk-walk with CRC
 verification + scanline defiltering for all five standard filter
-types) — each pinned against an independent reference in pytest.
-Formats that genuinely need an external codec (JPEG's DCT, video)
-raise ``NotImplementedError`` unless ``fake=True``, which substitutes
-a deterministic byte-level stand-in. The Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is identical either
-way; swapping the fake for PIL/libav is a one-function change.
+types), and AVI video (multi-frame RIFF container: hdrl/strl header
+parse, idx1-indexed frame location with movi-walk fallback, real
+frame sampling re-emitting each frame as a decodable BMP) — each
+pinned against an independent reference in pytest. The one format
+that genuinely needs an external codec (JPEG's DCT) raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic byte-level stand-in; the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is identical either way,
+so swapping the fake for PIL is a one-function change.
 """
 
 from __future__ import annotations
@@ -108,44 +111,6 @@ def resize_images(
                     "height": height,
                 }
             )
-
-    return df.select("doc_id", "payload").mapInPandas(run, schema)
-
-
-def sample_frames(
-    df: DataFrame,
-    n_frames: int = 4,
-    fake: bool = True,
-) -> DataFrame:
-    """Frame sampling for video payloads: one output row PER FRAME
-    (``mapInPandas`` fan-out — batch in, multiple rows out, the shape
-    a real decoder uses). Fake path slices the payload into
-    ``n_frames`` even chunks; a real implementation decodes with
-    libav/ffmpeg at evenly spaced timestamps."""
-    import pandas as pd
-
-    if not fake:
-        raise NotImplementedError(
-            "frame sampling requires a video codec; not available in this "
-            "container — pass fake=True for the deterministic stand-in"
-        )
-    schema = "doc_id bigint, frame_idx int, frame binary"
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                p = bytes(payload)
-                step = max(1, len(p) // n_frames)
-                for i in range(n_frames):
-                    out.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "frame_idx": i,
-                            "frame": p[i * step : (i + 1) * step],
-                        }
-                    )
-            yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema)
 
@@ -322,16 +287,13 @@ def parse_wav_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
 # --- BMP: the REAL image modality (stdlib-only, like WAV for audio) ---
 
 
-def synthesize_bmp(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
-    """Deterministic 24-bit uncompressed BMP bytes — a real, spec-valid
-    image (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows
-    with 4-byte row padding) any viewer opens. Pixels are a horizontal
-    gradient hashed with the text, so fixtures are stable across runs
-    and engines. Pure stdlib: BMP is the image format this container
-    CAN do end-to-end — the decode stage runs on REAL bytes, not a
-    ``fake=True`` stand-in."""
+def _bgr_pixel_rows(doc_id: int, seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic bottom-up padded BGR pixel rows — the raw DIB
+    payload shared by the BMP synthesizer and (per frame) the AVI
+    synthesizer, so an AVI frame is BYTE-IDENTICAL to the BMP built
+    from the same (doc_id, seed) recipe: the cross-format pin the
+    video tests rely on."""
     import hashlib
-    import struct
 
     h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
     rows = []
@@ -345,7 +307,15 @@ def synthesize_bmp(doc_id: int, seed_text: str, width: int = 16, height: int = 1
             row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR
         row += b"\x00" * pad
         rows.append(bytes(row))
-    pixel_data = b"".join(rows)
+    return b"".join(rows)
+
+
+def bmp_wrap(pixel_data: bytes, width: int, height: int) -> bytes:
+    """Wrap raw bottom-up padded BGR rows in BMP headers — valid
+    24-bit BMP out. Used by the synthesizer AND by ``sample_frames``
+    to emit each sampled AVI frame as a standalone decodable image."""
+    import struct
+
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
         2835, 2835, 0, 0,
@@ -353,6 +323,19 @@ def synthesize_bmp(doc_id: int, seed_text: str, width: int = 16, height: int = 1
     offset = 14 + 40
     hdr = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
     return hdr + info + pixel_data
+
+
+def synthesize_bmp(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic 24-bit uncompressed BMP bytes — a real, spec-valid
+    image (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows
+    with 4-byte row padding) any viewer opens. Pixels are a horizontal
+    gradient hashed with the text, so fixtures are stable across runs
+    and engines. Pure stdlib: BMP is the image format this container
+    CAN do end-to-end — the decode stage runs on REAL bytes, not a
+    ``fake=True`` stand-in."""
+    return bmp_wrap(
+        _bgr_pixel_rows(doc_id, seed_text, width, height), width, height
+    )
 
 
 def attach_bmp_payload(
@@ -689,3 +672,246 @@ def parse_png_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
             )
 
     return with_payload.mapInPandas(run, BMP_META_SCHEMA)
+
+
+# --- AVI: the REAL video modality (stdlib-only, multi-frame RIFF) -----
+
+
+def synthesize_avi(
+    doc_id: int,
+    seed_text: str,
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 8,
+    fps: int = 10,
+) -> bytes:
+    """Deterministic uncompressed AVI bytes — a real, spec-valid video
+    container (RIFF 'AVI ' → LIST hdrl [avih + LIST strl [strh 'vids'
+    /'DIB ' + strf BITMAPINFOHEADER] ] → LIST movi ['00db' raw-DIB
+    frames] → idx1 index) any player with a raw-DIB path opens.
+    Frame ``i``'s pixel rows come from the SAME generator as
+    ``synthesize_bmp(doc_id, f"{seed}|f{i}")`` — byte-identical, the
+    cross-format pin. Pure stdlib ``struct``: like WAV/BMP/PNG, the
+    container layer needs no codec; only lossy compression would."""
+    import struct
+
+    frames = [
+        _bgr_pixel_rows(doc_id, f"{seed_text}|f{i}", width, height)
+        for i in range(n_frames)
+    ]
+    frame_sz = len(frames[0]) if frames else 0
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_sz,
+        2835, 2835, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      frame_sz, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII", 1_000_000 // max(fps, 1), frame_sz * fps, 0, 0x10,
+        n_frames, 0, 1, frame_sz, width, height,
+    ) + b"\x00" * 16
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_chunks, offsets = [], []
+    off = 4  # idx1 offsets are relative to the 'movi' fourcc position
+    for f in frames:
+        offsets.append(off)
+        ck = chunk(b"00db", f)
+        movi_chunks.append(ck)
+        off += len(ck)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00db" + struct.pack("<III", 0x10, o, frame_sz) for o in offsets
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_avi_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16, height: int = 16, n_frames: int = 8,
+) -> DataFrame:
+    """Video variant of ``attach_wav_payload``: a real AVI per row."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_avi(ids, texts):
+        return pd.Series(
+            [synthesize_avi(int(i), t or "", width, height, n_frames)
+             for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        id_col, make_avi(F.col(id_col), F.col(text_col)).alias("payload")
+    )
+
+
+def parse_avi(b: bytes):
+    """REAL container decode: RIFF walk (LIST descent for hdrl/movi),
+    avih for (width, height, n_frames), strf for depth/compression,
+    and frame location via the ``idx1`` index — each entry's offset is
+    resolved against the movi position and VALIDATED against the
+    chunk id actually found there (falling back to a movi walk when
+    the index is absent or lies, as real-world AVIs sometimes do).
+    Only uncompressed 24-bit 'vids' streams are in scope. Returns
+    ``(width, height, n_frames, [frame_bytes, ...])`` or ``None``.
+
+    Truncation rule (same contract the WAV parser learned): any chunk
+    whose declared size overruns the blob makes the whole payload
+    malformed -> ``None``, never stats over partial frames."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    width = height = n_frames = None
+    bpp = compression = None
+    movi_pos = None  # position of the 'movi' fourcc in b
+    movi_end = None
+    idx = None
+
+    def subchunks(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            cid = b[off : off + 4]
+            (sz,) = struct.unpack("<I", b[off + 4 : off + 8])
+            if off + 8 + sz > hi:
+                yield cid, -1, -1  # truncated sentinel
+                return
+            yield cid, off + 8, off + 8 + sz
+            off += 8 + sz + (sz & 1)
+
+    for cid, lo, hi in subchunks(12, len(b)):
+        if lo < 0:
+            return None
+        if cid == b"LIST":
+            ltype = b[lo : lo + 4]
+            if ltype == b"hdrl":
+                for c2, l2, h2 in subchunks(lo + 4, hi):
+                    if l2 < 0:
+                        return None
+                    if c2 == b"avih" and h2 - l2 >= 40:
+                        (_, _, _, _, n_frames, _, _, _, width, height
+                         ) = struct.unpack("<IIIIIIIIII", b[l2 : l2 + 40])
+                    elif c2 == b"LIST" and b[l2 : l2 + 4] == b"strl":
+                        for c3, l3, h3 in subchunks(l2 + 4, h2):
+                            if l3 < 0:
+                                return None
+                            if c3 == b"strf" and h3 - l3 >= 20:
+                                (_, _, _, _, bpp, compression) = struct.unpack(
+                                    "<IiiHHI", b[l3 : l3 + 20]
+                                )
+            elif ltype == b"movi":
+                movi_pos, movi_end = lo, hi
+        elif cid == b"idx1":
+            idx = (lo, hi)
+    if None in (width, height, n_frames, movi_pos):
+        return None
+    if bpp != 24 or compression != 0 or width <= 0 or height <= 0:
+        return None
+    frames: list[bytes] = []
+    stride = ((width * 3 + 3) & ~3) * height
+    if idx is not None:
+        lo, hi = idx
+        ok = True
+        for e in range(lo, hi - 15, 16):
+            ckid, _flags, off, sz = struct.unpack(
+                "<4sIII", b[e : e + 16]
+            )
+            if ckid != b"00db":
+                continue
+            pos = movi_pos + off  # offset from the 'movi' fourcc
+            if b[pos : pos + 4] != ckid or pos + 8 + sz > len(b):
+                ok = False
+                break
+            frames.append(b[pos + 8 : pos + 8 + sz])
+        if ok and len(frames) == n_frames:
+            if any(len(f) != stride for f in frames):
+                return None
+            return width, height, n_frames, frames
+        frames = []  # index lied -> fall back to the walk
+    for cid, lo, hi in subchunks(movi_pos + 4, movi_end):
+        if lo < 0:
+            return None
+        if cid == b"00db":
+            frames.append(b[lo:hi])
+    if len(frames) != n_frames or any(len(f) != stride for f in frames):
+        return None
+    return width, height, n_frames, frames
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
+    "frame binary"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame sampling for AVI payloads: one output row per
+    sampled frame (``mapInPandas`` fan-out — batch in, multiple rows
+    out, the stage shape a libav decoder uses). Frames are located
+    via the container's ``idx1`` index (walk fallback), sampled at
+    evenly spaced indices over the stream length, and each emitted as
+    a standalone 24-bit BMP (``bmp_wrap``) so any downstream image
+    stage — ``parse_bmp_metadata``, ``resize_bmp_payloads`` — applies
+    to video frames unchanged.
+
+    Fault isolation: malformed/truncated payloads emit ZERO rows for
+    that id (a per-frame NULL row has no meaning), never a task
+    failure."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    parsed = parse_avi(bytes(payload))
+                except Exception:
+                    parsed = None
+                if not parsed:
+                    continue
+                w, h, total, frames = parsed
+                k = min(n_frames, total)
+                idxs = sorted({
+                    (j * (total - 1)) // (k - 1) if k > 1 else 0
+                    for j in range(k)
+                })
+                for fi in idxs:
+                    rows.append(
+                        (int(i), fi, total, w, h, bmp_wrap(frames[fi], w, h))
+                    )
+            cols = list(zip(*rows)) if rows else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols[0], dtype="int64"),
+                    "frame_idx": pd.array(cols[1], dtype="int32"),
+                    "n_frames": pd.array(cols[2], dtype="int32"),
+                    "width": pd.array(cols[3], dtype="int32"),
+                    "height": pd.array(cols[4], dtype="int32"),
+                    "frame": pd.array(cols[5], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -177,14 +179,15 @@ def train_ivf_centroids(
     k-means refinements. Each refinement is two shuffles over
     (cluster, dim) partial sums — never collects the corpus; only the
     C·dim codebook ever reaches the driver."""
-    seeds = (
+    seeds = bounded_collect(
         corpus.select(
             F.col(vec_col).cast("array<double>").alias("c"),
             F.md5(F.col(id_col).cast("string")).alias("__r"),
         )
         .orderBy("__r")
-        .limit(n_centroids)
-        .collect()
+        .limit(n_centroids),
+        n_centroids,
+        "seed sample is limit(n_centroids)",
     )
     cents = [list(r["c"]) for r in seeds]
     dim = len(cents[0]) if cents else 0
@@ -192,7 +195,11 @@ def train_ivf_centroids(
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         # one HashAggregate over dim sum() columns (group_centroids)
         # instead of posexplode + two shuffles over element rows
-        means = group_centroids(assigned, "cluster_id", vec_col, dim=dim).collect()
+        means = bounded_collect(
+            group_centroids(assigned, "cluster_id", vec_col, dim=dim),
+            len(cents),
+            "one row per centroid",
+        )
         new = {r["cluster_id"]: list(r["centroid"]) for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
@@ -445,13 +452,14 @@ def _train_l2_centroids(
     cosine assignment quantizes direction only and throws away
     subvector magnitude, which is exactly what ADC distances need
     (measured: recall@5 0.06 with cosine books vs 0.5+ with L2)."""
-    seeds = (
+    seeds = bounded_collect(
         sub.select(
             "embedding", F.md5(F.col(id_col).cast("string")).alias("__r")
         )
         .orderBy("__r")
-        .limit(ksub)
-        .collect()
+        .limit(ksub),
+        ksub,
+        "seed sample is limit(ksub)",
     )
     cents = [list(r["embedding"]) for r in seeds]
     for _ in range(iters):
@@ -460,7 +468,11 @@ def _train_l2_centroids(
             "cluster_id",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
         )
-        means = group_centroids(assigned, "cluster_id", "embedding", dim=dim).collect()
+        means = bounded_collect(
+            group_centroids(assigned, "cluster_id", "embedding", dim=dim),
+            ksub,
+            "one row per codebook centroid",
+        )
         new = {r["cluster_id"]: list(r["centroid"]) for r in means}
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
@@ -493,13 +505,14 @@ def train_pq_codebooks(
     can't share one exploded frame)."""
     slices = _sub_slices(dim, m)
     unit = _unit(F.col(vec_col).cast("array<double>"))
-    seed_rows = (
+    seed_rows = bounded_collect(
         corpus.select(
             unit.alias("u"), F.md5(F.col(id_col).cast("string")).alias("__r")
         )
         .orderBy("__r")
-        .limit(ksub)
-        .collect()
+        .limit(ksub),
+        ksub,
+        "seed sample is limit(ksub)",
     )
     books = [
         [list(r["u"])[st - 1 : st - 1 + ln] for r in seed_rows]
@@ -537,7 +550,11 @@ def train_pq_codebooks(
             base.select(F.explode(F.array(*entries)).alias("e"))
             .select(F.struct("e.sub_id", "e.cluster_id").alias("__g"), F.col("e.sv").alias("sv"))
         )
-        means = group_centroids(exploded, "__g", "sv", dim=ln).collect()
+        means = bounded_collect(
+            group_centroids(exploded, "__g", "sv", dim=ln),
+            len(slices) * ksub,
+            "one row per (subvector, centroid) codebook entry",
+        )
         for r in means:
             books[r["__g"]["sub_id"]][r["__g"]["cluster_id"]] = list(r["centroid"])
     return books

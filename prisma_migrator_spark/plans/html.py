@@ -1,0 +1,95 @@
+"""HTML-extraction pipeline queries — the reference's
+fetchHTML → cheerio → save* path as engine stages.
+
+The synthesis half builds deterministic app-listing pages FROM the
+``documents`` fixture entirely JVM-side (``concat``/``collect_list``
+— no Python in the build), the extraction half parses them back with
+:mod:`prisma_migrator_spark.sources.html_extract` (stdlib
+``html.parser`` over ``mapInPandas``). Because the page content is
+derived from table columns, DuckDB can verify the full round trip by
+computing the expected entities STRAIGHT from the table — if the
+parser mis-nests one card or swallows one attribute, values mismatch
+at the gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.plans.registry import query
+from prisma_migrator_spark.sources.html_extract import extract_entities
+
+#: Docs per synthesized listing page.
+_PAGE_MOD = 50
+
+_HTML_CARDS_ORACLE = f"""
+SELECT doc_id % {_PAGE_MOD} AS page_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % {_PAGE_MOD}
+                               ORDER BY doc_id) - 1 AS INT) AS position,
+       source || '#' || CAST(doc_id AS VARCHAR) AS name,
+       '/apps/' || CAST(doc_id AS VARCHAR) AS handle,
+       CAST(LENGTH(text) AS VARCHAR) AS reviews
+FROM documents
+"""
+
+
+def synthesize_listing_pages(docs: DataFrame, page_mod: int = _PAGE_MOD) -> DataFrame:
+    """One HTML listing page per ``doc_id % page_mod`` bucket: an app
+    card per document (name/link/review-count mined from the row),
+    framed by promo-card and void-element noise the extractor must
+    skip. Pure JVM string build — a groupBy collect_list is the only
+    shuffle, and card order inside a page is pinned by sorting the
+    (doc_id, card) structs."""
+    card = F.concat(
+        F.lit('<div class="card app"><h3 class="name">'),
+        F.col("source"), F.lit("#"), F.col("doc_id"),
+        F.lit('</h3><a class="link" href="/apps/'), F.col("doc_id"),
+        F.lit('">view</a><span class="reviews">'),
+        F.length("text"),
+        F.lit("</span></div>"),
+    )
+    return (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(page_mod)).alias("page_id"),
+            F.struct(F.col("doc_id"), card.alias("card")).alias("__c"),
+        )
+        .groupBy("page_id")
+        .agg(
+            F.concat(
+                F.lit('<html><body><div class="listing">'
+                      '<div class="card promo"><h3 class="name">AD</h3></div>'),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list("__c")), lambda s: s["card"]
+                    ),
+                ),
+                F.lit('<img src="x"><br></div></body></html>'),
+            ).alias("html")
+        )
+    )
+
+
+@query("html_app_cards", oracle=_HTML_CARDS_ORACLE)
+def html_app_cards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip entity extraction: synthesize listing pages from
+    ``documents``, parse them back to (page, position, name, handle,
+    reviews) rows — the engine-side analog of the reference's
+    fetchHTML → cheerio mining → saveApps flow (src/utils/lib.ts:48-62,
+    136-146). The promo card and void-element noise must NOT produce
+    rows; the oracle recomputes every field from the table directly,
+    so the gate checks selector matching, document order, text
+    collapse, and attribute extraction end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = synthesize_listing_pages(docs)
+    cards = extract_entities(
+        pages,
+        "html",
+        "div.card.app",
+        {"name": "h3.name::text", "handle": "a.link@href",
+         "reviews": "span.reviews::text"},
+        id_col="page_id",
+    )
+    return cards.select("page_id", "position", "name", "handle", "reviews")

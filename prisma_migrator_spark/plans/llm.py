@@ -2839,3 +2839,84 @@ def png_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return parse_png_metadata(attach_png_payload(docs))
+
+
+_N_VIDEO_FRAMES = 8
+_SAMPLED_FRAMES = 4
+
+_VIDEO_FRAMES_ORACLE = f"""
+SELECT doc_id,
+       CAST((i * ({_N_VIDEO_FRAMES} - 1)) // ({_SAMPLED_FRAMES} - 1) AS INT)
+         AS frame_idx,
+       {_N_VIDEO_FRAMES} AS n_frames,
+       16 AS width, 16 AS height
+FROM documents, UNNEST(range({_SAMPLED_FRAMES})) AS t(i)
+"""
+
+
+@query("video_frames", oracle=_VIDEO_FRAMES_ORACLE)
+def video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video modality, container-level oracle: a spec-valid AVI
+    per document (RIFF hdrl/movi/idx1, raw-DIB frames), frame
+    sampling via the idx1 index, and the PARSED structure — sampled
+    frame indices, stream length, dimensions — checked against what
+    the synthesis recipe implies. Every value in the output exists
+    only because ``parse_avi`` really walked the container (a wrong
+    avih offset, a misread index entry, or a bad frame stride kills
+    the row count or the values). Pixel-level stats are the
+    rows-only companion ``video_frame_stats`` (DuckDB cannot decode
+    frames); pytest pins frame BYTES against the BMP synthesizer on
+    identical recipes."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_avi_payload,
+        sample_frames,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    vids = attach_avi_payload(docs, n_frames=_N_VIDEO_FRAMES)
+    frames = sample_frames(vids, n_frames=_SAMPLED_FRAMES)
+    return frames.select(
+        "doc_id", "frame_idx", "n_frames", "width", "height"
+    )
+
+
+@query("video_frame_stats")  # rows-only: frame pixel stats need the
+# Python decoder on both ends; pytest pins them against the BMP
+# parser on identical recipes (and the BMP parser against its spec)
+def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sampled-frame pixel statistics: sample AVI frames, emit
+    each as a standalone BMP, and run the UNCHANGED image stage
+    (``parse_bmp_metadata``) over them — the video pipeline reusing
+    the image pipeline wholesale, which is exactly how a real
+    frame-level quality filter is built. One row per (doc, sampled
+    frame) with per-channel means + BT.601 luma from real pixels."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_avi_payload,
+        parse_bmp_metadata,
+        sample_frames,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(
+        attach_avi_payload(docs, n_frames=_N_VIDEO_FRAMES),
+        n_frames=_SAMPLED_FRAMES,
+    )
+    keyed = frames.select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).alias("frame_key"),
+        F.col("doc_id"),
+        F.col("frame_idx"),
+        F.col("frame").alias("payload"),
+    )
+    stats = parse_bmp_metadata(
+        keyed.select(F.col("frame_key").alias("doc_id"), "payload")
+    ).select(
+        F.col("doc_id").alias("frame_key"),
+        "mean_r", "mean_g", "mean_b", "luma",
+    )
+    return (
+        keyed.select("frame_key", "doc_id", "frame_idx")
+        .join(stats, "frame_key")
+        .select("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b", "luma")
+    )

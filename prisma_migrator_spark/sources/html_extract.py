@@ -1,0 +1,239 @@
+"""HTML-column entity extraction — the engine-side analog of the
+reference's ``fetchHTML`` → cheerio → ``save*`` path.
+
+The reference fetches a page, loads it into a DOM
+(``cheerio.load(html)``, reference src/utils/lib.ts:48-62) and the
+pipeline mines typed entities from it before bulk-upserting them
+(the eight ``save*`` sinks, src/utils/lib.ts:96-279). This module is
+that parse/mine stage as a DataFrame operator: an HTML string column
+in, one typed row per matched element out — composable with
+:func:`prisma_migrator_spark.sources.http.fetch_urls` upstream and
+:func:`prisma_migrator_spark.writers.upsert.write_entity` downstream.
+
+Selector language (the cheerio subset the save-path idioms need):
+
+- ``tag``, ``.class``, ``#id``, compound ``tag.class.other#id``
+- descendant chains: ``div.card a.link`` (any-depth descent)
+- extraction suffix on LEAF selectors: ``::text`` (default — all
+  descendant text, whitespace-collapsed) or ``@attr`` (attribute
+  value, e.g. ``a.link@href``)
+
+Scale shape: parsing is per-row Python — exactly like the multimodal
+decode stages it runs as ``mapInPandas`` (one Arrow batch crossing
+per partition, parallelism = scan partitioning, ~100 TB-ready by
+partition count, not per-row RPC). Per-row fault isolation: malformed
+HTML yields zero rows for that document rather than failing the task
+(a billion-page crawl always contains tag soup). Pure stdlib
+``html.parser`` — no lxml/bs4 in the container, and none needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+
+#: Elements that never take a closing tag (HTML5 void elements) — the
+#: tree builder must not push them on the open stack or every
+#: following sibling nests inside them.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text_parts", "parent")
+
+    def __init__(self, tag: str, attrs: Mapping[str, str | None], parent):
+        self.tag = tag
+        self.attrs = dict(attrs)
+        self.children: list[_Node] = []
+        self.text_parts: list[str] = []
+        self.parent = parent
+
+    def text(self) -> str:
+        out: list[str] = []
+
+        def walk(n: _Node) -> None:
+            out.extend(n.text_parts)
+            for c in n.children:
+                walk(c)
+
+        walk(self)
+        return " ".join(" ".join(out).split())
+
+
+class _TreeBuilder(HTMLParser):
+    """Forgiving DOM builder: auto-closes void elements, tolerates
+    stray end tags and unclosed elements (everything still open at
+    EOF is implicitly closed) — the cheap subset of browser error
+    recovery that real-world tag soup needs."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {}, None)
+        self._cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs), self._cur)
+        self._cur.children.append(node)
+        if tag not in _VOID:
+            self._cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self._cur.children.append(_Node(tag, dict(attrs), self._cur))
+
+    def handle_endtag(self, tag):
+        n = self._cur
+        while n is not None and n.tag != tag:
+            n = n.parent
+        if n is not None and n.parent is not None:
+            self._cur = n.parent
+
+    def handle_data(self, data):
+        if data.strip():
+            self._cur.text_parts.append(data)
+
+
+def parse_html(html: str) -> _Node:
+    """Parse an HTML string into the module's lightweight DOM."""
+    b = _TreeBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+def _parse_step(step: str) -> tuple[str | None, list[str], str | None]:
+    """One selector step -> (tag, classes, id)."""
+    tag: str | None = None
+    classes: list[str] = []
+    ident: str | None = None
+    buf, mode = "", "tag"
+
+    def flush():
+        nonlocal tag, ident, buf
+        if not buf:
+            return
+        if mode == "tag":
+            tag = buf
+        elif mode == "class":
+            classes.append(buf)
+        else:
+            ident = buf
+        buf = ""
+
+    for ch in step:
+        if ch == ".":
+            flush()
+            mode = "class"
+        elif ch == "#":
+            flush()
+            mode = "id"
+        else:
+            buf += ch
+    flush()
+    return tag, classes, ident
+
+
+def _matches(n: _Node, tag, classes, ident) -> bool:
+    if tag and n.tag != tag:
+        return False
+    if ident and n.attrs.get("id") != ident:
+        return False
+    if classes:
+        have = (n.attrs.get("class") or "").split()
+        if any(c not in have for c in classes):
+            return False
+    return True
+
+
+def select(root: _Node, selector: str) -> list[_Node]:
+    """All nodes matching a descendant-chain selector, in document
+    order (cheerio's ``$(sel)`` over the subset grammar)."""
+    steps = [_parse_step(s) for s in selector.split() if s]
+    frontier = [root]
+    for tag, classes, ident in steps:
+        nxt: list[_Node] = []
+        seen: set[int] = set()
+
+        def walk(n: _Node) -> None:
+            for c in n.children:
+                if _matches(c, tag, classes, ident) and id(c) not in seen:
+                    seen.add(id(c))
+                    nxt.append(c)
+                walk(c)
+
+        for f in frontier:
+            walk(f)
+        frontier = nxt
+    return frontier
+
+
+def extract_one(html: str, root_selector: str, fields: Mapping[str, str]) -> list[dict]:
+    """Extract entity dicts from one HTML string: one dict per
+    ``root_selector`` match; each field is a relative selector with
+    an optional ``@attr`` / ``::text`` suffix, resolved against the
+    first match under the root (missing -> None)."""
+    doc = parse_html(html)
+    out = []
+    for card in select(doc, root_selector):
+        row: dict[str, str | None] = {}
+        for name, spec in fields.items():
+            attr = None
+            if "@" in spec:
+                spec, attr = spec.rsplit("@", 1)
+            if spec.endswith("::text"):
+                spec = spec[: -len("::text")]
+            spec = spec.strip()
+            target = select(card, spec)[:1] if spec else [card]
+            if not target:
+                row[name] = None
+            elif attr:
+                row[name] = target[0].attrs.get(attr)
+            else:
+                row[name] = target[0].text()
+        out.append(row)
+    return out
+
+
+def extract_entities(
+    df: DataFrame,
+    html_col: str,
+    root_selector: str,
+    fields: Mapping[str, str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML column -> typed entity rows: one output row per
+    ``root_selector`` match per input row, with ``id_col`` carried
+    through, ``position`` = the match's document order (the
+    reference's category-position idiom, src/utils/lib.ts:263-279),
+    and one string column per ``fields`` entry. Malformed or
+    unparseable HTML yields zero rows for that id — per-row fault
+    isolation, the stage never dies on tag soup."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, position int, "
+        + ", ".join(f"{name} string" for name in fields)
+    )
+    names = list(fields)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, html in zip(pdf[id_col], pdf[html_col]):
+                try:
+                    ents = extract_one(str(html or ""), root_selector, fields)
+                except Exception:
+                    continue
+                for pos, e in enumerate(ents):
+                    rows.append((int(i), pos, *(e[n] for n in names)))
+            cols = list(zip(*rows)) if rows else [[]] * (2 + len(names))
+            data = {id_col: pd.array(cols[0], dtype="int64"),
+                    "position": pd.array(cols[1], dtype="int32")}
+            for j, n in enumerate(names):
+                data[n] = pd.array(cols[2 + j], dtype="object")
+            yield pd.DataFrame(data)
+
+    return df.select(id_col, html_col).mapInPandas(run, schema)

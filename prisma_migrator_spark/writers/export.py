@@ -22,6 +22,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
 
 def write_jsonl_shards(
     df: DataFrame,
@@ -68,9 +70,11 @@ def write_jsonl_sized(
     it is the generic "give me N-byte JSONL files" exporter.
     """
     row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-    total = df.agg(
-        F.sum(F.octet_length(row_json) + F.lit(1)).alias("b")
-    ).collect()[0]["b"]
+    total = bounded_collect(
+        df.agg(F.sum(F.octet_length(row_json) + F.lit(1)).alias("b")),
+        1,
+        "global aggregate is one row",
+    )[0]["b"]
     n_files = max(1, math.ceil((total or 0) / target_bytes))
     df.repartition(n_files).write.mode("overwrite").json(path)
     return n_files

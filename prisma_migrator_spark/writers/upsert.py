@@ -40,6 +40,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
 from prisma_migrator_spark.operators.dedup import latest_per_key
 from prisma_migrator_spark.operators.joins import anti_join
 
@@ -258,7 +260,7 @@ def upsert_parquet_cow(
             ]
         )
         rng = spark.createDataFrame(ranged, rng_schema)
-        hits = (
+        hits = bounded_collect(
             batch.select(F.col(prune_key).alias("__k"))
             .distinct()
             .join(
@@ -266,8 +268,9 @@ def upsert_parquet_cow(
                 (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
             )
             .select("__file")
-            .distinct()
-            .collect()
+            .distinct(),
+            len(files),
+            "one row per data file in the table footprint",
         )
         rewrite.update(r["__file"] for r in hits)
 
@@ -343,7 +346,15 @@ def upsert_partitioned(
         batch.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return {"path": path, "mode": "create", "partitions": "all"}
 
-    parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    parts = [
+        r[0]
+        for r in bounded_collect(
+            batch.select(partition_col).distinct(),
+            100_000,
+            "partition-pruned MERGE presumes the batch touches a bounded "
+            "partition set (else full-table MERGE is the right strategy)",
+        )
+    ]
     existing = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
     result = _merge(existing, batch.select(*existing.columns), keys, update_cols)
     # Spark refuses to overwrite a path its plan reads from; materialize
@@ -409,7 +420,7 @@ def delete_keys_cow(
             ]
         )
         rng = spark.createDataFrame(ranged, rng_schema)
-        hits = (
+        hits = bounded_collect(
             doomed.select(F.col(prune_key).alias("__k"))
             .distinct()
             .join(
@@ -417,8 +428,9 @@ def delete_keys_cow(
                 (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
             )
             .select("__file")
-            .distinct()
-            .collect()
+            .distinct(),
+            len(files),
+            "one row per data file in the table footprint",
         )
         rewrite.update(r["__file"] for r in hits)
 

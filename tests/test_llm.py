@@ -2010,3 +2010,138 @@ def test_png_parse_agrees_with_bmp_and_defilters_correctly(spark):
     )
     nm = {r.doc_id: r for r in parse_png_metadata(bad).collect()}
     assert nm[200].width is None and nm[201].width is None
+
+
+def test_avi_frame_sampling_pins_against_bmp_recipes(spark):
+    """The video modality is REAL end-to-end: sampled AVI frames must
+    be byte-identical to the BMPs built from the same (doc, seed,
+    frame) recipe, the sampled indices must be the even spacing over
+    the stream length, and the unchanged image stage must decode the
+    emitted frames to the same stats as the standalone BMPs."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_avi_payload,
+        parse_bmp_metadata,
+        sample_frames,
+        synthesize_bmp,
+    )
+
+    rows = [Row(doc_id=1, text="first clip"), Row(doc_id=2, text="second clip")]
+    vids = attach_avi_payload(spark.createDataFrame(rows), n_frames=8)
+    frames = {(r.doc_id, r.frame_idx): r
+              for r in sample_frames(vids, n_frames=4).collect()}
+    assert sorted({k[1] for k in frames}) == [0, 2, 4, 7]  # even spacing
+    assert len(frames) == 8  # 2 docs x 4 sampled frames
+    texts = {1: "first clip", 2: "second clip"}
+    for (doc, fi), r in frames.items():
+        assert (r.n_frames, r.width, r.height) == (8, 16, 16)
+        expected = synthesize_bmp(doc, f"{texts[doc]}|f{fi}", 16, 16)
+        assert bytes(r.frame) == expected, (doc, fi)
+    # the unchanged image stage decodes video frames
+    fdf = sample_frames(vids, n_frames=4).select(
+        (F.col("doc_id") * 100 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("payload"),
+    )
+    got = {r.doc_id: r for r in parse_bmp_metadata(fdf).collect()}
+    ref = {r.doc_id: r for r in parse_bmp_metadata(spark.createDataFrame(
+        [Row(doc_id=d * 100 + fi,
+             payload=bytearray(synthesize_bmp(d, f"{texts[d]}|f{fi}", 16, 16)))
+         for (d, fi) in frames]
+    )).collect()}
+    assert set(got) == set(ref)
+    for k in got:
+        assert (got[k].mean_r, got[k].mean_g, got[k].mean_b, got[k].luma) == (
+            ref[k].mean_r, ref[k].mean_g, ref[k].mean_b, ref[k].luma), k
+
+
+def test_avi_fault_isolation_and_index_fallback(spark):
+    """Malformed/truncated AVI payloads emit ZERO frame rows (never a
+    task failure); a lying idx1 index falls back to the movi walk and
+    still recovers every frame."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        parse_avi,
+        sample_frames,
+        synthesize_avi,
+    )
+
+    good = synthesize_avi(1, "clip", 16, 16, 8)
+    # corrupt idx1's first offset: parser must recover via movi walk
+    bad_idx = bytearray(good)
+    struct.pack_into("<I", bad_idx, good.rfind(b"idx1") + 8 + 8, 999_999)
+    assert parse_avi(bytes(bad_idx))[3] == parse_avi(good)[3]
+    rows = [
+        Row(doc_id=1, payload=bytearray(good)),
+        Row(doc_id=2, payload=bytearray(good[:-40])),     # truncated
+        Row(doc_id=3, payload=bytearray(b"not an avi")),  # garbage
+        Row(doc_id=4, payload=bytearray(bad_idx)),        # bad index
+    ]
+    got = sample_frames(spark.createDataFrame(rows), n_frames=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 4}  # 2 and 3 emit nothing, job survives
+    assert len(by_doc[1]) == len(by_doc[4]) == 4
+
+
+def test_html_extract_entities_pipeline(spark, tmp_path):
+    """The fetchHTML→cheerio→save* analog end-to-end: scripted fetch →
+    entity extraction → typed upsert sink, with retry, tag soup, and
+    promo-noise filtering exercised along the way."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.sources.html_extract import extract_entities
+    from prisma_migrator_spark.sources.http import (
+        RetryPolicy,
+        fetch_urls,
+        fetched_ok,
+        scripted_transport,
+    )
+    from prisma_migrator_spark.writers.upsert import write_entity
+
+    page = """
+    <html><body><div class="listing">
+      <div class="card promo"><h3 class="name">AD</h3></div>
+      <div class="card app"><h3 class="name">Alpha <b>App</b></h3>
+        <a class="link" href="/apps/alpha">v</a><span class="reviews">12</span></div>
+      <div class="card app"><h3 class="name">Beta</h3>
+        <a class="link" href="/apps/beta">v</a></div>
+      <img src="x"><br>
+    </div></body></html>"""
+    soup = '<div class="card app"><h3 class="name">Open'
+    transport = scripted_transport({
+        "http://s/1": [(429, ""), (200, page)],   # retry then succeed
+        "http://s/2": [(200, soup)],              # tag soup still parses
+        "http://s/3": [(404, "")],                # dropped by fetched_ok
+    })
+    urls = spark.createDataFrame(
+        [Row(url=f"http://s/{i}") for i in (1, 2, 3)]
+    ).coalesce(1)  # one worker: the scripted transport is stateful
+    fetched = fetched_ok(fetch_urls(urls, transport, RetryPolicy()))
+    pages = fetched.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("body")
+    )
+    ents = extract_entities(
+        pages, "body", "div.card.app",
+        {"name": "h3.name::text", "handle": "a.link@href",
+         "reviews": "span.reviews::text"},
+    )
+    rows = {(r.name, r.handle, r.reviews, r.position) for r in ents.collect()}
+    assert rows == {
+        ("Alpha App", "/apps/alpha", "12", 0),
+        ("Beta", "/apps/beta", None, 1),
+        ("Open", None, None, 0),
+    }
+    # sink: the save* analog — idempotent upsert keyed on handle
+    apps = ents.where(F.col("handle").isNotNull()).select(
+        "handle", "name", "reviews"
+    )
+    write_entity(spark, apps, str(tmp_path), "App", ["handle"])
+    write_entity(spark, apps, str(tmp_path), "App", ["handle"])  # rerun
+    saved = spark.read.parquet(str(tmp_path / "App.parquet"))
+    assert saved.count() == 2
+    assert {r.handle for r in saved.collect()} == {"/apps/alpha", "/apps/beta"}

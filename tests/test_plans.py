@@ -265,6 +265,35 @@ def test_no_rowwise_python_udf_registry_wide(spark):
     assert not offenders, offenders
 
 
+def test_no_bare_collect_in_package():
+    """Driver-state collection is a CONTRACT, not a convention: every
+    `.collect()` in package code must route through
+    `operators.driver_state.bounded_collect`, which takes an explicit
+    row bound and a why-string and raises past the bound. A bare
+    `.collect()` is either unbounded driver materialization or an
+    undocumented bound — both banned (VERDICT r4 item 7)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "prisma_migrator_spark"
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path.name == "driver_state.py":  # the helper itself
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if ".collect()" in line and not line.lstrip().startswith("#"):
+                offenders.append(f"{path.relative_to(pkg.parent)}:{i}")
+    assert not offenders, offenders
+
+
+def test_bounded_collect_raises_past_bound(spark):
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    df = spark.range(10)
+    assert len(bounded_collect(df, 10, "ten rows")) == 10
+    with pytest.raises(ValueError, match="ten rows is a lie"):
+        bounded_collect(df, 9, "ten rows is a lie")
+
+
 def test_bloom_filter_fires_in_headline_semi_join_at_scale(spark):
     """The headline `semi_join_orders` shape at 100 TB: the filtered
     customer key set eventually outgrows the broadcast threshold, the

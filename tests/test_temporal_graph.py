@@ -123,6 +123,79 @@ def test_pagerank_mass_conservation_and_symmetry(spark):
     assert len(leaf_vals) == 1
 
 
+def test_pagerank_long_run_checkpoint_cadence(spark):
+    """checkpoint_every must not change values: a 9-iteration run with
+    per-3 checkpoints equals one with no mid-run checkpoints at all."""
+    from prisma_migrator_spark.plans.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]]
+    )
+    with_ckpt = {r.node: r.rank
+                 for r in pagerank(edges, n_iter=9, checkpoint_every=3).collect()}
+    without = {r.node: r.rank
+               for r in pagerank(edges, n_iter=9, checkpoint_every=99).collect()}
+    assert with_ckpt == without
+    assert sum(with_ckpt.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_triangles_capped_subgraph_semantics(spark):
+    """The cap drops exactly the vertices above it: triangles through
+    a hub disappear, triangles among low-degree vertices survive, and
+    the dropped-mass report matches hand counts."""
+    from prisma_migrator_spark.plans.graph import triangle_counts_capped
+
+    # K4 on {1,2,3,4} (deg 4 each once the hub attaches) + hub 9
+    # joined to the K4 AND to leaves 7,8 (deg 6) -> cap=4 drops only
+    # the hub; the K4's 4 triangles survive, hub triangles vanish
+    quad = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    hub = [(a, 9) for a in (1, 2, 3, 4, 7, 8)]
+    und = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in quad + hub]
+        + [Row(src=b, dst=a) for a, b in quad + hub]
+    ).localCheckpoint()
+    counts, dropped = triangle_counts_capped(und, max_degree=4)
+    got = {r.part: r.n_triangles for r in counts.collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # K4: each corner in 3
+    rep = dropped.collect()[0]
+    assert (rep.n_vertices, rep.n_dropped_vertices) == (7, 1)
+    assert (rep.n_edges, rep.n_edges_kept) == (12, 6)
+
+
+def test_triangles_sampled_estimator_error_bound(spark):
+    """Doulion estimate on a triangle-rich graph: deterministic md5
+    coin at keep=60% must land within 35% of the exact count (p³=0.216
+    of triangles survive; the graph has 2600+ so concentration is
+    tight). Also pins the exact count via the oriented enumerator."""
+    from prisma_migrator_spark.plans.graph import (
+        _oriented_triangle_corners,
+        triangle_estimate_sampled,
+    )
+
+    # three overlapping cliques: K12 + K12 + K10 sharing some vertices
+    cliques = [list(range(0, 12)), list(range(8, 20)), list(range(16, 26))]
+    pairs = set()
+    for c in cliques:
+        pairs |= {(a, b) for a in c for b in c if a < b}
+    exact = sum(n * (n - 1) * (n - 2) // 6 for n in (12, 12, 10))
+    # shared vertices {8..11} and {16..19} add no cross-clique edges
+    # beyond the unions above, but overlapping cliques double-count
+    # triangles wholly inside the overlap: subtract C(4,3) per overlap
+    exact -= 2 * 4
+    pdf = spark.createDataFrame([Row(pa=a, pb=b) for a, b in sorted(pairs)])
+    und = pdf.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pdf.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint()
+    n_exact = _oriented_triangle_corners(und).count() // 3
+    assert n_exact == exact, (n_exact, exact)
+    est = triangle_estimate_sampled(pdf, keep_pct=60).collect()[0]
+    rel_err = abs(est.est_triangles - exact) / exact
+    assert rel_err <= 0.35, (est.est_triangles, exact, rel_err)
+
+
 def test_profiler_counts_nulls_and_distincts(spark, tmp_path):
     from prisma_migrator_spark.plans.profiling import profile_lineitem_numeric_q
 

@@ -63,6 +63,16 @@ DEDUP_FAMILY = [
     "embedding_near_dup_lsh",
 ]
 
+# The bounded graph family (r4's two measured scale failures, reworked
+# r5): exact `copurchase_triangles` stays the oracle form — its Σ deg²
+# wedge mass is physics and DNFs at sf10 on one box — these are the
+# registered scale paths.
+GRAPH_FAMILY = [
+    "part_copurchase_pagerank",
+    "copurchase_triangles_capped",
+    "copurchase_triangles_sampled",
+]
+
 
 def run(sf_dir: str, names: list[str]) -> dict:
     spark = get_spark("pms-scale-bench")
