@@ -19,6 +19,70 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Round-5 driver window rotation (VERDICT r4 item 4): the driver gates
+# the FIRST 50 registry entries each round; 50 oracle-backed queries
+# had never received a driver CORRECTNESS row after four rounds. This
+# window leads with the 39 never-windowed oracle-backed queries, then
+# 11 previously-green representatives — one per major family, biased
+# toward queries whose plans changed most recently
+# (embedding_near_dup_lsh: stop-band mask fix; pack_stream_512:
+# bounded offset window). Everything past the window still runs in
+# the replica gate (tools/drive_driver.py, 151/151).
+WINDOW_R5 = [
+    # -- never-windowed, oracle-backed (39) --
+    "retention_cohorts_daily",
+    "events_gapfill_6h",
+    "region_counts_unpivot",
+    "revenue_cube",
+    "orders_above_cust_avg",
+    "order_pctrank_by_priority",
+    "order_price_histogram",
+    "ship_lag_percentiles",
+    "supplier_nation_share",
+    "order_cluster_sample",
+    "events_hopping_1h_15m",
+    "event_burst_dedup",
+    "copurchase_triangles_capped",
+    "copurchase_cap_report",
+    "copurchase_triangles_sampled",
+    "basket_lift_pairs",
+    "html_app_cards",
+    "stratified_sample_k",
+    "corpus_drift_terms",
+    "unigram_logprob_score",
+    "boilerplate_frac",
+    "negative_samples",
+    "corpus_split",
+    "corpus_shuffle",
+    "token_budget_selection",
+    "length_bucketed_batches",
+    "quality_model_score",
+    "weighted_sample_100",
+    "doc_containment_pairs",
+    "corpus_mixture_report",
+    "char_entropy_quality",
+    "video_frames",
+    "term_postings",
+    "lineitem_key_skew_report",
+    "part_price_changes",
+    "events_decayed_score",
+    "event_value_outliers",
+    "user_value_ses",
+    "part_running_balance",
+    # -- previously-green family representatives (11) --
+    "flagship_popularity",
+    "category_difficulty",
+    "apps_by_category",
+    "events_json_props",
+    "minhash_lsh_pairs",
+    "embedding_near_dup_lsh",
+    "multimodal_meta",
+    "decontaminate_eval",
+    "pack_stream_512",
+    "asof_last_order",
+    "incremental_sessions",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (popularity ranking) on sf0.001."""
@@ -26,8 +90,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2,
+    window-rotated so never-gated queries lead (see WINDOW_R5)."""
+    missing = [n for n in WINDOW_R5 if n not in QUERIES]
+    assert not missing, f"WINDOW_R5 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R5}
+    rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
+    return rotated
 
 
 def oracle_sql() -> dict[str, str]:
