@@ -1,20 +1,29 @@
 """Upsert-path benchmark: full rewrite vs file-granularity CoW vs
-partition-pruned, on an sf0.1 lineitem-derived keyed table.
+partition-pruned, on a lineitem-derived keyed table at a chosen SF.
 
-Scenario: a 600k-row table keyed by l_orderkey (clustered — the table
-is written sorted by key, the natural layout of monotonically
-appended ids), split across 32 files / date partitions; a small batch
-(0.2% of keys, clustered in one key range / one partition) merges in.
-The three paths produce identical table contents; what differs is how
-much of the table each one rewrites:
+Scenario: an order-keyed table (clustered — the table is written
+sorted by key, the natural layout of monotonically appended ids),
+split across files sized ~5k rows (file count scales with the base,
+32 at sf0.1) / date partitions; a FIXED-SIZE batch (~300 keys,
+clustered in one key range / one partition) merges in. The three
+paths produce identical table contents; what differs is how much of
+the table each one rewrites:
 
 - ``upsert_parquet``       reads + rewrites all N files
 - ``upsert_parquet_cow``   rewrites only files whose footer key range
                            intersects the batch (expected: 1-2)
 - ``upsert_partitioned``   rewrites only the touched hive partitions
 
-Run: ``python tools/upsert_bench.py``; prints one JSON line. Results
-recorded in PERF.md.
+The batch is fixed-size ON PURPOSE (VERDICT r4 item 8): the claim
+under test is that CoW/partitioned rewrite cost is proportional to
+TOUCHED files/partitions, not base size — so across sf0.1/sf1/sf10
+``full_rewrite_s`` should grow ~linearly while ``cow_s`` and
+``partitioned_s`` stay ~flat. Run:
+
+    python tools/upsert_bench.py [sf_dir]
+
+prints one JSON line per run; curves recorded in SCALE_r{N}.json /
+PERF.md.
 """
 
 from __future__ import annotations
@@ -39,12 +48,15 @@ from prisma_migrator_spark.writers.upsert import (  # noqa: E402
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROWS_PER_FILE = 5_000
+BATCH_KEYS = 300
 
 
 def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
     spark = get_spark("pms-upsert-bench")
     base = (
-        load_table(spark, SF_DIR, "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("total"),
@@ -53,20 +65,31 @@ def main() -> None:
         .withColumn("part_month", F.date_format("last_ship", "yyyy-MM"))
     )
     n_rows = base.count()
-    # batch: 0.2% of keys from one narrow key range, values bumped
-    lo, hi = 1, int(n_rows * 0.002) * 4  # orderkeys are sparse (x4 step)
-    batch = base.where(F.col("l_orderkey").between(lo, hi)).withColumn(
+    n_files = max(32, n_rows // ROWS_PER_FILE)
+    # batch: the BATCH_KEYS smallest keys (one narrow key range),
+    # values bumped — fixed-size regardless of SF so touched-files
+    # stays ~constant while the base grows 10x per decade. The
+    # 300-row limit+collect is driver-bounded by construction.
+    hi = max(
+        r[0]
+        for r in base.select("l_orderkey")
+        .orderBy("l_orderkey")
+        .limit(BATCH_KEYS)
+        .collect()
+    )
+    batch = base.where(F.col("l_orderkey") <= hi).withColumn(
         "total", F.col("total") + 1.0
     )
     n_batch = batch.count()
 
     work = tempfile.mkdtemp(prefix="pms_upsert_bench_")
-    out = {"rows": n_rows, "batch": n_batch}
+    out = {"sf_dir": sf_dir, "rows": n_rows, "batch": n_batch,
+           "files": n_files}
     try:
-        # flat table, clustered by key, 32 files
+        # flat table, clustered by key, ~5k rows/file
         flat = os.path.join(work, "flat.parquet")
         (
-            base.repartitionByRange(32, "l_orderkey")
+            base.repartitionByRange(n_files, "l_orderkey")
             .sortWithinPartitions("l_orderkey")
             .write.parquet(flat)
         )
