@@ -6,20 +6,20 @@ typed struct, and decode/feature-extraction runs as Arrow-batched
 Pandas UDFs via ``mapInPandas`` — Python touches each batch once,
 everything else stays columnar.
 
-Four modalities run FULLY REAL bytes end-to-end, stdlib-only:
+Five modalities run FULLY REAL bytes end-to-end, stdlib-only:
 WAV/RIFF audio (synthesis + chunk-walk parse + RMS), 24-bit BMP
 images (synthesis + header/pixel parse + nearest-neighbor resize),
 truecolor PNG (synthesis via zlib/DEFLATE + chunk-walk with CRC
 verification + scanline defiltering for all five standard filter
-types), and AVI video (multi-frame RIFF container: hdrl/strl header
+types), AVI video (multi-frame RIFF container: hdrl/strl header
 parse, idx1-indexed frame location with movi-walk fallback, real
-frame sampling re-emitting each frame as a decodable BMP) — each
-pinned against an independent reference in pytest. The one format
-that genuinely needs an external codec (JPEG's DCT) raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic byte-level stand-in; the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is identical either way,
-so swapping the fake for PIL is a one-function change.
+frame sampling re-emitting each frame as a decodable BMP), and
+baseline JPEG (:mod:`prisma_migrator_spark.llm.jpeg` — Annex-K
+tables, canonical Huffman entropy coding, float DCT both directions)
+— each pinned against an independent reference in pytest. The
+format-generic stages (:func:`decode_image`, :func:`resize_images`,
+:func:`extract_features`) sniff magic bytes and dispatch to the real
+per-format decoders; there is no ``fake=True`` stand-in left.
 """
 
 from __future__ import annotations
@@ -49,24 +49,38 @@ def attach_binary_payload(
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """STUB: real implementation requires an image codec (PIL/turbojpeg),
-    not installed here. ``fake=True`` → deterministic byte histogram."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image codec; not available in this "
-            "container — pass fake=True for the deterministic stand-in"
-        )
-    return _byte_features(payload)
+def image_pixels(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Format-generic REAL image decode: sniff the magic bytes and
+    dispatch to the matching stdlib decoder — BMP (``BM``), PNG
+    (``\\x89PNG``), baseline JPEG (``\\xff\\xd8``). Returns
+    ``(width, height, top-down rows of (r, g, b))``; raises
+    ``ValueError`` for unknown or malformed payloads — exactly what a
+    codec library does, so callers NULL-isolate per row."""
+    if payload[:2] == b"BM":
+        return bmp_pixels(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from prisma_migrator_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unknown image format (not BMP/PNG/JPEG)")
 
 
-def _byte_features(payload: bytes, n: int = 8) -> list[float]:
-    """Deterministic fake feature vector: n-bin byte histogram,
-    normalized. Stands in for CNN features / mel spectrograms."""
-    bins = [0] * n
-    for b in payload:
-        bins[b % n] += 1
-    total = float(len(payload)) or 1.0
+def decode_image(payload: bytes, n_bins: int = 8) -> list[float]:
+    """REAL image feature extraction: decode the payload (any of the
+    three real formats) and return an ``n_bins``-bin normalized
+    BT.601-luma histogram of the actual pixels — the deterministic
+    stand-in for CNN embeddings with a real decode underneath.
+    Raises ``ValueError`` on non-image payloads."""
+    width, height, rows = image_pixels(payload)
+    bins = [0] * n_bins
+    for row in rows:
+        for r, g, b in row:
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            idx = int(luma * n_bins / 256.0)
+            bins[idx if idx < n_bins else n_bins - 1] += 1
+    total = float(width * height) or 1.0
     return [c / total for c in bins]
 
 
@@ -74,39 +88,40 @@ def resize_images(
     df: DataFrame,
     width: int = 64,
     height: int = 64,
-    fake: bool = True,
 ) -> DataFrame:
-    """Arrow-batched image resize over the binary payload
-    (``mapInPandas``). The fake path emits a deterministic payload —
-    first ``width*height`` bytes cycled — standing in for a real
-    resampler, so the schema/batch plumbing (what actually matters on
-    Spark's side) is exercised end-to-end. Real codec = replace
-    ``_fake_resize`` with PIL, nothing else changes."""
+    """Arrow-batched REAL image resize over the binary payload
+    (``mapInPandas``): decode any supported format (BMP/PNG/JPEG),
+    nearest-neighbor resample, re-emit as 24-bit BMP — the thumbnail
+    stage of an image pipeline, format-normalizing on the way out.
+    Undecodable payloads yield a NULL-payload row (fault isolation),
+    never a task failure."""
     import pandas as pd
 
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires an image codec; not available in this "
-            "container — pass fake=True for the deterministic stand-in"
-        )
-    n = width * height
-
-    def _fake_resize(p: bytes) -> bytes:
-        if not p:
-            return bytes(n)
-        reps = (n // len(p)) + 1
-        return (p * reps)[:n]
-
     schema = "doc_id bigint, payload binary, width int, height int"
+
+    def _resize_one(p: bytes) -> bytes | None:
+        try:
+            src_w, src_h, rows = image_pixels(bytes(p))
+        except Exception:
+            return None
+        pad = (-(width * 3)) % 4
+        out_rows = []
+        for oy in range(height - 1, -1, -1):  # BMP is bottom-up
+            sy = oy * src_h // height
+            line = bytearray()
+            for ox in range(width):
+                r, g, b = rows[sy][ox * src_w // width]
+                line += bytes((b, g, r))
+            line += b"\x00" * pad
+            out_rows.append(bytes(line))
+        return bmp_wrap(b"".join(out_rows), width, height)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"].map(
-                        lambda p: _fake_resize(bytes(p))
-                    ),
+                    "payload": pdf["payload"].map(_resize_one),
                     "width": width,
                     "height": height,
                 }
@@ -117,13 +132,19 @@ def resize_images(
 
 def extract_features(
     df: DataFrame,
-    fake: bool = True,
-    batch_features: int = 8,
+    n_bins: int = 8,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload
+    """Arrow-batched REAL feature extraction over the binary payload
     (``mapInPandas``): the scale-path shape for any decode step.
-    Batches stream through Python; nothing driver-side."""
+    Batches stream through Python; nothing driver-side. Non-image
+    payloads yield NULL features (fault isolation)."""
     import pandas as pd
+
+    def _feat(p: bytes) -> list[float] | None:
+        try:
+            return decode_image(bytes(p), n_bins=n_bins)
+        except Exception:
+            return None
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -131,9 +152,7 @@ def extract_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "features": pdf["payload"].map(
-                        lambda p: decode_image(bytes(p), fake=fake)
-                    ),
+                    "features": pdf["payload"].map(_feat),
                 }
             )
             yield out
@@ -493,6 +512,39 @@ def resize_bmp_payloads(
     return with_payload.mapInPandas(run, f"{id_col} bigint, payload binary")
 
 
+def bmp_pixels(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a 24-bit uncompressed BMP to ``(width, height, top-down
+    rows of (r, g, b))`` — the pixel-level sibling of
+    :func:`parse_bmp_metadata` (which only needs channel sums), used
+    by the format-generic :func:`image_pixels` dispatch. Raises
+    ``ValueError`` on anything out of scope."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (_, _, _, offset) = struct.unpack("<IHHI", b[2:14])
+    hdr_size, width, height = struct.unpack("<Iii", b[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (width * 3 + 3) & ~3
+    if len(b) < offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for y in range(height):
+        sy = y if top_down else height - 1 - y
+        row_off = offset + sy * stride
+        line = b[row_off : row_off + width * 3]
+        rows.append(
+            [(line[i + 2], line[i + 1], line[i]) for i in range(0, width * 3, 3)]
+        )
+    return width, height, rows
+
+
 # --- PNG: second REAL image format (stdlib zlib — no codec) -----------
 
 
@@ -555,94 +607,230 @@ def attach_png_payload(
     )
 
 
-def parse_png_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL PNG decode, stdlib-only: chunk walk (length/tag/CRC
-    framing, CRC verified), IHDR parse, multi-IDAT zlib inflate, and
-    scanline DEFILTERING for the five standard filter types (None,
-    Sub, Up, Average, Paeth — encoders routinely mix these per row),
-    then per-channel means + BT.601 luma from the recovered pixels.
-    Same output schema as :func:`parse_bmp_metadata` (``BMP_META_SCHEMA``),
-    so downstream stages are format-agnostic — exactly how a real
-    multi-format decode stage presents. Malformed payloads (bad
-    magic, CRC mismatch, truncated IDAT, unsupported color
-    type/depth) yield NULL-metadata rows, never task failures.
-    Scope: 8-bit truecolor (color type 2) and RGBA (6, alpha ignored
-    in the means), non-interlaced."""
+def _png_defiltered(b: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Shared PNG pixel recovery: chunk walk (length/tag/CRC framing,
+    CRC verified), IHDR parse, multi-IDAT zlib inflate, and scanline
+    DEFILTERING for the five standard filter types (None, Sub, Up,
+    Average, Paeth — encoders routinely mix these per row). Returns
+    ``(width, height, channels, top-down defiltered scanlines)``;
+    raises ``ValueError`` on bad magic, CRC mismatch, truncated IDAT,
+    or unsupported color type/depth. Scope: 8-bit truecolor (color
+    type 2) and RGBA (6), non-interlaced."""
     import struct
     import zlib
 
-    def parse_one(b: bytes):
-        if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
-            return None
-        off = 8
-        width = height = None
-        channels = 0
-        idat = bytearray()
-        while off + 8 <= len(b):
-            (ln,) = struct.unpack(">I", b[off : off + 4])
-            tag = b[off + 4 : off + 8]
-            body = b[off + 8 : off + 8 + ln]
-            if len(body) < ln or off + 12 + ln > len(b):
-                return None
-            (crc,) = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])
-            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-                return None
-            if tag == b"IHDR":
-                width, height, depth, ctype, comp, filt, interlace = (
-                    struct.unpack(">IIBBBBB", body)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    off = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while off + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[off : off + 4])
+        tag = b[off + 4 : off + 8]
+        body = b[off + 8 : off + 8 + ln]
+        if len(body) < ln or off + 12 + ln > len(b):
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    if not width or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("short pixel data")
+    lines: list[bytes] = []
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    prev[i] if pb <= pc else c
                 )
-                if depth != 8 or ctype not in (2, 6) or interlace != 0:
-                    return None
-                channels = 3 if ctype == 2 else 4
-            elif tag == b"IDAT":
-                idat += body
-            elif tag == b"IEND":
-                break
-            off += 12 + ln
-        if not width or not idat:
-            return None
-        raw = zlib.decompress(bytes(idat))
-        stride = width * channels
-        if len(raw) < (stride + 1) * height:
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        prev = bytes(line)
+        lines.append(prev)
+    return width, height, channels, lines
+
+
+def png_pixels(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a PNG to ``(width, height, top-down rows of (r, g, b))``
+    (alpha dropped for RGBA) — the pixel-level view over
+    :func:`_png_defiltered` used by :func:`image_pixels`."""
+    width, height, channels, lines = _png_defiltered(b)
+    rows = [
+        [
+            (line[i], line[i + 1], line[i + 2])
+            for i in range(0, width * channels, channels)
+        ]
+        for line in lines
+    ]
+    return width, height, rows
+
+
+def parse_png_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode, stdlib-only (see :func:`_png_defiltered` for
+    the recovery pipeline), then per-channel means + BT.601 luma from
+    the recovered pixels. Same output schema as
+    :func:`parse_bmp_metadata` (``BMP_META_SCHEMA``), so downstream
+    stages are format-agnostic — exactly how a real multi-format
+    decode stage presents. Malformed payloads (bad magic, CRC
+    mismatch, truncated IDAT, unsupported color type/depth) yield
+    NULL-metadata rows, never task failures."""
+
+    def parse_one(b: bytes):
+        try:
+            width, height, channels, lines = _png_defiltered(b)
+        except Exception:
             return None
         sr = sg = sb = 0
-        prev = bytes(stride)
-        pos = 0
-        for _y in range(height):
-            ftype = raw[pos]
-            line = bytearray(raw[pos + 1 : pos + 1 + stride])
-            pos += 1 + stride
-            if ftype == 1:  # Sub
-                for i in range(channels, stride):
-                    line[i] = (line[i] + line[i - channels]) & 0xFF
-            elif ftype == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    a = line[i - channels] if i >= channels else 0
-                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    a = line[i - channels] if i >= channels else 0
-                    c = prev[i - channels] if i >= channels else 0
-                    p = a + prev[i] - c
-                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (
-                        prev[i] if pb <= pc else c
-                    )
-                    line[i] = (line[i] + pred) & 0xFF
-            elif ftype != 0:
-                return None
+        for line in lines:
             sr += sum(line[0::channels])
             sg += sum(line[1::channels])
             sb += sum(line[2::channels])
-            prev = bytes(line)
         n = width * height
         mr, mg, mb = sr / n, sg / n, sb / n
         luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
         return (
             width, height, 8 * channels,
+            round(mr, 6), round(mg, 6), round(mb, 6), round(luma, 6),
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    meta = parse_one(bytes(payload))
+                except Exception:
+                    meta = None
+                rows.append((int(i), *(meta or (None,) * 7)))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols[0], dtype="int64"),
+                    "width": pd.array(cols[1], dtype="Int32"),
+                    "height": pd.array(cols[2], dtype="Int32"),
+                    "bpp": pd.array(cols[3], dtype="Int32"),
+                    "mean_r": pd.array(cols[4], dtype="Float64"),
+                    "mean_g": pd.array(cols[5], dtype="Float64"),
+                    "mean_b": pd.array(cols[6], dtype="Float64"),
+                    "luma": pd.array(cols[7], dtype="Float64"),
+                }
+            )
+
+    return with_payload.mapInPandas(run, BMP_META_SCHEMA)
+
+
+# --- JPEG: third REAL image format (baseline DCT codec, stdlib) -------
+
+
+def synthesize_jpeg(
+    doc_id: int, seed_text: str, width: int = 16, height: int = 16,
+    quality: int = 90,
+) -> bytes:
+    """Deterministic baseline JFIF JPEG bytes — a real, spec-valid
+    image (SOI/APP0/DQT/SOF0/DHT/SOS markers, Annex-K tables scaled
+    to ``quality``, Huffman-coded 4:4:4 MCUs) any viewer opens. Same
+    top-down pixel recipe as :func:`synthesize_png`, so decoded stats
+    agree across formats within the quantizer loss — which the tests
+    bound. Codec: :mod:`prisma_migrator_spark.llm.jpeg`."""
+    import hashlib
+
+    from prisma_migrator_spark.llm.jpeg import encode_jpeg
+
+    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            r = (x * 255 // max(width - 1, 1)) ^ (h & 0xFF)
+            g = (y * 255 // max(height - 1, 1)) ^ ((h >> 8) & 0xFF)
+            b = (doc_id * 37 + x * y) % 256
+            row.append((r & 0xFF, g & 0xFF, b & 0xFF))
+        rows.append(row)
+    return encode_jpeg(rows, quality=quality)
+
+
+def attach_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 16, height: int = 16, quality: int = 90,
+) -> DataFrame:
+    """JPEG variant of ``attach_bmp_payload``: a real baseline JPEG
+    per row, encoded inside Arrow batches."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def make_jpeg(ids, texts):
+        return pd.Series(
+            [synthesize_jpeg(int(i), t or "", width, height, quality)
+             for i, t in zip(ids, texts)]
+        )
+
+    return df.select(
+        id_col, make_jpeg(F.col(id_col), F.col(text_col)).alias("payload")
+    )
+
+
+def parse_jpeg_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG decode, stdlib-only: full baseline pipeline (marker
+    walk, canonical Huffman, dequantize, IDCT, YCbCr->RGB — see
+    :mod:`prisma_migrator_spark.llm.jpeg`), then per-channel means +
+    BT.601 luma from the decoded pixels. Emits ``BMP_META_SCHEMA``
+    (bpp = 24) like the BMP/PNG parsers, so downstream stages stay
+    format-agnostic. Malformed/progressive/subsampled payloads yield
+    NULL-metadata rows, never task failures."""
+    from prisma_migrator_spark.llm.jpeg import decode_jpeg
+
+    def parse_one(b: bytes):
+        width, height, rows = decode_jpeg(b)
+        sr = sg = sb = 0
+        for row in rows:
+            for r, g, bl in row:
+                sr += r
+                sg += g
+                sb += bl
+        n = width * height
+        mr, mg, mb = sr / n, sg / n, sb / n
+        luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+        return (
+            width, height, 24,
             round(mr, 6), round(mg, 6), round(mb, 6), round(luma, 6),
         )
 

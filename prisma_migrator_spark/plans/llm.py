@@ -658,15 +658,23 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prisma_migrator_spark.llm.dedup import embedding_lsh_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # the oracle hard-pins r=8, valid only while the auto-size clamp
-    # resolves to 8, i.e. 2*n <= 25_600: fail loudly on fixture growth
-    # instead of surfacing as an opaque hash mismatch at the gate
+    # The oracle hard-pins r=8, valid only while the auto-size clamp
+    # resolves to 8, i.e. 2*n <= 25_600 — a 64x margin over the sf0.01
+    # gate fixture (400 rows incl. perturbed copies), so the gate can
+    # never silently diverge. Past that bound the oracle simply does
+    # not apply (this is the scale regime the auto-sizer exists for:
+    # the r4 rehearsal measured this query at sf1/sf10 = 40k/400k
+    # vectors); warn loudly so a hash mismatch after an extreme gate-
+    # fixture regeneration is self-explaining rather than opaque.
     n = emb.count()
     if 2 * n > 25_600:
-        raise ValueError(
-            f"embedding_near_dup_lsh oracle pins bits_per_table=8, which "
-            f"requires 2*|embeddings| <= 25600; fixture has {n} rows — "
-            f"regenerate the oracle SQL with the larger r before gating"
+        import sys
+
+        print(
+            f"embedding_near_dup_lsh: {n} vectors exceeds the r=8 oracle "
+            f"regime (2n <= 25600); auto-sizing bits_per_table — the "
+            f"pinned DuckDB oracle SQL does NOT describe this run",
+            file=sys.stderr,
         )
     v = F.col("embedding")
     perturbed = emb.select(
@@ -749,15 +757,33 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: Pandas-UDF path
+@query("multimodal_features")  # rows-only: Pandas-UDF path; pytest
+# pins per-format feature equality (same pixel recipe -> same luma
+# histogram regardless of container) and NULL isolation for non-images
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mixed-format feature extraction: a corpus where each doc
+    carries a different image container (doc_id mod 3 -> BMP / PNG /
+    JPEG), pushed through ONE format-sniffing decode stage
+    (:func:`image_pixels` dispatch inside ``extract_features``) that
+    emits normalized luma histograms from the actual pixels. This is
+    the production shape of a heterogeneous media crawl: you don't
+    get to pick the container, the decode stage dispatches per row."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.multimodal import (
-        attach_binary_payload,
+        attach_bmp_payload,
+        attach_jpeg_payload,
+        attach_png_payload,
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs), fake=True)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    mod = F.col("doc_id") % 3
+    mixed = (
+        attach_bmp_payload(docs.where(mod == 0))
+        .unionByName(attach_png_payload(docs.where(mod == 1)))
+        .unionByName(attach_jpeg_payload(docs.where(mod == 2)))
+    )
+    return extract_features(mixed)
 
 
 # --- sequence chunking (fixed-length training examples) ----------------
@@ -2784,8 +2810,8 @@ def wav_audio_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse it back (`mapInPandas` RIFF chunk walk + RMS over the PCM
     frames). This is the exact shape of a production decode stage
     (download/transcode → Arrow batch → parse → typed metadata
-    columns); image/video keep the documented stubs because their
-    codecs aren't in the container, audio doesn't need one."""
+    columns); the image (BMP/PNG/JPEG) and video (AVI) modalities
+    follow the same pattern — every format is now real."""
     from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.multimodal import (
         attach_wav_payload,
@@ -2807,9 +2833,9 @@ def image_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` header walk + per-channel pixel means + BT.601
     luma over the REAL pixel bytes. Production shape: payload column
     → Arrow batch → decode → typed metadata columns; swapping BMP
-    parsing for PIL/turbojpeg is the only delta at 100 TB. JPEG/PNG
-    and video keep the documented ``fake=True`` stubs (their codecs
-    are genuinely absent from this container)."""
+    parsing for PIL/turbojpeg is the only delta at 100 TB. PNG
+    (``png_metadata``) and JPEG (``jpeg_metadata``) run the same
+    stage over their own real codecs."""
     from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.multimodal import (
         attach_bmp_payload,
@@ -2828,9 +2854,8 @@ def png_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zlib DEFLATE + CRC-framed chunks, all stdlib) decoded back via
     chunk walk + defilter + pixel stats. Same output schema as
     ``image_metadata`` (BMP), so a consumer is format-agnostic — the
-    multi-format decode stage of a real image pipeline. JPEG stays a
-    documented stub (DCT needs a real codec); PNG's container +
-    DEFLATE do not."""
+    multi-format decode stage of a real image pipeline (JPEG closes
+    the set via its own baseline codec, ``jpeg_metadata``)."""
     from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.multimodal import (
         attach_png_payload,
@@ -2839,6 +2864,31 @@ def png_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return parse_png_metadata(attach_png_payload(docs))
+
+
+@query("jpeg_metadata")  # rows-only: Pandas-UDF decode; pytest pins
+# decode(encode(x)) bit-for-bit against the no-entropy reference
+# pipeline (FDCT->quant->dequant->IDCT) and bounds the quantizer loss
+# vs the BMP parser on identical pixel recipes
+def jpeg_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image format: per doc, a spec-valid baseline JFIF
+    JPEG (Annex-K tables, canonical Huffman, 4:4:4 — all stdlib,
+    :mod:`prisma_migrator_spark.llm.jpeg`) decoded back through the
+    full pipeline: marker walk, Huffman entropy decode, dequantize,
+    IDCT, YCbCr->RGB, pixel stats. Same output schema as
+    ``image_metadata``/``png_metadata``: the decode stage is
+    format-agnostic, the codec underneath is the only swap. This was
+    the last ``fake=True`` stub in the modality family — the DCT
+    machinery is now implemented from the public spec instead of
+    stubbed behind a codec dependency."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_jpeg_payload,
+        parse_jpeg_metadata,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return parse_jpeg_metadata(attach_jpeg_payload(docs))
 
 
 _N_VIDEO_FRAMES = 8

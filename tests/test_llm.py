@@ -282,35 +282,56 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
 
 
 def test_multimodal_feature_extraction(spark, sf_dir):
+    """extract_features is REAL: image payloads (any of the three
+    formats) produce normalized luma histograms from actual decoded
+    pixels; non-image payloads (raw text bytes) NULL-isolate."""
     from prisma_migrator_spark.llm.multimodal import (
         attach_binary_payload,
+        attach_bmp_payload,
         decode_image,
         extract_features,
     )
 
     docs = load_table(spark, sf_dir, "documents").limit(20)
-    feats = extract_features(attach_binary_payload(docs), fake=True)
+    feats = extract_features(attach_bmp_payload(docs))
     rows = feats.collect()
     assert len(rows) == 20
     for r in rows:
         assert len(r.features) == 8
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
         assert r.n_bytes > 0
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...", fake=False)
+    # text payloads are not images: NULL features, n_bytes still real
+    null_rows = extract_features(attach_binary_payload(docs)).collect()
+    assert len(null_rows) == 20
+    assert all(r.features is None and r.n_bytes > 0 for r in null_rows)
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG...")  # bad magic tail: malformed PNG
 
 
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):
     from prisma_migrator_spark.llm.multimodal import (
         attach_binary_payload,
+        attach_png_payload,
+        parse_bmp_metadata,
         resize_images,
         sample_frames,
     )
 
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents").limit(10))
-    resized = resize_images(docs, width=8, height=8).collect()
-    assert len(resized) == 10
-    assert all(len(r.payload) == 64 and r.width == 8 for r in resized)
+    base = load_table(spark, sf_dir, "documents").limit(10)
+    # REAL resize: PNG in -> decoded -> 8x8 -> BMP out, re-parseable
+    resized = resize_images(attach_png_payload(base), width=8, height=8)
+    rr = resized.collect()
+    assert len(rr) == 10
+    assert all(r.payload[:2] == b"BM" and r.width == 8 for r in rr)
+    meta = parse_bmp_metadata(
+        resized.select("doc_id", "payload")
+    ).collect()
+    assert all(m.width == 8 and m.height == 8 for m in meta)
+    # non-image payloads NULL-isolate
+    docs = attach_binary_payload(base)
+    assert all(
+        r.payload is None for r in resize_images(docs, width=8, height=8).collect()
+    )
 
     # sample_frames is REAL now (AVI container walk): text payloads
     # are not valid AVI, so fault isolation emits ZERO rows for every
@@ -2011,6 +2032,126 @@ def test_png_parse_agrees_with_bmp_and_defilters_correctly(spark):
     )
     nm = {r.doc_id: r for r in parse_png_metadata(bad).collect()}
     assert nm[200].width is None and nm[201].width is None
+
+
+def test_jpeg_codec_roundtrip_pins_reference_pipeline():
+    """The baseline JPEG codec's entropy coding + headers are exactly
+    invertible: decode(encode(x)) must equal the no-entropy reference
+    pipeline (FDCT -> quant -> dequant -> IDCT, same float path)
+    bit-for-bit — the only loss is the quantizer. Covers non-8-
+    multiple dimensions (edge replication) and multiple qualities."""
+    import hashlib
+
+    from prisma_migrator_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_dims,
+        reference_roundtrip,
+    )
+
+    def recipe(doc_id, seed_text, w, h):
+        hh = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+        return [
+            [
+                (
+                    (x * 255 // max(w - 1, 1)) ^ (hh & 0xFF),
+                    (y * 255 // max(h - 1, 1)) ^ ((hh >> 8) & 0xFF),
+                    (doc_id * 37 + x * y) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+
+    for doc, txt, w, h, q in [
+        (1, "hello", 16, 16, 90),
+        (2, "world", 24, 16, 75),
+        (3, "x", 8, 8, 95),
+        (4, "odd", 13, 11, 85),
+    ]:
+        px = recipe(doc, txt, w, h)
+        jp = encode_jpeg(px, quality=q)
+        assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+        assert parse_jpeg_dims(jp) == (w, h, 3)
+        dw, dh, rows = decode_jpeg(jp)
+        assert (dw, dh) == (w, h)
+        assert rows == reference_roundtrip(px, quality=q), (doc, txt)
+
+    for bad in [b"", b"\xff\xd8", b"not a jpeg", encode_jpeg(recipe(1, "a", 16, 16))[:-30]]:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_metadata_stage_and_quantizer_loss_bound(spark):
+    """The jpeg_metadata stage decodes through the full baseline
+    pipeline; its per-channel means must agree with the BMP parser on
+    identical pixel recipes within the quantizer loss (measured worst
+    0.28 at q90 on this recipe; bound 1.0), dims/bpp exact, and
+    malformed payloads NULL-isolate."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_bmp_payload,
+        attach_jpeg_payload,
+        parse_bmp_metadata,
+        parse_jpeg_metadata,
+        synthesize_jpeg,
+    )
+
+    rows = [Row(doc_id=i, text=f"jpeg doc {i}") for i in range(1, 13)]
+    df = spark.createDataFrame(rows)
+    jm = {r.doc_id: r for r in parse_jpeg_metadata(attach_jpeg_payload(df)).collect()}
+    bm = {r.doc_id: r for r in parse_bmp_metadata(attach_bmp_payload(df)).collect()}
+    assert set(jm) == set(bm) == {r.doc_id for r in rows}
+    for k in jm:
+        assert (jm[k].width, jm[k].height, jm[k].bpp) == (16, 16, 24)
+        for ch in ("mean_r", "mean_g", "mean_b", "luma"):
+            assert abs(getattr(jm[k], ch) - getattr(bm[k], ch)) < 1.0, (k, ch)
+
+    good = synthesize_jpeg(1, "ok")
+    bad = spark.createDataFrame(
+        [
+            Row(doc_id=300, payload=bytearray(good[:-40])),   # truncated scan
+            Row(doc_id=301, payload=bytearray(b"\xff\xd8ff")),  # bad markers
+            Row(doc_id=302, payload=bytearray(b"GIF89a")),    # wrong format
+            Row(doc_id=303, payload=bytearray(good)),         # control: intact
+        ]
+    )
+    nm = {r.doc_id: r for r in parse_jpeg_metadata(bad).collect()}
+    assert nm[300].width is None and nm[301].width is None and nm[302].width is None
+    assert nm[303].width == 16
+
+
+def test_mixed_format_feature_dispatch(spark):
+    """One decode stage, three containers: BMP and PNG of the same
+    recipe give IDENTICAL luma-histogram features (lossless formats,
+    same pixels); JPEG's differ only within the quantizer loss
+    (measured worst L1 0.08; bound 0.2); non-images NULL out."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_bmp_payload,
+        attach_jpeg_payload,
+        attach_png_payload,
+        extract_features,
+    )
+
+    rows = [Row(doc_id=i, text=f"mixed {i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows)
+    feats = {}
+    for name, attach in (
+        ("bmp", attach_bmp_payload),
+        ("png", attach_png_payload),
+        ("jpeg", attach_jpeg_payload),
+    ):
+        feats[name] = {
+            r.doc_id: list(r.features)
+            for r in extract_features(attach(df)).collect()
+        }
+    for i in feats["bmp"]:
+        assert feats["bmp"][i] == feats["png"][i], i
+        l1 = sum(abs(a - b) for a, b in zip(feats["bmp"][i], feats["jpeg"][i]))
+        assert l1 < 0.2, (i, l1)
 
 
 def test_avi_frame_sampling_pins_against_bmp_recipes(spark):
