@@ -663,9 +663,11 @@ def embedding_lsh_near_dup_pairs(
       match — otherwise a pair whose earliest agreeing table was
       capped would be suppressed at every surviving later table and
       silently lost (dense regions are exactly where table 0 agrees
-      AND gets capped). The masking costs two narrow O(n·n_tables)
-      shuffles (ids+buckets only) plus one id-keyed join of the
-      vector table, paid only when the cap is enabled;
+      AND gets capped). The masking costs ONE narrow O(n·n_tables)
+      count shuffle (buckets only); the over-cap set is bounded by
+      n_tables·n/max_bucket entries, reduces to a single broadcast
+      row, and the mask itself is a projection — the vector-carrying
+      base never shuffles for it. Paid only when the cap is enabled;
     - ``n_blocks`` adds triangle-blocking for within-bucket
       parallelism, as in :func:`embedding_near_dup_pairs`.
     """
@@ -711,32 +713,43 @@ def embedding_lsh_near_dup_pairs(
         # Stop-band masking: NULL-out over-cap buckets inside each
         # row's bucket ARRAY so (a) banded rows in capped buckets are
         # dropped and (b) first_match never sees a capped table as an
-        # earlier agreement. ids+buckets only until the final join.
-        keyed = base.select(
-            "__id", F.posexplode("__bk").alias("__t", "__b")
-        )
-        cnt = keyed.groupBy("__t", "__b").agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        masked = (
-            keyed.join(cnt, ["__t", "__b"])
-            .select(
-                "__id",
-                F.struct(
-                    F.col("__t"),
-                    F.when(F.col("__c") <= max_bucket, F.col("__b")).alias(
-                        "__mb"
-                    ),
-                ).alias("__s"),
-            )
-            .groupBy("__id")
+        # earlier agreement. The over-cap SET is tiny by construction
+        # (≤ n_tables·n/max_bucket entries), so it reduces to one
+        # broadcast row and the mask is a pure projection — the
+        # vector-carrying base never shuffles for it.
+        overcap = (
+            base.select(F.posexplode("__bk").alias("__t", "__b"))
+            .groupBy("__t", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > max_bucket)
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list("__s")), lambda s: s["__mb"]
-                ).alias("__bk")
+                F.collect_set(
+                    F.concat_ws("|", F.col("__t"), F.col("__b"))
+                ).alias("__over")
             )
         )
-        base = base.drop("__bk").join(masked, "__id")
+        base = base.crossJoin(F.broadcast(overcap)).select(
+            "__id",
+            "__v",
+            "__n",
+            F.transform(
+                "__bk",
+                lambda bkt, t: F.when(
+                    F.array_contains(
+                        F.col("__over"), F.concat_ws("|", t, bkt)
+                    ),
+                    F.lit(None),
+                ).otherwise(bkt),
+            ).alias("__bk"),
+        )
+    # Snapshot the signed/masked frame ONCE: both sides of the band
+    # self-join read it, and without the snapshot each side recomputes
+    # the n_tables·r plane dots per row (the dominant CPU) plus, when
+    # capped, its own copy of the stop-band count shuffle. Eager
+    # localCheckpoint is this repo's convention for shared iterative /
+    # self-joined state (see PERF.md: persist+probe recomputes through
+    # partially-materialized caches).
+    base = base.localCheckpoint()
     banded = base.select(
         "__id", "__v", "__n", "__bk",
         F.posexplode("__bk").alias("__t", "__bucket"),

@@ -136,10 +136,14 @@ PINS = {
     # 9-col snapshot scan feeds the dedup, part keys broadcast
     "apps_by_category": (1, [1, 3, 3, 9], False),
     "apps_by_category_open": (1, [1, 1, 2, 9], False),
-    # sign-LSH near-dup: bucket self-join + stop-bucket count — the
-    # vector-carrying exactly-once form (no candidate dedup shuffle);
-    # scans double per side (original ∪ perturbed copies)
-    "embedding_near_dup_lsh": (2, [1, 1, 1, 1, 2, 2, 2, 2], False),
+    # sign-LSH near-dup: the signed/masked vector frame is
+    # checkpointed ONCE (r5 — halves the n_tables·r plane-dot compute
+    # the self-join sides used to duplicate, and keeps the stop-band
+    # count shuffle out of the join plan: it reduces to a 1-row
+    # broadcast mask applied before the snapshot), so like
+    # copurchase_triangles the final plan has 0 parquet scans; the 2
+    # exchanges are the band self-join's two __key sides
+    "embedding_near_dup_lsh": (2, [], False),
     # real BMP decode: one scan, zero shuffles (map-only Arrow stage)
     "image_metadata": (0, [2], False),
     # part_copurchase_pagerank and semantic_canonical_docs are NOT
