@@ -462,8 +462,19 @@ def triangle_counts_capped(und: DataFrame, max_degree: int):
     max_degree·|E_kept| — linear in kept edges at a fixed cap. The
     drop is SEMANTIC (a subgraph, not an approximation of the full
     answer), so the companion ``dropped`` frame reports how much of
-    the graph the cap excluded: callers see "counts are exact on the
-    92% of vertices below the cap", never a silent truncation.
+    the graph the cap excluded: callers see exactly which share of
+    vertices the counts cover, never a silent truncation.
+
+    WHEN THE CAP IS THE RIGHT DIAL (measured, round 5): degree caps
+    pay off on SKEWED graphs, where a few hubs carry most of Σ deg².
+    The co-purchase graph is degree-HOMOGENEOUS (sf1 profile: mean
+    degree 90, p50 90, max 162 — every part co-occurs with a similar
+    number of partners), so cap=100 retains ~75% of vertices and most
+    of the wedge mass: the sf10 run finishes where exact DNFs
+    (1793 s) but is not cheap. For homogeneous graphs the scale dial
+    is edge sampling (:func:`triangle_estimate_sampled` — cost drops
+    with p², 352 s at p=0.2 / sf10); keep the cap for hub-dominated
+    graphs where it removes the quadratic tail at tiny coverage loss.
 
     Returns ``(per_part_counts, dropped_report)`` — the report is a
     1-row frame (n_vertices, n_dropped_vertices, n_edges,

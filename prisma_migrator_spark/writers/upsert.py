@@ -168,37 +168,6 @@ def _part_files(path: str) -> list[str]:
     )
 
 
-def _file_key_ranges(
-    files: list[str], key: str
-) -> list[tuple[str, object, object]]:
-    """Per-file (min, max) of ``key`` from parquet FOOTER statistics —
-    no data pages are read. Files lacking stats get (None, None) and
-    are conservatively rewritten. Parquet's spec only allows stat
-    truncation that widens the range (max rounds up), so pruning on
-    footer stats never loses a matching file."""
-    import pyarrow.parquet as pq
-
-    out: list[tuple[str, object, object]] = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        try:
-            idx = md.schema.names.index(key)
-        except ValueError:
-            out.append((f, None, None))
-            continue
-        lo = hi = None
-        ok = md.num_rows > 0
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        out.append((f, lo, hi) if ok else (f, None, None))
-    return out
-
-
 def upsert_parquet_cow(
     spark: SparkSession,
     batch: DataFrame,
@@ -242,37 +211,34 @@ def upsert_parquet_cow(
         n = spark.read.parquet(path).count()
         return {"path": path, "inserted": n, "mode": "create"}
 
-    from pyspark.sql.types import StringType, StructField, StructType
+    from prisma_migrator_spark.writers.layout import file_key_ranges_df
 
     existing_schema = spark.read.parquet(path).schema
     prune_key = keys[0]
     files = _part_files(path)
-    ranges = _file_key_ranges(files, prune_key)
-    ranged = [r for r in ranges if r[1] is not None]
-    rewrite = {f for f, lo, _ in ranges if lo is None}  # no stats → rewrite
-    if ranged:
-        key_type = existing_schema[prune_key].dataType
-        rng_schema = StructType(
-            [
-                StructField("__file", StringType()),
-                StructField("__lo", key_type),
-                StructField("__hi", key_type),
-            ]
+    # footer ranges as a DataFrame: driver-serial for small tables,
+    # executor-parallel past the threshold (layout.file_key_ranges_df)
+    # — the serial footer loop dominates CoW planning at 1000s of
+    # files. A NULL range means 'no usable stats': such a file joins
+    # every batch key (conservatively rewritten whenever the batch is
+    # non-empty; an empty batch rewrites nothing, correctly).
+    rng = file_key_ranges_df(
+        spark, files, prune_key, existing_schema[prune_key].dataType
+    )
+    hits = bounded_collect(
+        batch.select(F.col(prune_key).alias("__k"))
+        .distinct()
+        .join(
+            F.broadcast(rng),
+            F.col("__lo").isNull()
+            | ((F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi"))),
         )
-        rng = spark.createDataFrame(ranged, rng_schema)
-        hits = bounded_collect(
-            batch.select(F.col(prune_key).alias("__k"))
-            .distinct()
-            .join(
-                F.broadcast(rng),
-                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
-            )
-            .select("__file")
-            .distinct(),
-            len(files),
-            "one row per data file in the table footprint",
-        )
-        rewrite.update(r["__file"] for r in hits)
+        .select("__file")
+        .distinct(),
+        len(files),
+        "one row per data file in the table footprint",
+    )
+    rewrite = {r["__file"] for r in hits}
 
     matched = sorted(rewrite)
     untouched = [f for f in files if f not in rewrite]
@@ -402,37 +368,30 @@ def delete_keys_cow(
     if not os.path.exists(path):
         return {"path": path, "mode": "noop", "files_rewritten": 0}
 
-    from pyspark.sql.types import StringType, StructField, StructType
+    from prisma_migrator_spark.writers.layout import file_key_ranges_df
 
     existing_schema = spark.read.parquet(path).schema
     prune_key = keys[0]
     files = _part_files(path)
-    ranges = _file_key_ranges(files, prune_key)
-    ranged = [r for r in ranges if r[1] is not None]
-    rewrite = {f for f, lo, _ in ranges if lo is None}
-    if ranged:
-        key_type = existing_schema[prune_key].dataType
-        rng_schema = StructType(
-            [
-                StructField("__file", StringType()),
-                StructField("__lo", key_type),
-                StructField("__hi", key_type),
-            ]
+    # same pruning source as upsert_parquet_cow: NULL range = no
+    # stats, joins every doomed key (conservative rewrite)
+    rng = file_key_ranges_df(
+        spark, files, prune_key, existing_schema[prune_key].dataType
+    )
+    hits = bounded_collect(
+        doomed.select(F.col(prune_key).alias("__k"))
+        .distinct()
+        .join(
+            F.broadcast(rng),
+            F.col("__lo").isNull()
+            | ((F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi"))),
         )
-        rng = spark.createDataFrame(ranged, rng_schema)
-        hits = bounded_collect(
-            doomed.select(F.col(prune_key).alias("__k"))
-            .distinct()
-            .join(
-                F.broadcast(rng),
-                (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
-            )
-            .select("__file")
-            .distinct(),
-            len(files),
-            "one row per data file in the table footprint",
-        )
-        rewrite.update(r["__file"] for r in hits)
+        .select("__file")
+        .distinct(),
+        len(files),
+        "one row per data file in the table footprint",
+    )
+    rewrite = {r["__file"] for r in hits}
 
     matched = sorted(rewrite)
     untouched = [f for f in files if f not in rewrite]

@@ -1,113 +1,145 @@
-"""Layout optimization: physical chunking changes, data does not."""
+"""Physical-layout machinery: file-stats manifest (driver vs
+distributed footer reads) and Z-order multi-column clustering."""
 
 from __future__ import annotations
 
-import os
+import pytest
 
-import pyarrow.parquet as pq
-from pyspark.sql import functions as F
+from prisma_migrator_spark.catalog import load_table
+from prisma_migrator_spark.sources.layout import zorder_write
+from prisma_migrator_spark.writers.layout import (
+    prunable_files,
+    table_manifest,
+)
 
-from prisma_migrator_spark.catalog import load_table, read_parquet
-from prisma_migrator_spark.sources.layout import optimize_layout
+pytestmark = pytest.mark.usefixtures("spark")
 
 
-def test_optimize_layout_preserves_data(spark, sf_dir, tmp_path):
-    out = optimize_layout(
-        sf_dir, cache_root=str(tmp_path), row_group_rows=500, min_rows=1000
+def _orders_frame(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
-    for t in ["lineitem", "events", "nation"]:
-        src = os.path.join(sf_dir, f"{t}.parquet")
-        dst = os.path.join(out, f"{t}.parquet")
-        a = read_parquet(spark, src)
-        b = read_parquet(spark, dst)
-        assert a.schema == b.schema
-        assert a.count() == b.count()
-        assert a.exceptAll(b).isEmpty()
-        assert b.exceptAll(a).isEmpty()
-    # big table got re-chunked; tiny table is a symlink, not a copy
-    assert pq.ParquetFile(os.path.join(out, "lineitem.parquet")).metadata.num_row_groups > 1
-    assert os.path.islink(os.path.join(out, "nation.parquet"))
-    # second call is a cached no-op (mtimes unchanged)
-    before = os.path.getmtime(os.path.join(out, "lineitem.parquet"))
-    optimize_layout(sf_dir, cache_root=str(tmp_path), row_group_rows=500, min_rows=1000)
-    assert os.path.getmtime(os.path.join(out, "lineitem.parquet")) == before
 
 
-def test_zorder_write_narrows_both_dims(spark, sf_dir, tmp_path):
-    from prisma_migrator_spark.sources.layout import zorder_write
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+def test_table_manifest_driver_and_distributed_agree(spark, sf_dir, tmp_path):
+    """The manifest's min/max must equal the true per-file extrema,
+    and the distributed (mapInPandas) path must produce exactly the
+    driver-serial path's rows."""
+    path = str(tmp_path / "orders_flat.parquet")
+    (
+        _orders_frame(spark, sf_dir)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(path)
     )
-    out = str(tmp_path / "z")
-    zorder_write(li, out, ["l_partkey", "l_suppkey"], n_files=16)
-    back = spark.read.parquet(out)
+    cols = ["o_orderkey", "o_totalprice"]
+    driver = {
+        r.file: r for r in table_manifest(spark, path, cols, 10_000).collect()
+    }
+    dist = {r.file: r for r in table_manifest(spark, path, cols, 0).collect()}
+    assert set(driver) == set(dist) and len(driver) == 8
+    for f in driver:
+        assert tuple(driver[f]) == tuple(dist[f]), f
+    # ground truth per file
+    for f, row in driver.items():
+        pdf = spark.read.parquet(f).toPandas()
+        assert row.n_rows == len(pdf)
+        assert row.o_orderkey_min == pdf["o_orderkey"].min()
+        assert row.o_orderkey_max == pdf["o_orderkey"].max()
+        assert row.o_totalprice_min == pytest.approx(pdf["o_totalprice"].min())
+        assert row.o_totalprice_max == pytest.approx(pdf["o_totalprice"].max())
 
-    # equality: same multiset of rows
-    assert back.count() == li.count()
-    assert back.exceptAll(li).count() == 0
 
-    # per-file min/max spans: BOTH z-order columns must be tight.
-    spans = (
-        back.groupBy(F.input_file_name().alias("f"))
-        .agg(
-            (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
-            (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
-        )
-        .agg(F.avg("dp").alias("adp"), F.avg("ds").alias("ads"))
-        .first()
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """A linearly-sorted table prunes files on its sort column only;
+    the Z-ordered table must prune a majority of files on EITHER
+    clustered column (the multi-column file-skipping property), while
+    scanning the same logical rows. sf0.01 (15k orders) so each of
+    the 32 files is populous enough for the contrast to be sharp."""
+    base = _orders_frame(spark, "/root/testdata/sf0.01")
+    n_files = 32
+    linear = str(tmp_path / "linear.parquet")
+    (
+        base.repartitionByRange(n_files, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(linear)
     )
-    g = li.agg(
-        (F.max("l_partkey") - F.min("l_partkey")).alias("gp"),
-        (F.max("l_suppkey") - F.min("l_suppkey")).alias("gs"),
-    ).first()
-    # 16 files; a single-column sort gives ~global/16 on one dim and
-    # ~global on the other. Z-order: both well under half the global
-    # span (sqrt(16)=4x narrowing per dim in the ideal grid).
-    assert spans.adp < g.gp / 2, (spans.adp, g.gp)
-    assert spans.ads < g.gs / 2, (spans.ads, g.gs)
+    zpath = str(tmp_path / "zorder.parquet")
+    zorder_write(base, zpath, ["o_orderkey", "o_custkey"], n_files=n_files)
+
+    assert (
+        spark.read.parquet(zpath).count() == base.count()
+    ), "z-order write must preserve all rows"
+
+    stats = base.agg(
+        {"o_orderkey": "max", "o_custkey": "max"}
+    ).collect()[0]
+    ok_hi = stats["max(o_orderkey)"]
+    ck_hi = stats["max(o_custkey)"]
+
+    # ~5% range predicates on each column
+    ok_pred = (1, int(ok_hi * 0.05))
+    ck_pred = (1, int(ck_hi * 0.05))
+
+    lin_ok, total = prunable_files(spark, linear, "o_orderkey", *ok_pred)
+    lin_ck, _ = prunable_files(spark, linear, "o_custkey", *ck_pred)
+    z_ok, _ = prunable_files(spark, zpath, "o_orderkey", *ok_pred)
+    z_ck, _ = prunable_files(spark, zpath, "o_custkey", *ck_pred)
+    assert total == n_files
+
+    # linear: near-perfect on the sort column, useless on the other
+    assert len(lin_ok) <= 3
+    assert len(lin_ck) >= n_files - 2
+    # z-order: strong pruning on BOTH columns
+    assert len(z_ok) <= n_files // 2, (len(z_ok), n_files)
+    assert len(z_ck) <= n_files // 2, (len(z_ck), n_files)
+
+    # pruning is CORRECT, not just aggressive: the pruned file set
+    # contains every row matching the predicate
+    import pyspark.sql.functions as F
+
+    expect = base.where(F.col("o_custkey").between(*ck_pred)).count()
+    got = (
+        spark.read.parquet(*z_ck)
+        .where(F.col("o_custkey").between(*ck_pred))
+        .count()
+    )
+    assert got == expect
 
 
-def test_dynamic_partition_pruning_on_hive_partitioned_fact(spark, sf_dir, tmp_path):
-    """Hive-partition the fact on its join key; a selective broadcast
-    dim must inject a dynamicpruning subquery into the fact's
-    PartitionFilters so non-matching partitions never scan — the
-    cluster-side mechanism behind star-schema queries at 100 TB (the
-    file-level sibling of the runtime bloom-filter test)."""
-    from prisma_migrator_spark.catalog import load_table
+def test_cow_upsert_identical_through_distributed_footer_path(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """upsert_parquet_cow must behave identically when the footer
+    ranges come from the executor-parallel path (threshold forced to
+    0) — same rewritten/kept split, same final table content."""
+    import shutil
 
-    fact_path = str(tmp_path / "li_part")
-    li = load_table(spark, sf_dir, "lineitem")
-    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(fact_path)
+    import pyspark.sql.functions as F
 
-    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-    try:
-        fact = spark.read.parquet(fact_path)
-        # the selective predicate sits on a NON-join dim column, so it
-        # cannot be statically pushed into the fact scan — pruning the
-        # fact's partitions requires the RUNTIME subquery (DPP)
-        from pyspark.sql import Row
+    from prisma_migrator_spark.writers import layout
+    from prisma_migrator_spark.writers.upsert import upsert_parquet_cow
 
-        dim = spark.createDataFrame(
-            [Row(rf="A", grade="keep"), Row(rf="N", grade="drop"),
-             Row(rf="R", grade="drop")]
-        ).where(F.col("grade") == "keep")
-        joined = fact.join(
-            F.broadcast(dim), fact["l_returnflag"] == dim["rf"]
-        ).groupBy("l_returnflag").agg(F.count("*").alias("n"))
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "dynamicpruning" in plan.lower(), plan
-        got = {r.l_returnflag: r.n for r in joined.collect()}
-        exact = {
-            r.l_returnflag: r.n
-            for r in li.where("l_returnflag = 'A'")
-            .groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        assert got == exact
-    finally:
-        spark.conf.set(
-            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
-        )
+    base = _orders_frame(spark, sf_dir)
+    a = str(tmp_path / "a.parquet")
+    (
+        base.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(a)
+    )
+    b = str(tmp_path / "b.parquet")
+    shutil.copytree(a, b)
+
+    batch = base.orderBy("o_orderkey").limit(50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    r_driver = upsert_parquet_cow(spark, batch, a, ["o_orderkey"])
+    monkeypatch.setattr(layout, "DISTRIBUTED_FOOTER_THRESHOLD", 0)
+    r_dist = upsert_parquet_cow(spark, batch, b, ["o_orderkey"])
+
+    for k in ("files_total", "files_rewritten", "files_kept", "mode"):
+        assert r_driver[k] == r_dist[k], k
+    assert r_driver["files_rewritten"] <= 2  # clustered batch: 1-2 files
+    da = spark.read.parquet(a).select("o_orderkey", "o_totalprice")
+    db = spark.read.parquet(b).select("o_orderkey", "o_totalprice")
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
