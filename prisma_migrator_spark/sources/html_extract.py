@@ -43,22 +43,28 @@ _VOID = frozenset(
 
 
 class _Node:
-    __slots__ = ("tag", "attrs", "children", "text_parts", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent")
 
     def __init__(self, tag: str, attrs: Mapping[str, str | None], parent):
         self.tag = tag
         self.attrs = dict(attrs)
-        self.children: list[_Node] = []
-        self.text_parts: list[str] = []
+        # mixed list of child _Node elements and text-run strings, in
+        # DOCUMENT order — text interleaved with elements must come
+        # back out in source order (``<p>a<b>c</b>d</p>`` -> "a c d",
+        # cheerio's $.text() contract), so text is a child, not a
+        # side-array
+        self.children: list[_Node | str] = []
         self.parent = parent
 
     def text(self) -> str:
         out: list[str] = []
 
         def walk(n: _Node) -> None:
-            out.extend(n.text_parts)
             for c in n.children:
-                walk(c)
+                if isinstance(c, str):
+                    out.append(c)
+                else:
+                    walk(c)
 
         walk(self)
         return " ".join(" ".join(out).split())
@@ -93,7 +99,7 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data.strip():
-            self._cur.text_parts.append(data)
+            self._cur.children.append(data)
 
 
 def parse_html(html: str) -> _Node:
@@ -159,6 +165,8 @@ def select(root: _Node, selector: str) -> list[_Node]:
 
         def walk(n: _Node) -> None:
             for c in n.children:
+                if isinstance(c, str):
+                    continue
                 if _matches(c, tag, classes, ident) and id(c) not in seen:
                     seen.add(id(c))
                     nxt.append(c)

@@ -175,6 +175,7 @@ def upsert_parquet_cow(
     key_cols: Sequence[str],
     update_cols: Sequence[str] | None = None,
     order_col: str | None = None,
+    bloom: bool = False,
 ) -> dict:
     """File-granularity copy-on-write MERGE into UNPARTITIONED parquet
     — the missing middle between ``upsert_parquet``'s full-table
@@ -197,6 +198,17 @@ def upsert_parquet_cow(
     appended ids/timestamps; worst case (every file spans the full
     key range) degrades to ``upsert_parquet``'s full rewrite, never
     worse.
+
+    ``bloom=True`` additionally intersects the rewrite set with the
+    per-file Bloom sidecar verdict (:mod:`..writers.bloom`) — THE fix
+    for the range-pruning worst case above: with random/uuid keys
+    every footer range spans the key space and range pruning keeps
+    everything, but a file whose Bloom filter rejects every batch key
+    is skipped (false negatives impossible, false positives only cost
+    an extra rewrite). Sidecars are refreshed incrementally after the
+    swap (hard-linked survivors keep their rows; only rewritten files
+    re-index). First call on a table without sidecars prunes by range
+    alone and bootstraps the manifest for the next call.
     """
     keys = list(key_cols)
     batch = (
@@ -209,7 +221,14 @@ def upsert_parquet_cow(
         batch.write.mode("overwrite").parquet(staged)
         _atomic_swap(staged, path)
         n = spark.read.parquet(path).count()
-        return {"path": path, "inserted": n, "mode": "create"}
+        out = {"path": path, "inserted": n, "mode": "create"}
+        if bloom:
+            from prisma_migrator_spark.writers import bloom as bloom_sidecar
+
+            out["bloom"] = bloom_sidecar.build_bloom_sidecars(
+                spark, path, keys[0]
+            )
+        return out
 
     from prisma_migrator_spark.writers.layout import file_key_ranges_df
 
@@ -240,6 +259,19 @@ def upsert_parquet_cow(
     )
     rewrite = {r["__file"] for r in hits}
 
+    if bloom:
+        from prisma_migrator_spark.writers import bloom as bloom_sidecar
+
+        key_rows = bounded_collect(
+            batch.select(F.col(prune_key)).distinct(),
+            bloom_sidecar.MAX_BATCH_KEYS,
+            "distinct CoW batch keys (contract: batch ≪ base table)",
+        )
+        survivors, _ = bloom_sidecar.bloom_prunable_files(
+            spark, path, [r[0] for r in key_rows]
+        )
+        rewrite &= set(survivors)
+
     matched = sorted(rewrite)
     untouched = [f for f in files if f not in rewrite]
     if matched:
@@ -264,13 +296,20 @@ def upsert_parquet_cow(
     finally:
         shutil.rmtree(staged_rw, ignore_errors=True)
     _atomic_swap(staged, path)
-    return {
+    out = {
         "path": path,
         "mode": "update" if (update_cols is None or update_cols) else "insert_only",
         "files_total": len(files),
         "files_rewritten": len(matched),
         "files_kept": len(untouched),
     }
+    if bloom:
+        # incremental: hard-linked survivors keep their manifest rows
+        # (same basename+size); only the rewritten files re-index
+        out["bloom"] = bloom_sidecar.build_bloom_sidecars(
+            spark, path, prune_key
+        )
+    return out
 
 
 def upsert_partitioned(

@@ -2230,6 +2230,22 @@ def test_avi_fault_isolation_and_index_fallback(spark):
     assert len(by_doc[1]) == len(by_doc[4]) == 4
 
 
+def test_html_text_document_order():
+    """$.text() must return text runs in DOCUMENT order even when text
+    interleaves with child elements (``<p>a<b>c</b>d</p>`` -> "a c d",
+    not "a d c") — cheerio's contract; a side-array of per-node text
+    loses the interleaving."""
+    from prisma_migrator_spark.sources.html_extract import parse_html, select
+
+    p = select(parse_html("<p>a<b>c</b>d</p>"), "p")[0]
+    assert p.text() == "a c d"
+    soup = parse_html(
+        "<div class='x'>one<br>two</i><span id='s'>three</span> four</div>"
+    )
+    assert select(soup, "div.x")[0].text() == "one two three four"
+    assert select(soup, "div #s")[0].text() == "three"
+
+
 def test_html_extract_entities_pipeline(spark, tmp_path):
     """The fetchHTML→cheerio→save* analog end-to-end: scripted fetch →
     entity extraction → typed upsert sink, with retry, tag soup, and
