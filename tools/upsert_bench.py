@@ -132,6 +132,58 @@ def main() -> None:
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
         assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
         out["tables_identical"] = True
+
+        # RANDOM-KEY scenario: the range-pruning worst case. The table
+        # is keyed by md5(orderkey) with hash layout, so every file's
+        # footer (min, max) spans the whole key space — range-pruned
+        # CoW degrades to a full rewrite. A 5-key point batch (the CDC
+        # trickle / targeted-fixup shape) then measures the Bloom
+        # sidecar fix: expected rewrites ≈ 5 files + fpp, flat across
+        # SFs, vs ALL files without sidecars. Build time is reported
+        # separately (amortized over every subsequent merge).
+        from prisma_migrator_spark.writers.bloom import build_bloom_sidecars
+
+        rnd = base.withColumn(
+            "rk", F.md5(F.col("l_orderkey").cast("string"))
+        ).select("rk", "total", "last_ship")
+        rnd_a = os.path.join(work, "rnd_a.parquet")
+        rnd.repartition(n_files).write.parquet(rnd_a)
+        rnd_b = os.path.join(work, "rnd_b.parquet")
+        shutil.copytree(rnd_a, rnd_b)
+
+        # 5 keys scattered across the md5 space (md5 of 5 arbitrary
+        # orderkeys) — NOT the 5 smallest rk values: extreme-tail keys
+        # fall below most files' footer min and range pruning would
+        # accidentally engage, hiding the worst case under test
+        keys5 = [
+            r[0]
+            for r in base.orderBy("l_orderkey")
+            .limit(5)
+            .select(F.md5(F.col("l_orderkey").cast("string")).alias("rk"))
+            .collect()
+        ]
+        batch5 = rnd.where(F.col("rk").isin(keys5)).withColumn(
+            "total", F.col("total") + 1.0
+        )
+
+        t0 = time.time()
+        rep = upsert_parquet_cow(spark, batch5, rnd_a, ["rk"])
+        out["cow_random_s"] = round(time.time() - t0, 2)
+        out["cow_random_rewritten"] = rep["files_rewritten"]
+
+        t0 = time.time()
+        build_bloom_sidecars(spark, rnd_b, "rk", fpp=0.001)
+        out["bloom_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        rep = upsert_parquet_cow(spark, batch5, rnd_b, ["rk"], bloom=True)
+        out["cow_random_bloom_s"] = round(time.time() - t0, 2)
+        out["cow_random_bloom_rewritten"] = rep["files_rewritten"]
+        out["cow_random_files_total"] = rep["files_total"]
+
+        ra = spark.read.parquet(rnd_a)
+        rb = spark.read.parquet(rnd_b)
+        assert ra.exceptAll(rb).count() == 0 and rb.exceptAll(ra).count() == 0
+        out["random_tables_identical"] = True
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
