@@ -216,3 +216,30 @@ def test_prefix_jaccard_equals_naive(spark, docs, t):
         for r in ngram_jaccard_pairs_prefix(sh, min_jaccard=t).collect()
     }
     assert pref == naive
+
+
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=40), max_size=300),
+    probes=st.lists(st.text(min_size=0, max_size=40), max_size=50),
+    fpp=st.sampled_from([0.1, 0.01, 0.001]),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(keys, probes, fpp):
+    """The sidecar Bloom filter's load-bearing contract under
+    arbitrary unicode keys: every inserted key tests positive (a
+    pruned file provably holds no batch key — false negatives would
+    silently lose updates in the CoW merge)."""
+    from prisma_migrator_spark.writers.bloom import (
+        _bloom_params,
+        _build_bits,
+        _contains,
+        _key_hashes,
+    )
+
+    m, k = _bloom_params(len(keys), fpp)
+    bits = _build_bits(keys, m, k)
+    for key in keys:
+        assert _contains(bits, m, k, *_key_hashes(key))
+    # probes make no false-negative claim — just must not crash
+    for p in probes:
+        _contains(bits, m, k, *_key_hashes(p))
