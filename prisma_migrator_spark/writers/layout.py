@@ -99,7 +99,10 @@ def table_manifest(
         StructField("n_rows", LongType(), False),
     ]
     for c in cols:
-        t = schema[c].dataType
+        # a column absent from the table schema still gets manifest
+        # columns — always-NULL bounds ("could contain anything"),
+        # matching _footer_stats's per-file missing-column behavior
+        t = schema[c].dataType if c in schema.fieldNames() else StringType()
         fields += [
             StructField(f"{c}_min", t, True),
             StructField(f"{c}_max", t, True),
@@ -195,3 +198,34 @@ def prunable_files(
         survivors, total, "one row per data file in the table footprint"
     )
     return sorted(r["file"] for r in rows), total
+
+
+def footer_stats_summary(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    distributed_threshold: int | None = None,
+) -> dict:
+    """COUNT(*) / MIN / MAX answered from parquet FOOTERS alone — an
+    O(|files|) metadata read instead of a table scan (at 100 TB:
+    thousands of footer reads vs the full corpus). COUNT is always
+    exact (row counts are footer facts). MIN/MAX are exact for
+    numeric/temporal columns; for strings parquet permits
+    range-WIDENING stat truncation, so treat them as bounds. Any
+    column with a stats-less file yields None (unknown) rather than a
+    min/max over the subset of files that do have stats."""
+    m = table_manifest(spark, path, cols, distributed_threshold)
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+            F.max(F.col(f"{c}_min").isNull().cast("int")).alias(f"__gap_{c}"),
+        ]
+    row = m.agg(*aggs).first()
+    out = {"n_rows": row["n_rows"]}
+    for c in cols:
+        gap = bool(row[f"__gap_{c}"])
+        out[f"{c}_min"] = None if gap else row[f"{c}_min"]
+        out[f"{c}_max"] = None if gap else row[f"{c}_max"]
+    return out

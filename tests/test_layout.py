@@ -143,3 +143,32 @@ def test_cow_upsert_identical_through_distributed_footer_path(
     da = spark.read.parquet(a).select("o_orderkey", "o_totalprice")
     db = spark.read.parquet(b).select("o_orderkey", "o_totalprice")
     assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+
+
+def test_footer_stats_summary_metadata_only(spark, tmp_path):
+    """COUNT/MIN/MAX from footers alone match the full scan on numeric
+    columns; a stats-gap column answers None, never a partial bound."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.writers.layout import footer_stats_summary
+
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [Row(k=i, x=float(i) * 1.5) for i in range(1000)]
+    ).repartition(8).write.parquet(path)
+
+    got = footer_stats_summary(spark, path, ["k", "x"])
+    full = spark.read.parquet(path).agg(
+        F.count("*"), F.min("k"), F.max("k"), F.min("x"), F.max("x")
+    ).first()
+    assert got["n_rows"] == full[0] == 1000
+    assert (got["k_min"], got["k_max"]) == (full[1], full[2])
+    assert (got["x_min"], got["x_max"]) == (full[3], full[4])
+
+    # a column absent from the files has no stats -> None, not a
+    # bound over the subset that happened to have stats
+    got2 = footer_stats_summary(spark, path, ["k", "missing_col"])
+    assert got2["missing_col_min"] is None
+    assert got2["missing_col_max"] is None
+    assert got2["n_rows"] == 1000
