@@ -2762,7 +2762,37 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c) dot products aggregate with map-side combine on the pair key.
     Norms are over the pruned vectors, so dropped terms don't deflate
     the cosine — both engines compute the identical pruned geometry."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _tfidf_cosine(
+        load_table(spark, sf_dir, "documents"),
+        df_cap=None,
+        max_candidate_pairs=500_000_000,
+    )
+
+
+#: Absolute document-frequency cap for the SCALE variant. The relative
+#: df <= 25%·n stopband does NOT bound pair cost: kept terms' df grows
+#: with the corpus, so Σ df² grows QUADRATICALLY (measured: 41.8M
+#: candidates at 50k... 3.76B at 500k docs — the sf1 run DNFs, with
+#: max df 12,461 riding just under the 12,500 relative cap). A fixed
+#: absolute cap bounds Σ df² ≤ cap · |postings| — LINEAR in corpus
+#: size — at the cost of dropping mid-frequency (low-IDF) terms from
+#: the vocabulary: 256 keeps 5,213 of 6,337 kept terms at 500k docs
+#: while cutting candidates 60× (3.76B → 62.6M), and provably cannot
+#: bind at the sf0.01 oracle gate (max df there is 25).
+TFIDF_DF_CAP = 256
+
+
+def _tfidf_cosine(
+    docs: DataFrame,
+    df_cap: int | None,
+    max_candidate_pairs: int | None,
+) -> DataFrame:
+    """Shared TF-IDF cosine pipeline; ``df_cap`` adds the absolute
+    stopband (scale path), ``max_candidate_pairs`` guards the
+    unbounded form with a Σ df² estimate over kept terms (one cheap
+    aggregate over the term stats — the ngram_jaccard_pairs guard
+    pattern) so a quadratic corpus fails fast and loudly instead of
+    grinding a multi-billion-row join."""
     toks = docs.where(F.length(F.trim("text")) > 0).select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
@@ -2771,10 +2801,30 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").cast("double").alias("__n"))
+    keep = F.col("df") <= 0.25 * F.col("__n")
+    if df_cap is not None:
+        keep = keep & (F.col("df") <= df_cap)
+    if max_candidate_pairs is not None:
+        est = (
+            stats.crossJoin(F.broadcast(n))
+            .where(keep)
+            .agg(F.sum(F.col("df") * F.col("df")).alias("cand"))
+            .first()["cand"]
+        ) or 0
+        if est > max_candidate_pairs:
+            raise ValueError(
+                f"tfidf_cosine_pairs: Σ df² ≈ {int(est):,} candidate rows "
+                f"over kept terms exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — the relative 25% stopband does "
+                "not bound pair cost as the corpus grows; use "
+                "tfidf_cosine_pairs_capped (absolute df cap: linear "
+                "candidate mass, documented vocabulary drop) or raise the "
+                "cap explicitly."
+            )
     w = (
         tf.join(stats, "term")
         .crossJoin(F.broadcast(n))
-        .where(F.col("df") <= 0.25 * F.col("__n"))
+        .where(keep)
         .select(
             "doc_id",
             "term",
@@ -2799,6 +2849,37 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.3)
+    )
+
+
+_TFIDF_CAPPED_ORACLE = _TFIDF_COSINE_ORACLE.replace(
+    "WHERE stats.df <= 0.25 * (SELECT n_docs FROM n)",
+    "WHERE stats.df <= 0.25 * (SELECT n_docs FROM n) AND stats.df <= 256",
+)
+# the textual-replace derivation silently no-ops if the base oracle's
+# stopband line is ever rephrased, and the SQL literal must track the
+# Spark-side constant — fail at import instead
+assert f"stats.df <= {TFIDF_DF_CAP}" in _TFIDF_CAPPED_ORACLE
+
+
+@query("tfidf_cosine_pairs_capped", oracle=_TFIDF_CAPPED_ORACLE)
+def tfidf_cosine_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for :func:`tfidf_cosine_pairs_q`: same
+    term-keyed posting-list join, with an ABSOLUTE df cap
+    (``TFIDF_DF_CAP``) on top of the relative stopband. The relative
+    cap keeps terms whose df grows with the corpus, so Σ df² grows
+    quadratically (3.76B candidate rows at 500k docs — DNF); the
+    absolute cap bounds candidate mass at cap·|postings|, linear in
+    corpus size. The semantic is a DOCUMENTED vocabulary drop (the
+    triangle-cap pattern, plans/graph.py): cosines are computed over
+    the df ≤ min(25%·n, 256) vocabulary, exactly — the oracle
+    reproduces the same capped geometry, and at the sf0.01 gate the
+    cap provably cannot bind (max df 25), so capped ≡ uncapped
+    there."""
+    return _tfidf_cosine(
+        load_table(spark, sf_dir, "documents"),
+        df_cap=TFIDF_DF_CAP,
+        max_candidate_pairs=None,
     )
 
 

@@ -2303,3 +2303,58 @@ def test_html_extract_entities_pipeline(spark, tmp_path):
     saved = spark.read.parquet(str(tmp_path / "App.parquet"))
     assert saved.count() == 2
     assert {r.handle for r in saved.collect()} == {"/apps/alpha", "/apps/beta"}
+
+
+def test_tfidf_guard_trips_on_quadratic_candidate_mass(spark):
+    """The Σ df² guard: a corpus whose kept-term candidate mass
+    exceeds the cap must fail fast with a pointer to the capped
+    variant, not grind a multi-billion-row term join (the sf1 rehearsal
+    measured 3.76B candidates under the relative-only stopband)."""
+    import pytest
+
+    from prisma_migrator_spark.plans.llm import _tfidf_cosine
+
+    docs = spark.createDataFrame(
+        [(i, f"shared{i % 4} word{i} filler{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="tfidf_cosine_pairs_capped"):
+        _tfidf_cosine(docs, df_cap=None, max_candidate_pairs=10)
+    # generous cap: builds fine
+    _tfidf_cosine(docs, df_cap=None, max_candidate_pairs=10_000)
+
+
+def test_tfidf_capped_equals_uncapped_until_cap_binds(spark):
+    """Cap above max df: identical pairs. Cap binding on a term:
+    identical to the uncapped form on the corpus with that term
+    textually removed (dropping a term changes no other term's df or
+    IDF — the capped geometry IS the stripped-corpus geometry)."""
+    from prisma_migrator_spark.plans.llm import _tfidf_cosine
+
+    rows = []
+    for i in range(40):
+        # w df=5 (under the cap), hot df=8 (over it), y df=1; the
+        # 25% band (10) keeps everything, so cap=6 drops ONLY 'hot'
+        toks = [f"w{i % 8}", f"w{i % 8}", f"y{i}"]
+        if i < 8:
+            toks.append("hot")
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(df, cap):
+        return {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in _tfidf_cosine(
+                df, df_cap=cap, max_candidate_pairs=None
+            ).collect()
+        }
+
+    assert pairs(docs, 100) == pairs(docs, None) != set()
+
+    stripped = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\bhot\b", "")).alias("text"),
+    )
+    capped = pairs(docs, 6)
+    assert capped == pairs(stripped, None)  # capped geometry == corpus sans 'hot'
+    assert capped  # and the equality is not vacuous
