@@ -2333,25 +2333,89 @@ def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     excerpts, and doc-embedded-in-doc cases that symmetric Jaccard
     misses (a short doc inside a long one has low Jaccard but high
     containment). Same shingle-keyed Σ df² join machinery as
-    ngram_jaccard_pairs; only the final normalization differs
-    (min-size instead of union-size)."""
-    from prisma_migrator_spark.llm.dedup import ngram_jaccard_pairs, shingles
+    ngram_jaccard_pairs — and the same Σ df² guard: common shingles'
+    df grows with the corpus, so the raw self-join's candidate mass
+    is quadratic (measured 1.2M → 46.6M → 2.23B from 5k → 50k → 500k
+    docs; the unguarded form DNF'd the sf10 curve run). Past the
+    guard, use :func:`doc_containment_pairs_capped_q` — candidate
+    generation from low-df shingles with exact verification."""
+    return _doc_containment(
+        load_table(spark, sf_dir, "documents"),
+        df_cap=None,
+        max_candidate_pairs=500_000_000,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+
+#: Stop-shingle df cap for the capped containment variant's CANDIDATE
+#: generation stage (verification stays exact over full shingle
+#: sets). 64 bounds candidate mass at 64·|postings| — linear — and
+#: cuts sf10's Σ df² 28× (2.23B → 79M). Recall: a true pair is missed
+#: only if EVERY shared shingle has df > 64 — i.e. the overlap is
+#: pure corpus-wide boilerplate, the near-zero-information case (the
+#: SimHash stop-band argument, llm/dedup.py).
+CONTAINMENT_SHINGLE_DF_CAP = 64
+
+
+def _doc_containment(
+    docs: DataFrame,
+    df_cap: int | None,
+    max_candidate_pairs: int | None,
+) -> DataFrame:
+    from prisma_migrator_spark.llm.dedup import shingles
+
     sh = shingles(docs, k=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if df_cap is None:
+        if max_candidate_pairs is not None:
+            est = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.sum(F.col("df") * F.col("df")).alias("cand"))
+                .first()["cand"]
+            ) or 0
+            if est > max_candidate_pairs:
+                raise ValueError(
+                    f"doc_containment_pairs: Σ df² ≈ {int(est):,} candidate "
+                    f"rows from the shingle-df histogram exceeds "
+                    f"max_candidate_pairs={max_candidate_pairs:,}; use "
+                    "doc_containment_pairs_capped (low-df candidate "
+                    "generation + exact verification) or raise the cap."
+                )
+        pair_src = sh
+    else:
+        low = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("shingle")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        pair_src = sh.join(low, "shingle")
+    a, b = pair_src.alias("a"), pair_src.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    if df_cap is None:
+        # every shared shingle generated the pair, so candidate
+        # multiplicity IS the intersection size — no second pass
+        inter = cand.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    else:
+        # candidates came from LOW-df shingles only; the intersection
+        # must still count ALL shared shingles — re-join the full
+        # shingle sets over the (distinct) candidate pairs
+        inter = (
+            cand.distinct()
+            .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+            .join(
+                sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     cont = F.col("n_inter") / F.least("sz_a", "sz_b")
@@ -2360,6 +2424,56 @@ def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
         .where(F.col("containment") >= 0.8)
+    )
+
+
+_CONTAINMENT_CAPPED_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), low AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= {CONTAINMENT_SHINGLE_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM low)
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / LEAST(sa.sz, sb.sz) >= 0.8
+"""
+
+
+@query("doc_containment_pairs_capped", oracle=_CONTAINMENT_CAPPED_ORACLE)
+def doc_containment_pairs_capped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE path for :func:`doc_containment_pairs_q`: candidate
+    pairs come from shingles with df ≤ ``CONTAINMENT_SHINGLE_DF_CAP``
+    (candidate mass ≤ cap·|postings| — linear in corpus size), then
+    each candidate's intersection is counted EXACTLY over the full
+    shingle sets — every emitted containment value is exact; only
+    recall is capped (a pair is missed when every shared shingle is
+    over-cap: pure-boilerplate overlap). The oracle reproduces the
+    same two-stage semantics, cap value asserted in sync."""
+    return _doc_containment(
+        load_table(spark, sf_dir, "documents"),
+        df_cap=CONTAINMENT_SHINGLE_DF_CAP,
+        max_candidate_pairs=None,
     )
 
 

@@ -2358,3 +2358,52 @@ def test_tfidf_capped_equals_uncapped_until_cap_binds(spark):
     capped = pairs(docs, 6)
     assert capped == pairs(stripped, None)  # capped geometry == corpus sans 'hot'
     assert capped  # and the equality is not vacuous
+
+
+def test_containment_capped_verifies_exactly_over_full_sets(spark):
+    """The capped containment variant generates candidates from
+    low-df shingles but must count intersections over FULL shingle
+    sets: a pair sharing both rare and boilerplate shingles keeps its
+    exact (uncapped) containment value; a pair overlapping ONLY via
+    over-cap boilerplate is the documented recall loss."""
+    from prisma_migrator_spark.plans.llm import _doc_containment
+
+    boiler = "alpha beta gamma delta epsilon"  # shared by many docs
+    # docs 0..9 are PURE boilerplate (containment 1.0 pairs whose
+    # every shared shingle is over-cap — the documented recall loss)
+    rows = [(i, boiler) for i in range(10)]
+    # docs 100/101: unique rare overlap + the boilerplate
+    rows.append((100, f"{boiler} rare token run one"))
+    rows.append((101, f"{boiler} rare token run two"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def result(cap):
+        return {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in _doc_containment(
+                docs, df_cap=cap, max_candidate_pairs=None
+            ).collect()
+        }
+
+    exact = result(None)
+    capped = result(3)  # boilerplate shingles have df=12 > 3
+    assert (100, 101) in exact and (100, 101) in capped
+    # exact verification: identical containment despite capped
+    # candidate generation (the boilerplate overlap still counted)
+    assert capped[(100, 101)] == exact[(100, 101)]
+    # boilerplate-only pairs (among docs 0..9) are the recall loss
+    assert any(a < 10 and b < 10 for a, b in exact)
+    assert not any(a < 10 and b < 10 for a, b in capped)
+
+
+def test_containment_guard_trips(spark):
+    import pytest
+
+    from prisma_migrator_spark.plans.llm import _doc_containment
+
+    docs = spark.createDataFrame(
+        [(i, "same same same words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="doc_containment_pairs_capped"):
+        _doc_containment(docs, df_cap=None, max_candidate_pairs=5)
