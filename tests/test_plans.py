@@ -64,7 +64,9 @@ PINS = {
     # see PERF.md), inflating both counts — live execution scans the
     # fact 3x (one per stage) and runs 5 exchanges.
     "funnel_view_click_purchase": (8, [3, 3, 3, 3, 3, 3], False),
-    "retention_cohorts_daily": (3, [2, 2], False),
+    # r5 rework: collect_set-of-days form — one fact scan, one
+    # user-keyed exchange, one (cohort, offset) exchange, no join
+    "retention_cohorts_daily": (2, [2], False),
     "token_budget_selection": (1, [3], False),
     "length_bucketed_batches": (1, [2], False),
     # model inference is one map-side pass: zero shuffles by design
