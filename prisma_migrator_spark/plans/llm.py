@@ -2355,6 +2355,10 @@ def doc_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SimHash stop-band argument, llm/dedup.py).
 CONTAINMENT_SHINGLE_DF_CAP = 64
 
+#: Containment threshold shared by the final filter AND the capped
+#: variant's lossless candidate bound (which must track it exactly).
+_CONTAINMENT_THRESHOLD = 0.8
+
 
 def _doc_containment(
     docs: DataFrame,
@@ -2383,13 +2387,10 @@ def _doc_containment(
                 )
         pair_src = sh
     else:
-        low = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= df_cap)
-            .select("shingle")
+        stats = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        pair_src = sh.join(
+            stats.where(F.col("df") <= df_cap).select("shingle"), "shingle"
         )
-        pair_src = sh.join(low, "shingle")
     a, b = pair_src.alias("a"), pair_src.alias("b")
     cand = a.join(
         b,
@@ -2403,18 +2404,93 @@ def _doc_containment(
             F.count(F.lit(1)).alias("n_inter")
         )
     else:
-        # candidates came from LOW-df shingles only; the intersection
-        # must still count ALL shared shingles — re-join the full
-        # shingle sets over the (distinct) candidate pairs
-        inter = (
-            cand.distinct()
-            .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-            .join(
-                sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-                ["id_b", "shingle"],
+        # Candidates came from LOW-df shingles only, but the
+        # intersection must count ALL shared shingles. The r5 scale
+        # batch killed the obvious form (fan each distinct pair out by
+        # its FULL shingle sets and re-join): at 500k docs that is
+        # 26.9M candidate pairs × ~53 shingles ≈ 1.4B intermediate
+        # rows — a 60 GB shuffle spill that filled the disk. Exact
+        # replacement with no fan-out:
+        #   inter = low_inter + high_inter, where
+        #   low_inter  = candidate multiplicity (shared LOW shingles —
+        #                the pair-generating join already emits one row
+        #                per shared low shingle);
+        #   high_inter = |H_a ∩ H_b| over per-doc HIGH-shingle sets,
+        #                which are tiny: df > cap shingles are a
+        #                boilerplate-sized global vocabulary (7.9k of
+        #                20.7M distinct shingles at 500k docs).
+        # Between the two, a LOSSLESS bound prunes the candidate mass:
+        # n_inter ≤ low_inter + min(|H_a|, |H_b|), and measured
+        # candidate multiplicity is ≈1.007 (random single-shingle
+        # collisions), so pairs that cannot reach the threshold drop
+        # before any array join — survivors ≈ true near-dups.
+        low_inter = cand.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("low_inter")
+        )
+        hset = (
+            sh.join(
+                stats.where(F.col("df") > df_cap).select("shingle"),
+                "shingle",
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("hs"))
+        )
+        docstats = (
+            sizes.join(
+                hset.select("doc_id", F.size("hs").alias("hsz")),
+                "doc_id",
+                "left",
+            )
+            .na.fill({"hsz": 0})
+        )
+        # 1e-6 relative slack: the final filter compares ROUND(c, 6)
+        # ≥ 0.8, which admits true ratios down to 0.7999995 — the
+        # bound must not cut a pair the rounded filter would keep
+        bound = (F.col("low_inter") + F.least("hsz_a", "hsz_b")) / F.least(
+            "sz_a", "sz_b"
+        ) >= _CONTAINMENT_THRESHOLD - 1e-6
+        empty = F.array().cast("array<string>")
+        inter = (
+            low_inter.join(
+                docstats.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("sz").alias("sz_a"),
+                    F.col("hsz").alias("hsz_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                docstats.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("sz").alias("sz_b"),
+                    F.col("hsz").alias("hsz_b"),
+                ),
+                "id_b",
+            )
+            .where(bound)
+            .join(
+                hset.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a")),
+                "id_a",
+                "left",
+            )
+            .join(
+                hset.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b")),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("low_inter")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce("hs_a", empty),
+                            F.coalesce("hs_b", empty),
+                        )
+                    )
+                ).alias("n_inter"),
+            )
         )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
@@ -2423,7 +2499,7 @@ def _doc_containment(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
-        .where(F.col("containment") >= 0.8)
+        .where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
     )
 
 
@@ -2465,11 +2541,15 @@ def doc_containment_pairs_capped_q(
     """The SCALE path for :func:`doc_containment_pairs_q`: candidate
     pairs come from shingles with df ≤ ``CONTAINMENT_SHINGLE_DF_CAP``
     (candidate mass ≤ cap·|postings| — linear in corpus size), then
-    each candidate's intersection is counted EXACTLY over the full
-    shingle sets — every emitted containment value is exact; only
-    recall is capped (a pair is missed when every shared shingle is
-    over-cap: pure-boilerplate overlap). The oracle reproduces the
-    same two-stage semantics, cap value asserted in sync."""
+    each candidate's intersection is counted EXACTLY as
+    low-multiplicity + high-shingle-array intersect behind a lossless
+    bound prune (see the inline analysis in :func:`_doc_containment` —
+    the naive full-set re-join fanned 26.9M pairs × 53 shingles into a
+    60 GB spill at 500k docs). Every emitted containment value is
+    exact; only recall is capped (a pair is missed when every shared
+    shingle is over-cap: pure-boilerplate overlap). The oracle
+    reproduces the same capped-candidate semantics, cap value asserted
+    in sync."""
     return _doc_containment(
         load_table(spark, sf_dir, "documents"),
         df_cap=CONTAINMENT_SHINGLE_DF_CAP,

@@ -58,11 +58,15 @@ NOTES = {
         "bound holds in measurement."
     ),
     "doc_containment_pairs_capped": (
-        "the scale path for the DNF'd naive form; first-pass sf10 "
-        "(1057.7s) overlapped a concurrent pytest run — superseded "
-        "by the idle re-run (rerun2). Candidate generation from "
-        "low-df shingles is cap-bounded; verification fan-out is "
-        "pairs x doc-size, linear."
+        "three generations measured: (1) contaminated first pass "
+        "1057.7s at sf10; (2) idle re-run of the SAME code filled "
+        "the disk (60GB+ shuffle spill) and DNF'd — the full-set "
+        "verification re-join fanned 26.9M candidate pairs x ~53 "
+        "shingles into ~1.4B rows; (3) reworked verification "
+        "(low-multiplicity + tiny high-shingle array intersect "
+        "behind a lossless bound prune — measured candidate "
+        "multiplicity is 1.007, so the bound kills ~everything) "
+        "lands 3.2/11.7/33.8s — work-proportional (rerun3 lines)."
     ),
     "_protocol_batch2": (
         "the first-pass sf10 lines for the two capped variants ran "
