@@ -1009,3 +1009,92 @@ def customer_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frequency") > F.col("f_cut")).cast("int").alias("f_hi"),
         (F.col("monetary") > F.col("m_cut")).cast("int").alias("m_hi"),
     )
+
+
+# --- Pareto frontier (skyline) ------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price, p.p_size AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """All rows not dominated under (``minimize`` lower-is-better,
+    ``maximize`` higher-is-better); ties on both axes all survive
+    (dominance requires one STRICT inequality).
+
+    The naive form is the quadratic NOT EXISTS self-join (the oracle
+    keeps it). The 2-D skyline is a prefix-max scan instead: group to
+    per-``minimize``-value champions (same value, smaller ``maximize``
+    is dominated), then a value is on the frontier iff its champion
+    strictly exceeds the running max over all strictly-cheaper values.
+    Distribution follows ``global_running_offset``'s two-level shape —
+    uniform value-range buckets, per-bucket maxima composed through a
+    bucket-count-bounded global window, in-bucket prefix max per task —
+    so no single task ever sees more than one bucket of champions and
+    the frontier-pair frame (never larger than the distinct-value
+    count, usually tiny) broadcasts back into a semi join against the
+    fact. Two fact scans, both column-pruned to the axis columns.
+    """
+    from prisma_migrator_spark.operators.ranking import bounded_global_window
+
+    lo_c, hi_c = minimize, maximize
+    champs = df.groupBy(lo_c).agg(F.max(hi_c).alias("__s"))
+
+    lo, hi = champs.agg(F.min(lo_c), F.max(lo_c)).first()
+    if lo is None:
+        return df.limit(0)
+    span = (float(hi) - float(lo)) / n_buckets or 1.0
+    b = F.least(
+        (F.col(lo_c) - F.lit(float(lo))) / F.lit(span), F.lit(n_buckets - 1)
+    ).cast("long")
+    bucketed = champs.withColumn("__b", b)
+
+    totals = bucketed.groupBy("__b").agg(F.max("__s").alias("__m"))
+    w_b = bounded_global_window(
+        F.col("__b"), anchor="__b", bound=f"n_buckets={n_buckets} bucket maxima"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select("__b", F.max("__m").over(w_b).alias("__base"))
+
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(lo_c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        bucketed.join(F.broadcast(bases), "__b")
+        .withColumn("__prev", F.greatest(F.max("__s").over(w_in), F.col("__base")))
+        .where(F.col("__prev").isNull() | (F.col("__s") > F.col("__prev")))
+        .select(lo_c, F.col("__s").alias(hi_c))
+    )
+    return df.join(F.broadcast(frontier), [lo_c, hi_c], "left_semi")
+
+
+@query("pareto_parts_price_size", oracle=_PARETO_ORACLE)
+def pareto_parts_price_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline over parts: cheapest price per size class — no part in
+    the result is beaten on BOTH axes by any other part. The shape
+    behind any 'best tradeoff' screen (cost vs quality, latency vs
+    recall). Oracle keeps the quadratic NOT EXISTS dominance join;
+    the Spark plan is the linear prefix-max form, so the hash match
+    also proves the rewrite."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = pareto_frontier_2d(part, minimize="p_retailprice", maximize="p_size")
+    return out.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    )

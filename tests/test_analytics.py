@@ -269,3 +269,48 @@ def test_apps_by_category_dynamic_assembly(spark, sf_dir):
     pick = {r.l_partkey: tuple(r) for r in base.collect()}
     for r in both.collect():
         assert tuple(r) == pick[r.l_partkey]
+
+
+def test_pareto_frontier_2d_constructed(spark):
+    """Edge cases the sf fixture can't isolate: both-axes ties all
+    survive, same-price smaller-size is dominated, equal-max across
+    a bucket boundary is dominated (strict > against the cross-bucket
+    base), and a brute-force dominance check agrees row-for-row."""
+    from prisma_migrator_spark.plans.analytics import pareto_frontier_2d
+
+    rows = [
+        # (id, price, size)
+        (1, 10.0, 5),
+        (2, 10.0, 5),    # exact tie with 1 -> both on frontier
+        (3, 10.0, 4),    # same price, smaller size -> dominated by 1
+        (4, 9.0, 5),     # dominates 1/2 on price? equal size, cheaper:
+                         # 1/2 dominated -> only 4 survives of the 5s
+        (5, 8.0, 2),
+        (6, 12.0, 5),    # equal size, pricier than 4 -> dominated
+        (7, 11.0, 7),
+        (8, 20.0, 7),    # equal size as 7, pricier -> dominated
+        (9, 30.0, 9),
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, size int")
+    got = {
+        r.id
+        for r in pareto_frontier_2d(
+            df, minimize="price", maximize="size", n_buckets=4
+        ).collect()
+    }
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in rows
+        )
+
+    want = {p[0] for p in rows if not dominated(p)}
+    assert got == want == {4, 5, 7, 9}
+
+    # single-value degenerate input: everything ties, everything stays
+    one = spark.createDataFrame([(1, 5.0, 3), (2, 5.0, 3)],
+                                "id int, price double, size int")
+    assert {
+        r.id for r in pareto_frontier_2d(one, "price", "size").collect()
+    } == {1, 2}
