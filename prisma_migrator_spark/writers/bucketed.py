@@ -31,6 +31,11 @@ def write_bucketed(
     bucket of the larger table fits an executor's memory at the
     target scale; both sides of a co-located join must use the same
     bucket count and columns."""
+    # One task (and therefore one file) per bucket: without this,
+    # every input partition writes its own file into every bucket —
+    # P×N small files — and Spark only trusts bucket-local sort order
+    # (eliding the join-side Sort) when a bucket is a single file.
+    df = df.repartition(num_buckets, *bucket_cols)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
