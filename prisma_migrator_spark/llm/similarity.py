@@ -650,3 +650,147 @@ def topk_pq(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def topk_ivf_pq(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 5,
+    ksub: int = 16,
+    iters: int = 1,
+    rerank: int = 0,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF × PQ — the production composition (FAISS
+    IVFADC; Jégou et al. 2011, PAPERS.md). The two quantizers attack
+    different costs and multiply: IVF prunes WHICH rows a probe
+    visits (its ``nprobe`` nearest cells of the inverted file), PQ
+    shrinks what each visit COSTS (m byte-code lookups against a
+    per-probe ADC table instead of dim float multiplies against a
+    vector that had to be read from disk). Candidate volume is
+    |probes|·nprobe·(n/C) rows of m-byte codes — at 100 TB the raw
+    vectors are written once at ingest and never scanned again.
+
+    ``rerank > 0`` adds the FAISS refine stage: the top ``rerank``
+    ADC candidates per probe (a |probes|·rerank-row frame, tiny by
+    construction) join back to the raw vectors for exact cosine, and
+    top-k is taken from that — quantization error buys one narrow
+    join instead of recall.
+
+    The index frame (cluster id + PQ codes) is computed in ONE
+    map-side pass over the corpus: both quantizers are argmin scans
+    against broadcast codebook literals, so there is no
+    assign-join-encode shuffle.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cents = train_ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    books = train_pq_codebooks(corpus, dim, m, ksub, iters, id_col, vec_col)
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    # one map-side pass: cluster assignment + PQ codes off the same row
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    u = F.transform(F.col(vec_col), lambda x: x / F.col("__norm"))
+    code_cols = []
+    for (start, ln), book in zip(_sub_slices(dim, len(books)), books):
+        dists = _book_dists(F.slice(u, start, ln), book)
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    index = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cluster_id",
+        F.array(*code_cols).alias("pq_codes"),
+    )
+
+    # probe side: nprobe nearest cells + the ADC lookup table, together
+    p = probes.select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).withColumn("__norm", _norm(F.col(vec_col)))
+    sims = _centroid_sims(F.col(vec_col), F.col("__norm"), cents)
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    sims,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda s, i: F.struct(s.alias("sim"), i.alias("idx")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    pu = F.transform(F.col(vec_col), lambda x: x / F.col("__norm"))
+    luts = [
+        _book_dists(F.slice(pu, start, ln), book)
+        for (start, ln), book in zip(_sub_slices(dim, m), books)
+    ]
+    pb = p.select(
+        F.col(id_col).alias("probe_id"),
+        F.array(*luts).alias("__lut"),
+        F.explode(ranked["idx"]).alias("cluster_id"),
+    )
+
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.col("__lut"),
+            lambda c, lut: F.element_at(lut, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        index.join(F.broadcast(pb), "cluster_id")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", F.round(adc, 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w_adc))
+            .where(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "adc_dist", "rank")
+        )
+
+    cands = scored.withColumn("rank", F.row_number().over(w_adc)).where(
+        F.col("rank") <= rerank
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    ).withColumn("__nn", _norm(F.col("__nv")))
+    praw = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+    ).withColumn("__pn", _norm(F.col("__pv")))
+    exact = (
+        cands.join(raw, "neighbor_id")
+        .join(F.broadcast(praw), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__pv"), F.col("__nv"))
+                / (F.col("__pn") * F.col("__nn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_cos = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

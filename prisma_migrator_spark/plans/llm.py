@@ -734,6 +734,24 @@ def topk_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, probes, k=5, n_centroids=16, nprobe=4)
 
 
+@query("topk_cosine_ivf_pq")  # rows-only: ANN; recall pinned in pytest
+# on planted clusters (fixture embeddings are near-isotropic random)
+def topk_cosine_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition (FAISS IVFADC): IVF cells prune
+    which corpus rows a probe visits, PQ byte codes shrink what each
+    visit costs, and the top ADC candidates rerank against the raw
+    vectors for exact cosine (the refine stage). `topk_cosine_ivf`
+    and `topk_cosine_pq` keep each effect testable alone; this is
+    the shape a 100 TB vector corpus actually serves."""
+    from prisma_migrator_spark.llm.similarity import topk_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return topk_ivf_pq(
+        emb, probes, k=5, n_centroids=16, nprobe=4, m=10, ksub=16, rerank=20
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------
 
 _MULTIMODAL_ORACLE = """
