@@ -733,3 +733,111 @@ def basket_lift_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- community detection: synchronous label propagation ----------------
+
+#: Fixed LPA iteration count — fixed (like _N_ITER) so the result is
+#: deterministic and the oracle can unroll the same rounds.
+_LPA_ITER = 2
+
+
+def label_propagation(pairs: DataFrame, n_iter: int = _LPA_ITER) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected graph given as one-direction (pa < pb) distinct pairs.
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the most frequent label among its NEIGHBORS (self label
+    excluded — the classic formulation), ties broken to the smallest
+    label. Synchronous rounds + the deterministic tie-break make the
+    result engine-reproducible — the asynchronous variant's
+    order-dependence is exactly what an oracle can't check.
+
+    Scale shape (mirrors :func:`pagerank_symmetric`):
+    - the pair list is checkpointed ONCE and never reshuffles; each
+      round probes the broadcast |V|-row label frame twice (pa-side
+      and pb-side messages, both map-side);
+    - a round's cost is the two irreducible aggregations over the
+      |2E| message rows: count per (node, label), then argmax per
+      node — both with map-side partials, carrying (bigint, bigint,
+      count) rows only;
+    - label state is |V| rows re-broadcast per round, same memory
+      bound as pagerank's rank_w (for vertex sets too big to
+      broadcast, swap the message joins to shuffle joins — the round
+      structure is unchanged).
+    """
+    pairs_p = pairs.select("pa", "pb").localCheckpoint()
+    labels = (
+        pairs_p.select(F.col("pa").alias("node"))
+        .unionByName(pairs_p.select(F.col("pb").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(n_iter):
+        lw = F.broadcast(labels)
+        msgs = (
+            pairs_p.join(lw, pairs_p.pa == lw.node)
+            .select(F.col("pb").alias("n"), "label")
+            .unionByName(
+                pairs_p.join(lw, pairs_p.pb == lw.node).select(
+                    F.col("pa").alias("n"), "label"
+                )
+            )
+        )
+        counts = msgs.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = counts.groupBy("n").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("__m")
+        ).select(F.col("n").alias("node"), (-F.col("__m.nl")).alias("label"))
+    return labels
+
+
+_LPA_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+), c1 AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l0 l ON l.node = e.src
+  GROUP BY e.dst, l.label
+), l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c1) t
+  WHERE rn = 1
+), c2 AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l1 l ON l.node = e.src
+  GROUP BY e.dst, l.label
+), l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c2) t
+  WHERE rn = 1
+)
+SELECT node AS part, label AS community FROM l2
+"""
+
+
+@query("copurchase_communities", oracle=_LPA_ORACLE)
+def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: which parts
+    cluster into purchasing neighborhoods? {_LPA_ITER} synchronous
+    LPA rounds with min-label tie-break; the oracle unrolls the same
+    rounds, so the hash match proves the Spark message/argmax
+    pipeline implements the recurrence exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    labels = label_propagation(copurchase_pairs(li), n_iter=_LPA_ITER)
+    return labels.select(
+        F.col("node").alias("part"), F.col("label").alias("community")
+    )

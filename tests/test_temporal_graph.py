@@ -353,3 +353,48 @@ def test_incremental_sessionize_full_precision_sums(spark):
     assert [tuple(r) for r in incr.collect()] == [
         tuple(r) for r in full.collect()
     ]
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Two triangles joined by a single bridge edge must resolve to
+    two communities (each triangle adopts its min id); a star graph
+    collapses to the hub's neighborhood label. Verified against a
+    literal Python transcription of the synchronous recurrence on
+    both shapes, so the Spark message/argmax pipeline and the
+    min-label tie-break are pinned independently of the SQL oracle."""
+    from prisma_migrator_spark.plans.graph import label_propagation
+
+    def python_lpa(pair_list, n_iter):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in pair_list:
+            adj[a].add(b)
+            adj[b].add(a)
+        labels = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v in adj:
+                cnt = collections.Counter(labels[u] for u in adj[v])
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            labels = new
+        return labels
+
+    cases = [
+        # two triangles + bridge
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        # star: hub 10, leaves 11..15
+        [(10, x) for x in range(11, 16)],
+        # chain with a tie for node 3's neighbors (2 and 4 both
+        # singleton labels -> min wins)
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+    ]
+    for n_iter in (1, 2, 3):
+        for pair_list in cases:
+            df = spark.createDataFrame(pair_list, "pa bigint, pb bigint")
+            got = {
+                r.node: r.label
+                for r in label_propagation(df, n_iter=n_iter).collect()
+            }
+            assert got == python_lpa(pair_list, n_iter), (n_iter, pair_list)
