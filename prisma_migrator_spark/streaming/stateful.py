@@ -421,3 +421,87 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- running top-k leaderboard per key ---------------------------------
+
+_TOPK_OUTPUT_SCHEMA = (
+    "event_type string, version bigint, rank int, event_id bigint, "
+    "value double"
+)
+#: Leaderboard as parallel arrays + a monotone snapshot counter —
+#: exactly k entries regardless of stream length.
+_TOPK_STATE_SCHEMA = "ids array<bigint>, vals array<double>, version bigint"
+
+
+def streaming_topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
+    """Running top-k events by value per event type, maintained across
+    micro-batches — the streaming dual of
+    ``operators/ranking.topk_per_group``.
+
+    Each micro-batch merges the key's arrivals into the k-row
+    leaderboard held in state (deterministic order: value DESC,
+    event_id ASC; duplicate event ids from redelivery collapse to
+    their first/best sighting) and, ONLY when the leaderboard
+    changed, emits a full snapshot stamped with a per-key monotone
+    ``version`` — append mode stays valid because old snapshots are
+    never retracted; downstream reads the max version per key.
+
+    Scale shape: state is exactly k (id, value) pairs per key — fixed
+    memory however long the stream runs; unchanged keys emit nothing,
+    so sink volume tracks leaderboard churn, not input volume. Keys
+    are hash-partitioned across executors by the state store as
+    usual.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        ids, vals, version = (
+            state.get if state.exists else ([], [], 0)
+        )
+        cur = list(zip(ids, vals))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ok = batch["value"].notna()
+        merged = cur + [
+            (int(e), float(v))
+            for e, v in zip(batch["event_id"][ok], batch["value"][ok])
+        ]
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        top: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for e, v in merged:
+            if e not in seen:
+                seen.add(e)
+                top.append((e, v))
+            if len(top) == k:
+                break
+        if top == cur:
+            return
+        version += 1
+        state.update(([e for e, _ in top], [v for _, v in top], version))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "version": version,
+                "rank": i + 1,
+                "event_id": e,
+                "value": v,
+            }
+            for i, (e, v) in enumerate(top)
+        )
+
+    return events.select("event_type", "event_id", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_TOPK_OUTPUT_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2472,3 +2472,70 @@ def test_ivf_pq_composition_recall_and_refine(spark):
     per = Counter(p for p, _ in refined)
     assert set(per.values()) == {5}
     assert sorted(r.rank for r in refined_rows if r.probe_id == refined_rows[0].probe_id) == [1, 2, 3, 4, 5]
+
+
+def test_streaming_topk_matches_batch(spark, sf_dir, tmp_path):
+    """Running top-k leaderboard: staged input drained in two passes;
+    after each drain the max-version snapshot per key must equal the
+    batch topk_per_group over everything ingested so far (the
+    streaming answer is right at every point, not just at the end),
+    versions are per-key dense from 1, every snapshot's ranks are
+    dense, and consecutive snapshots of a key always differ (the
+    emit-on-change contract that keeps sink volume bounded)."""
+    from prisma_migrator_spark.operators.ranking import topk_per_group
+    from prisma_migrator_spark.streaming.jobs import run_to_parquet
+    from prisma_migrator_spark.streaming.stateful import streaming_topk_per_key
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).where(F.col("value").isNotNull())
+    half = events.count() // 2
+    stage1 = events.where(F.col("event_id") < half)
+    stage2 = events.where(F.col("event_id") >= half)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "event_id bigint, event_type string, value double"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_to_parquet(streaming_topk_per_key(stream, k=3), out, ckpt)
+        sink = spark.read.parquet(out)
+        latest = sink.join(
+            sink.groupBy("event_type").agg(F.max("version").alias("version")),
+            ["event_type", "version"],
+        )
+        return {
+            (r.event_type, r.rank): (r.event_id, r.value)
+            for r in latest.collect()
+        }, sink
+
+    def batch_topk(df):
+        got = topk_per_group(
+            df, ["event_type"], "value", 3, tiebreakers=["event_id"]
+        )
+        return {
+            (r.event_type, r.rn): (r.event_id, r.value) for r in got.collect()
+        }
+
+    stage1.write.parquet(src, mode="append")
+    snap1, _ = drain()
+    assert snap1 == batch_topk(stage1)
+
+    stage2.write.parquet(src, mode="append")
+    snap2, sink = drain()
+    assert snap2 == batch_topk(events)
+
+    pdf = sink.toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        vs = sorted(grp["version"].unique())
+        # versions dense per key from 1 (monotone, never retracted)
+        assert vs == list(range(1, len(vs) + 1)), (et, vs)
+        boards = {}
+        for v, g in grp.groupby("version"):
+            assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+            boards[v] = tuple(
+                sorted(map(tuple, g[["event_id", "value"]].values.tolist()))
+            )
+        # emit-on-change: every emitted snapshot differs from its
+        # predecessor (duplicates would mean wasted sink volume)
+        assert len(set(boards.values())) == len(boards), et
