@@ -22,14 +22,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Round-5 driver window rotation (VERDICT r4 item 4): the driver gates
 # the FIRST 50 registry entries each round; 50 oracle-backed queries
 # had never received a driver CORRECTNESS row after four rounds. This
-# window leads with the 39 never-windowed oracle-backed queries, then
-# 11 previously-green representatives — one per major family, biased
+# window leads with 41 never-windowed oracle-backed queries (39 from
+# the r4 backlog + 2 added mid-r5), then
+# previously-green representatives — one per major family, biased
 # toward queries whose plans changed most recently
 # (embedding_near_dup_lsh: stop-band mask fix; pack_stream_512:
 # bounded offset window). Everything past the window still runs in
 # the replica gate (tools/drive_driver.py, 151/151).
 WINDOW_R5 = [
-    # -- never-windowed, oracle-backed (39) --
+    # -- never-windowed, oracle-backed --
     "retention_cohorts_daily",
     "events_gapfill_6h",
     "region_counts_unpivot",
@@ -69,7 +70,10 @@ WINDOW_R5 = [
     "event_value_outliers",
     "user_value_ses",
     "part_running_balance",
-    # -- previously-green family representatives (11) --
+    # -- added mid-r5, never gated --
+    "pareto_parts_price_size",
+    "copurchase_communities",
+    # -- previously-green family representatives (9) --
     "flagship_popularity",
     "category_difficulty",
     "apps_by_category",
@@ -79,8 +83,6 @@ WINDOW_R5 = [
     "multimodal_meta",
     "decontaminate_eval",
     "pack_stream_512",
-    "asof_last_order",
-    "incremental_sessions",
 ]
 
 
