@@ -42,7 +42,11 @@ _N_ITER = 3
 _ITER_SCALE = 9
 
 
-def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+def copurchase_pairs(
+    lineitem: DataFrame,
+    distinct: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
     """One-direction distinct co-purchase pairs (pa < pb): parts
     appearing in the same order.
 
@@ -55,7 +59,20 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     pairs per array); for unbounded baskets use the join form (see
     ``basket_lift_pairs``) or cap the basket first. The cross-order
     ``distinct`` is the one remaining wide shuffle — irreducible, it
-    IS the edge-set semantics."""
+    IS the edge-set semantics. Pass ``distinct=False`` when the
+    caller's next step is itself a repartition that makes the dedup
+    partition-local (see :func:`label_propagation`) — paying the wide
+    shuffle here too would double it.
+
+    ``n_partitions`` widens the basket aggregation beyond the session
+    shuffle default: the collect_set agg is an ObjectHashAggregate
+    whose per-task buffers (one array per in-flight order) make it
+    memory-bound, so at large SF it wants smaller task slices than
+    the CPU-sized default. The explicit repartition keys the same
+    column the groupBy needs, so the agg runs partition-local at the
+    requested width — one shuffle either way, just wider."""
+    if n_partitions is not None:
+        lineitem = lineitem.repartition(n_partitions, "l_orderkey")
     baskets = lineitem.groupBy(F.col("l_orderkey")).agg(
         F.array_sort(F.collect_set("l_partkey")).alias("__ps")
     )
@@ -69,12 +86,12 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
+    out = (
         baskets.where(F.size(ps) >= 2)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -742,7 +759,11 @@ def basket_lift_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ITER = 2
 
 
-def label_propagation(pairs: DataFrame, n_iter: int = _LPA_ITER) -> DataFrame:
+def label_propagation(
+    pairs: DataFrame,
+    n_iter: int = _LPA_ITER,
+    n_edge_partitions: int | None = None,
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected graph given as one-direction (pa < pb) distinct pairs.
 
@@ -753,43 +774,116 @@ def label_propagation(pairs: DataFrame, n_iter: int = _LPA_ITER) -> DataFrame:
     result engine-reproducible — the asynchronous variant's
     order-dependence is exactly what an oracle can't check.
 
-    Scale shape (mirrors :func:`pagerank_symmetric`):
-    - the pair list is checkpointed ONCE and never reshuffles; each
-      round probes the broadcast |V|-row label frame twice (pa-side
-      and pb-side messages, both map-side);
-    - a round's cost is the two irreducible aggregations over the
-      |2E| message rows: count per (node, label), then argmax per
-      node — both with map-side partials, carrying (bigint, bigint,
-      count) rows only;
-    - label state is |V| rows re-broadcast per round, same memory
-      bound as pagerank's rank_w (for vertex sets too big to
-      broadcast, swap the message joins to shuffle joins — the round
-      structure is unchanged).
+    Scale shape — ONE wide shuffle total, zero exchanges per round
+    (the iteration cost is paid once, at edge materialization — the
+    same "pay the shuffle at write time" move as the bucketed-table
+    layout):
+    - the symmetric edge list is built from NON-deduplicated pair
+      instances, repartitioned by ``dst`` (the message RECEIVER),
+      deduplicated partition-locally (dst-partitioning satisfies the
+      (src, dst) clustering, so the distinct costs no exchange — and
+      the usual pair-level wide ``distinct`` is skipped, pass
+      ``copurchase_pairs(..., distinct=False)``), and persisted.
+      ``persist`` (not ``localCheckpoint``) is deliberate twice
+      over: a checkpointed RDD scan forgets its
+      ``outputPartitioning`` (bringing the per-round exchange back),
+      and an evicted checkpoint block is fatal while an evicted
+      cache block just recomputes;
+    - every round's broadcast-hash join preserves that partitioning,
+      so the per-round aggregate needs NO exchange — a round is one
+      in-memory edge scan + a partition-local aggregate;
+    - round 1 never runs the general update at all: from identity
+      labels on a simple graph every neighbor label is distinct, so
+      every count is 1 and the most-frequent-tie-to-lowest rule
+      degenerates to ``min(neighbor id)`` — a plain vectorized MIN
+      with no join and no label state (this also yields the initial
+      label frame for free, replacing the separate distinct-nodes
+      pass);
+    - later rounds run count-per-(dst, label) then a max-struct
+      argmax — BOTH partition-local under the dst-partitioning, both
+      whole-stage-codegen HashAggregates over primitive buffers.
+      Two rejected alternates, both measured at sf10 (90M pairs, 2M
+      nodes, PERF.md #58): the same count+argmax as two free-standing
+      aggregations shuffles near-edge-mass almost-unique keys twice
+      (478 s end to end); ``mode(label, deterministic=true)`` — LPA's
+      update rule as one aggregate — avoids the shuffles but its
+      ObjectHashAggregate map buffers run ~3× slower than the
+      codegen'd pair (61 s vs 22 s for the round);
+    - label state is |V| rows, eagerly localCheckpoint'ed per round
+      (iterative-state discipline, PERF.md #29) and re-broadcast
+      (for vertex sets too big to broadcast, swap the message join
+      to a shuffle join — the round structure is unchanged).
     """
-    pairs_p = pairs.select("pa", "pb").localCheckpoint()
-    labels = (
-        pairs_p.select(F.col("pa").alias("node"))
-        .unionByName(pairs_p.select(F.col("pb").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    for _ in range(n_iter):
-        lw = F.broadcast(labels)
-        msgs = (
-            pairs_p.join(lw, pairs_p.pa == lw.node)
-            .select(F.col("pb").alias("n"), "label")
-            .unionByName(
-                pairs_p.join(lw, pairs_p.pb == lw.node).select(
-                    F.col("pa").alias("n"), "label"
-                )
+    # The edge materialization is memory-bound (dedup hash table +
+    # the persist itself), not CPU-bound: the session's default
+    # shuffle parallelism (sized ≈ cores) starves it at scale —
+    # measured at sf10 (180M edges): 182 s wall at 32 partitions vs
+    # 86 s at 128, the difference being dedup/persist spill. 4× the
+    # cluster's core count keeps one task's slice of the graph small
+    # enough to build and cache without thrashing.
+    if n_edge_partitions is None:
+        try:
+            n_edge_partitions = (
+                4 * pairs.sparkSession.sparkContext.defaultParallelism
             )
+        except Exception:  # Spark Connect: no SparkContext access
+            n_edge_partitions = 256
+    # both directions from ONE pass over the pair stream (a
+    # two-branch union would execute the whole upstream pair
+    # generation twice — there is deliberately no checkpoint above us)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        counts = msgs.groupBy("n", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = counts.groupBy("n").agg(
-            F.max(
-                F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-            ).alias("__m")
-        ).select(F.col("n").alias("node"), (-F.col("__m.nl")).alias("label"))
+        .select("e.src", "e.dst")
+        .repartition(n_edge_partitions, "dst")
+        .dropDuplicates(["src", "dst"])  # partition-local, no exchange
+        .persist()
+    )
+    if n_iter <= 0:
+        labels = (
+            edges.select(F.col("dst").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()
+        )
+        edges.unpersist()
+        return labels
+    # round 1 = min(neighbor id): identity labels, all-distinct ⇒ tie
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("label"))
+        .select(F.col("dst").alias("node"), "label")
+        .localCheckpoint()
+    )
+    for _ in range(n_iter - 1):
+        lw = F.broadcast(labels)
+        counts = (
+            edges.join(lw, edges.src == lw.node)
+            .select("dst", "label")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            counts.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("label")).alias("nl"))
+                ).alias("__m")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("__m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
     return labels
 
 
@@ -837,7 +931,15 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, so the hash match proves the Spark message/argmax
     pipeline implements the recurrence exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    labels = label_propagation(copurchase_pairs(li), n_iter=_LPA_ITER)
+    try:
+        width = 4 * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect
+        width = 256
+    labels = label_propagation(
+        copurchase_pairs(li, distinct=False, n_partitions=width),
+        n_iter=_LPA_ITER,
+        n_edge_partitions=width,
+    )
     return labels.select(
         F.col("node").alias("part"), F.col("label").alias("community")
     )

@@ -392,7 +392,12 @@ def test_label_propagation_matches_python_reference(spark):
     ]
     for n_iter in (1, 2, 3):
         for pair_list in cases:
-            df = spark.createDataFrame(pair_list, "pa bigint, pb bigint")
+            # duplicated pair instances must not weight the votes —
+            # the operator dedups partition-locally after its own
+            # repartition (callers skip the wide distinct)
+            df = spark.createDataFrame(
+                pair_list + pair_list[:2], "pa bigint, pb bigint"
+            )
             got = {
                 r.node: r.label
                 for r in label_propagation(df, n_iter=n_iter).collect()

@@ -73,6 +73,13 @@ GRAPH_FAMILY = [
     "copurchase_triangles_sampled",
 ]
 
+# Round-5c additions (curves in SCALE_r05 `queries_batch3`).
+R5C_FAMILY = [
+    "pareto_parts_price_size",
+    "copurchase_communities",
+    "topk_cosine_ivf_pq",
+]
+
 
 def run(sf_dir: str, names: list[str]) -> dict:
     spark = get_spark("pms-scale-bench")
