@@ -814,41 +814,7 @@ def label_propagation(
       (for vertex sets too big to broadcast, swap the message join
       to a shuffle join — the round structure is unchanged).
     """
-    # The edge materialization is memory-bound (dedup hash table +
-    # the persist itself), not CPU-bound: the session's default
-    # shuffle parallelism (sized ≈ cores) starves it at scale —
-    # measured at sf10 (180M edges): 182 s wall at 32 partitions vs
-    # 86 s at 128, the difference being dedup/persist spill. 4× the
-    # cluster's core count keeps one task's slice of the graph small
-    # enough to build and cache without thrashing.
-    if n_edge_partitions is None:
-        try:
-            n_edge_partitions = (
-                4 * pairs.sparkSession.sparkContext.defaultParallelism
-            )
-        except Exception:  # Spark Connect: no SparkContext access
-            n_edge_partitions = 256
-    # both directions from ONE pass over the pair stream (a
-    # two-branch union would execute the whole upstream pair
-    # generation twice — there is deliberately no checkpoint above us)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("pa").alias("src"), F.col("pb").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("pb").alias("src"), F.col("pa").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .repartition(n_edge_partitions, "dst")
-        .dropDuplicates(["src", "dst"])  # partition-local, no exchange
-        .persist()
-    )
+    edges = _lpa_edges(pairs, n_edge_partitions)
     if n_iter <= 0:
         labels = (
             edges.select(F.col("dst").alias("node"))
@@ -866,25 +832,119 @@ def label_propagation(
         .localCheckpoint()
     )
     for _ in range(n_iter - 1):
-        lw = F.broadcast(labels)
-        counts = (
-            edges.join(lw, edges.src == lw.node)
-            .select("dst", "label")
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        labels = (
-            counts.groupBy("dst")
-            .agg(
-                F.max(
-                    F.struct(F.col("__c"), (-F.col("label")).alias("nl"))
-                ).alias("__m")
-            )
-            .select(F.col("dst").alias("node"), (-F.col("__m.nl")).alias("label"))
-            .localCheckpoint()
-        )
+        labels = _lpa_round(edges, labels)
     edges.unpersist()
     return labels
+
+
+def _lpa_edges(pairs: DataFrame, n_edge_partitions: int | None) -> DataFrame:
+    """Materialize the symmetric, receiver-partitioned, deduplicated,
+    persisted edge frame every LPA round scans (see
+    :func:`label_propagation` for the why of each step).
+
+    The edge materialization is memory-bound (dedup hash table + the
+    persist itself), not CPU-bound: the session's default shuffle
+    parallelism (sized ≈ cores) starves it at scale — measured at
+    sf10 (180M edges): 182 s wall at 32 partitions vs 86 s at 128,
+    the difference being dedup/persist spill. 4× the cluster's core
+    count keeps one task's slice of the graph small enough to build
+    and cache without thrashing.
+    """
+    if n_edge_partitions is None:
+        try:
+            n_edge_partitions = (
+                4 * pairs.sparkSession.sparkContext.defaultParallelism
+            )
+        except Exception:  # Spark Connect: no SparkContext access
+            n_edge_partitions = 256
+    # both directions from ONE pass over the pair stream (a
+    # two-branch union would execute the whole upstream pair
+    # generation twice — there is deliberately no checkpoint above us)
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(n_edge_partitions, "dst")
+        .dropDuplicates(["src", "dst"])  # partition-local, no exchange
+        .persist()
+    )
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One general synchronous LPA round: exchange-free count +
+    max-struct argmax over the receiver-partitioned edges; the new
+    |V|-row label frame comes back eagerly checkpointed."""
+    lw = F.broadcast(labels)
+    counts = (
+        edges.join(lw, edges.src == lw.node)
+        .select("dst", "label")
+        .groupBy("dst", "label")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        counts.groupBy("dst")
+        .agg(
+            F.max(
+                F.struct(F.col("__c"), (-F.col("label")).alias("nl"))
+            ).alias("__m")
+        )
+        .select(F.col("dst").alias("node"), (-F.col("__m.nl")).alias("label"))
+        .localCheckpoint()
+    )
+
+
+def label_propagation_converged(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    n_edge_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`label_propagation` run to a FIXED POINT: rounds stop as
+    soon as no node changes its label (or at ``max_iter``). Returns
+    ``(labels, rounds_run)``.
+
+    The fixed-iteration form is the oracle-able contract (DuckDB can
+    unroll k rounds; it cannot express "until converged"); this is
+    the production form — community structure is done when it stops
+    moving, not after a magic round count. The convergence probe is
+    a |V|-row join + 1-row count per round against the two
+    checkpointed label frames — noise next to the round itself. Same
+    caveat as classic LPA: on bipartite-ish structures synchronous
+    updates can 2-cycle instead of converging; ``max_iter`` bounds
+    that, and the caller sees the bound was hit because
+    ``rounds_run == max_iter``.
+    """
+    edges = _lpa_edges(pairs, n_edge_partitions)
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("label"))
+        .select(F.col("dst").alias("node"), "label")
+        .localCheckpoint()
+    )
+    rounds = 1
+    while rounds < max_iter:
+        new = _lpa_round(edges, labels)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        rounds += 1
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels, rounds
 
 
 _LPA_ORACLE = f"""

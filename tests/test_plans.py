@@ -148,11 +148,19 @@ PINS = {
     "embedding_near_dup_lsh": (2, [], False),
     # real BMP decode: one scan, zero shuffles (map-only Arrow stage)
     "image_metadata": (0, [2], False),
-    # part_copurchase_pagerank and semantic_canonical_docs are NOT
-    # pinnable this way: their persisted iteration state (ranks /
-    # component labels) makes the plan PRINTER re-emit cached subtrees
-    # once per consumer (same artifact as corpus_recipe — see PERF.md);
-    # both are covered by the plan-audit known-good list instead.
+    # --- round-5c additions ---
+    # skyline: champs agg + bucket totals + two __b-keyed window
+    # exchanges over the distinct-price frame; frontier broadcasts
+    # into the semi join; all three part scans column-pruned
+    "pareto_parts_price_size": (5, [2, 2, 3], False),
+    # part_copurchase_pagerank, semantic_canonical_docs, and
+    # copurchase_communities are NOT pinnable this way: their
+    # persisted/checkpointed iteration state (ranks / component
+    # labels / LPA edges+labels) makes the plan PRINTER re-emit
+    # cached subtrees once per consumer (same artifact as
+    # corpus_recipe — see PERF.md); they are covered by the
+    # plan-audit known-good list instead (zero flags for
+    # copurchase_communities as of round 5c).
 }
 
 

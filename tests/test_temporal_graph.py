@@ -403,3 +403,35 @@ def test_label_propagation_matches_python_reference(spark):
                 for r in label_propagation(df, n_iter=n_iter).collect()
             }
             assert got == python_lpa(pair_list, n_iter), (n_iter, pair_list)
+
+
+def test_label_propagation_converged_reaches_fixed_point(spark):
+    """The converged variant must stop at a true fixed point: one
+    more general round leaves every label unchanged. Two triangles +
+    bridge settle in few rounds to the same answer as a long
+    fixed-iteration run; a 4-cycle (bipartite) would 2-cycle forever,
+    so max_iter must bound it and report the bound was hit."""
+    from prisma_migrator_spark.plans.graph import (
+        label_propagation,
+        label_propagation_converged,
+    )
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(tri, "pa bigint, pb bigint")
+    labels, rounds = label_propagation_converged(df, max_iter=20)
+    got = {r.node: r.label for r in labels.collect()}
+    assert rounds < 20
+    # fixed point == what a long fixed-iteration run settles into
+    # (use rounds+3 to be safely past convergence)
+    settled = {
+        r.node: r.label
+        for r in label_propagation(df, n_iter=rounds + 3).collect()
+    }
+    assert got == settled
+
+    # bipartite 4-cycle: synchronous LPA oscillates; the bound reports
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "pa bigint, pb bigint"
+    )
+    _, r2 = label_propagation_converged(cyc, max_iter=6)
+    assert r2 == 6
