@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from prisma_migrator_spark.catalog import load_table
 from prisma_migrator_spark.plans.registry import query
 
+def _graph_width(spark: SparkSession) -> int:
+    """Shuffle width for graph-mass stages (edge materialization,
+    wedge joins): these are memory-bound, and the CPU-sized session
+    default starves them at scale (measured in PERF.md #58 — 182 s vs
+    86 s for the same LPA plan). 4× the cluster's core count keeps
+    one task's slice small enough to build/sort without thrashing."""
+    try:
+        return 4 * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext access
+        return 256
+
+
 #: Damping factor (standard) and fixed iteration count — fixed so the
 #: result is deterministic and SQL-expressible (the oracle unrolls the
 #: same three iterations).
@@ -94,15 +106,28 @@ def copurchase_pairs(
     return out.distinct() if distinct else out
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def copurchase_edges(
+    lineitem: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
     """Symmetric co-purchase edges: (src, dst) part pairs appearing in
     the same order, distinct — both directions of
-    :func:`copurchase_pairs` (the union is map-side; the pair frame
-    carries the only shuffles)."""
-    pairs = copurchase_pairs(lineitem)
+    :func:`copurchase_pairs`, emitted by ONE map-side explode over the
+    deduplicated pair stream. (The obvious two-branch union reads the
+    pair frame twice, and with no checkpoint above it that executes
+    the whole basket-agg + explode + distinct pipeline twice — the
+    double-execution the r5c LPA rework caught; the sampled-triangle
+    sf10 rehearsal measured edge generation at 59% of total, so
+    halving it matters.) ``n_partitions`` forwards to
+    :func:`copurchase_pairs`."""
+    pairs = copurchase_pairs(lineitem, n_partitions=n_partitions)
     return pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank(
@@ -416,7 +441,9 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def _oriented_triangle_corners(und: DataFrame) -> DataFrame:
+def _oriented_triangle_corners(
+    und: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
     """Shared degree-oriented (compact-forward) triangle enumeration
     over a symmetric edge list: orient each undirected edge from its
     lower-(deg, id) endpoint to the higher one, join wedges
@@ -442,13 +469,23 @@ def _oriented_triangle_corners(und: DataFrame) -> DataFrame:
         )
         .select("src", "dst")
     ).localCheckpoint()
-    wedges = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v")
-    )
-    closed = wedges.join(
-        e.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
-    )
+    # Explicit width on the wedge/close joins when asked: the wedge
+    # frame is the Σ out-deg² blow-up, and the CPU-sized session
+    # shuffle default leaves each task a huge slice to sort/spill
+    # (same starvation the LPA edge materialization measured —
+    # PERF.md #58). Same key + same partition count on both sides,
+    # so the explicit repartition IS the join exchange, just wider.
+    uv = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    vw = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    uw = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    if n_partitions:
+        uv = uv.repartition(n_partitions, "v")
+        vw = vw.repartition(n_partitions, "v")
+        uw = uw.repartition(n_partitions, "u", "w")
+    wedges = uv.join(vw, "v")
+    if n_partitions:
+        wedges = wedges.repartition(n_partitions, "u", "w")
+    closed = wedges.join(uw, ["u", "w"])
     return (
         closed.select(F.col("u").alias("part"))
         .unionByName(closed.select(F.col("v").alias("part")))
@@ -468,7 +505,9 @@ _TRI_CAP = 100
 _TRI_KEEP_PCT = 20
 
 
-def triangle_counts_capped(und: DataFrame, max_degree: int):
+def triangle_counts_capped(
+    und: DataFrame, max_degree: int, n_partitions: int | None = None
+):
     """Per-part triangle counts over the subgraph induced on vertices
     with degree ≤ ``max_degree``, plus the dropped-mass report.
 
@@ -505,7 +544,7 @@ def triangle_counts_capped(und: DataFrame, max_degree: int):
         .select("src", "dst")
         .localCheckpoint()
     )
-    counts = _oriented_triangle_corners(kept).groupBy("part").agg(
+    counts = _oriented_triangle_corners(kept, n_partitions).groupBy("part").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     dropped = (
@@ -533,7 +572,9 @@ def _edge_coin(pa, pb):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
 
 
-def triangle_estimate_sampled(pairs: DataFrame, keep_pct: int) -> DataFrame:
+def triangle_estimate_sampled(
+    pairs: DataFrame, keep_pct: int, n_partitions: int | None = None
+) -> DataFrame:
     """Doulion-style global triangle estimate: keep each undirected
     edge with probability p = keep_pct/100 (deterministic md5 coin →
     reproducible AND oracle-checkable), count triangles exactly on the
@@ -547,12 +588,17 @@ def triangle_estimate_sampled(pairs: DataFrame, keep_pct: int) -> DataFrame:
     est_triangles).
     """
     samp = pairs.where(_edge_coin(F.col("pa"), F.col("pb")) < keep_pct)
+    # single-pass symmetric explode: the two-branch union executed the
+    # whole upstream pair pipeline twice (see copurchase_edges)
     und = samp.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(
-        samp.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    ).localCheckpoint()
-    tri = _oriented_triangle_corners(und).agg(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
+    tri = _oriented_triangle_corners(und, n_partitions).agg(
         (F.count(F.lit(1)) / 3).cast("bigint").alias("n_triangles_sampled")
     )
     scale = (100.0 / keep_pct) ** 3
@@ -608,8 +654,9 @@ def copurchase_triangles_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame
     induced-subgraph result exactly; the dropped-mass report is
     available from :func:`triangle_counts_capped`."""
     li = load_table(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li).localCheckpoint()
-    counts, _dropped = triangle_counts_capped(und, _TRI_CAP)
+    width = _graph_width(spark)
+    und = copurchase_edges(li, n_partitions=width).localCheckpoint()
+    counts, _dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return counts
 
 
@@ -639,8 +686,9 @@ def copurchase_cap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and edges the capped triangle count excludes — the honesty row
     that makes the cap a documented subgraph, not a silent truncation."""
     li = load_table(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li).localCheckpoint()
-    _counts, dropped = triangle_counts_capped(und, _TRI_CAP)
+    width = _graph_width(spark)
+    und = copurchase_edges(li, n_partitions=width).localCheckpoint()
+    _counts, dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return dropped
 
 
@@ -674,7 +722,10 @@ def copurchase_triangles_sampled_q(spark: SparkSession, sf_dir: str) -> DataFram
     engine-portable, so the oracle reproduces the exact sampled
     subgraph and the gate checks the estimator end-to-end."""
     li = load_table(spark, sf_dir, "lineitem")
-    return triangle_estimate_sampled(copurchase_pairs(li), _TRI_KEEP_PCT)
+    width = _graph_width(spark)
+    return triangle_estimate_sampled(
+        copurchase_pairs(li, n_partitions=width), _TRI_KEEP_PCT, width
+    )
 
 
 # --- market-basket lift -----------------------------------------------
@@ -991,10 +1042,7 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, so the hash match proves the Spark message/argmax
     pipeline implements the recurrence exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    try:
-        width = 4 * spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect
-        width = 256
+    width = _graph_width(spark)
     labels = label_propagation(
         copurchase_pairs(li, distinct=False, n_partitions=width),
         n_iter=_LPA_ITER,
