@@ -32,12 +32,29 @@ from pyspark.sql import functions as F
 from prisma_migrator_spark.catalog import load_table
 from prisma_migrator_spark.plans.registry import query
 
-def _graph_width(spark: SparkSession) -> int:
+#: Fact rows below which graph-mass stages keep the session shuffle
+#: width. The 4× widening that rescues large graphs (see
+#: :func:`_graph_width`) REGRESSES small ones — tiny-partition
+#: overhead: measured sampled triangles 4.8 → 9.1 s at sf0.1 under a
+#: fixed 128-way width. 20M rows ≈ where per-task slices of the edge
+#: mass start spilling under the CPU-sized default.
+_GRAPH_WIDTH_MIN_ROWS = 20_000_000
+
+
+def _graph_width(spark: SparkSession, fact: DataFrame) -> int | None:
     """Shuffle width for graph-mass stages (edge materialization,
-    wedge joins): these are memory-bound, and the CPU-sized session
-    default starves them at scale (measured in PERF.md #58 — 182 s vs
-    86 s for the same LPA plan). 4× the cluster's core count keeps
-    one task's slice small enough to build/sort without thrashing."""
+    wedge joins), sized from the data: these stages are memory-bound,
+    and the CPU-sized session default starves them at scale (measured
+    in PERF.md #58 — 182 s vs 86 s for the same LPA plan; capped
+    triangles 1793 → 666 s). Returns None (= keep the session width)
+    below ``_GRAPH_WIDTH_MIN_ROWS`` fact rows — the widening that
+    rescues sf10 measurably hurts sf0.1/sf1 — else 4× the cluster's
+    core count, which keeps one task's slice small enough to
+    build/sort without thrashing. The row probe is one count() over
+    the already-pruned fact scan — parquet answers it from row-group
+    metadata, noise next to a single wedge-join task."""
+    if fact.count() < _GRAPH_WIDTH_MIN_ROWS:
+        return None
     try:
         return 4 * spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext access
@@ -527,9 +544,10 @@ def triangle_counts_capped(
     degree 90, p50 90, max 162 — every part co-occurs with a similar
     number of partners), so cap=100 retains ~75% of vertices and most
     of the wedge mass: the sf10 run finishes where exact DNFs
-    (1793 s) but is not cheap. For homogeneous graphs the scale dial
-    is edge sampling (:func:`triangle_estimate_sampled` — cost drops
-    with p², 352 s at p=0.2 / sf10); keep the cap for hub-dominated
+    (666 s after the r5c rework — PERF.md #59) but is not cheap. For
+    homogeneous graphs the scale dial is edge sampling
+    (:func:`triangle_estimate_sampled` — cost drops with p², 193 s at
+    p=0.2 / sf10); keep the cap for hub-dominated
     graphs where it removes the quadratic tail at tiny coverage loss.
 
     Returns ``(per_part_counts, dropped_report)`` — the report is a
@@ -654,7 +672,7 @@ def copurchase_triangles_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame
     induced-subgraph result exactly; the dropped-mass report is
     available from :func:`triangle_counts_capped`."""
     li = load_table(spark, sf_dir, "lineitem")
-    width = _graph_width(spark)
+    width = _graph_width(spark, li)
     und = copurchase_edges(li, n_partitions=width).localCheckpoint()
     counts, _dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return counts
@@ -686,7 +704,7 @@ def copurchase_cap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and edges the capped triangle count excludes — the honesty row
     that makes the cap a documented subgraph, not a silent truncation."""
     li = load_table(spark, sf_dir, "lineitem")
-    width = _graph_width(spark)
+    width = _graph_width(spark, li)
     und = copurchase_edges(li, n_partitions=width).localCheckpoint()
     _counts, dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return dropped
@@ -722,7 +740,7 @@ def copurchase_triangles_sampled_q(spark: SparkSession, sf_dir: str) -> DataFram
     engine-portable, so the oracle reproduces the exact sampled
     subgraph and the gate checks the estimator end-to-end."""
     li = load_table(spark, sf_dir, "lineitem")
-    width = _graph_width(spark)
+    width = _graph_width(spark, li)
     return triangle_estimate_sampled(
         copurchase_pairs(li, n_partitions=width), _TRI_KEEP_PCT, width
     )
@@ -901,17 +919,12 @@ def _lpa_edges(pairs: DataFrame, n_edge_partitions: int | None) -> DataFrame:
     count keeps one task's slice of the graph small enough to build
     and cache without thrashing.
     """
-    if n_edge_partitions is None:
-        try:
-            n_edge_partitions = (
-                4 * pairs.sparkSession.sparkContext.defaultParallelism
-            )
-        except Exception:  # Spark Connect: no SparkContext access
-            n_edge_partitions = 256
+    # None = keep the session shuffle width (right below ~20M fact
+    # rows — callers size via _graph_width, which probes the data)
     # both directions from ONE pass over the pair stream (a
     # two-branch union would execute the whole upstream pair
     # generation twice — there is deliberately no checkpoint above us)
-    return (
+    sym = (
         pairs.select(
             F.explode(
                 F.array(
@@ -925,8 +938,14 @@ def _lpa_edges(pairs: DataFrame, n_edge_partitions: int | None) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .repartition(n_edge_partitions, "dst")
-        .dropDuplicates(["src", "dst"])  # partition-local, no exchange
+    )
+    sym = (
+        sym.repartition(n_edge_partitions, "dst")
+        if n_edge_partitions
+        else sym.repartition("dst")
+    )
+    return (
+        sym.dropDuplicates(["src", "dst"])  # partition-local, no exchange
         .persist()
     )
 
@@ -1042,7 +1061,7 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, so the hash match proves the Spark message/argmax
     pipeline implements the recurrence exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    width = _graph_width(spark)
+    width = _graph_width(spark, li)
     labels = label_propagation(
         copurchase_pairs(li, distinct=False, n_partitions=width),
         n_iter=_LPA_ITER,
