@@ -450,10 +450,11 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
         ["u", "w"],
     )
-    corners = (
-        closed.select(F.col("u").alias("part"))
-        .unionByName(closed.select(F.col("v").alias("part")))
-        .unionByName(closed.select(F.col("w").alias("part")))
+    # ONE map-side explode per triangle, not a three-branch union —
+    # the union's branches each re-evaluate `closed`, running the
+    # wedge+close joins (the whole cost of this operator) three times
+    corners = closed.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("part")
     )
     return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -503,10 +504,11 @@ def _oriented_triangle_corners(
     if n_partitions:
         wedges = wedges.repartition(n_partitions, "u", "w")
     closed = wedges.join(uw, ["u", "w"])
-    return (
-        closed.select(F.col("u").alias("part"))
-        .unionByName(closed.select(F.col("v").alias("part")))
-        .unionByName(closed.select(F.col("w").alias("part")))
+    # ONE map-side explode per triangle — a three-branch union would
+    # re-run the wedge+close joins once per corner (see the exact
+    # enumerator above; PERF.md #59's union-re-execution lesson)
+    return closed.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("part")
     )
 
 
