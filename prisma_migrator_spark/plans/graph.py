@@ -371,7 +371,9 @@ def part_copurchase_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph is undirected, so only the |E|/2 pair rows ever
     materialize (:func:`pagerank_symmetric`)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ranks = pagerank_symmetric(copurchase_pairs(li))
+    ranks = pagerank_symmetric(
+        copurchase_pairs(li, n_partitions=_graph_width(spark, li))
+    )
     return ranks.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("rank") * 1_000_000, 4).alias("pagerank_ppm"),
