@@ -19,70 +19,69 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-5 driver window rotation (VERDICT r4 item 4): the driver gates
-# the FIRST 50 registry entries each round; 50 oracle-backed queries
-# had never received a driver CORRECTNESS row after four rounds. This
-# window leads with 41 never-windowed oracle-backed queries (39 from
-# the r4 backlog + 2 added mid-r5), then
-# previously-green representatives — one per major family, biased
-# toward queries whose plans changed most recently
-# (embedding_near_dup_lsh: stop-band mask fix; pack_stream_512:
-# bounded offset window). Everything past the window still runs in
-# the replica gate (tools/drive_driver.py, 151/151).
-WINDOW_R5 = [
-    # -- never-windowed, oracle-backed --
-    "retention_cohorts_daily",
-    "events_gapfill_6h",
-    "region_counts_unpivot",
-    "revenue_cube",
-    "orders_above_cust_avg",
-    "order_pctrank_by_priority",
-    "order_price_histogram",
-    "ship_lag_percentiles",
-    "supplier_nation_share",
-    "order_cluster_sample",
-    "events_hopping_1h_15m",
-    "event_burst_dedup",
-    "copurchase_triangles_capped",
-    "copurchase_cap_report",
-    "copurchase_triangles_sampled",
-    "basket_lift_pairs",
+# Round-6 driver window rotation (VERDICT r5 item 3): the driver
+# gates the FIRST 50 registry entries each round. Leads with the only
+# two oracle-backed queries never driver-gated (added mid-r5 after
+# that window froze) — after this round every oracle-backed query has
+# a driver CORRECTNESS row — then 48 oracle-backed representatives
+# rotated from OUTSIDE the r5 window, biased toward plans touched
+# this round (html_app_cards: attribute-selector oracle; the graph
+# family: bytes-per-edge rework). Everything past the window still
+# runs in the replica gate (tools/drive_driver.py, full registry).
+WINDOW_R6 = [
+    # -- never driver-gated (added mid-r5) --
+    "doc_containment_pairs_capped",
+    "tfidf_cosine_pairs_capped",
+    # -- plans touched in r6 --
     "html_app_cards",
-    "stratified_sample_k",
-    "corpus_drift_terms",
-    "unigram_logprob_score",
-    "boilerplate_frac",
-    "negative_samples",
-    "corpus_split",
-    "corpus_shuffle",
-    "token_budget_selection",
-    "length_bucketed_batches",
-    "quality_model_score",
-    "weighted_sample_100",
-    "doc_containment_pairs",
-    "corpus_mixture_report",
-    "char_entropy_quality",
-    "video_frames",
-    "term_postings",
-    "lineitem_key_skew_report",
-    "part_price_changes",
-    "events_decayed_score",
-    "event_value_outliers",
-    "user_value_ses",
-    "part_running_balance",
-    # -- added mid-r5, never gated --
-    "pareto_parts_price_size",
+    "copurchase_triangles_capped",
     "copurchase_communities",
-    # -- previously-green family representatives (9) --
-    "flagship_popularity",
-    "category_difficulty",
-    "apps_by_category",
-    "events_json_props",
-    "minhash_lsh_pairs",
-    "embedding_near_dup_lsh",
-    "multimodal_meta",
-    "decontaminate_eval",
-    "pack_stream_512",
+    "copurchase_triangles",
+    "part_copurchase_pagerank",
+    # -- rotated representatives (not in the r5 window) --
+    "anti_join_customers",
+    "semi_join_orders",
+    "filter_inlist_range",
+    "normalized_part_scores",
+    "dynamic_pivot_categories",
+    "hyperlink_report",
+    "distinct_pair_agg",
+    "repeat_customers_setops",
+    "revenue_rollup",
+    "event_attribution_24h",
+    "asof_last_order",
+    "events_tumbling_hourly",
+    "events_session_30m",
+    "text_stats",
+    "exact_dedup_groups",
+    "topk_cosine_bruteforce",
+    "apps_by_category_open",
+    "vocab_top_terms",
+    "part_entity_clusters",
+    "lineitem_dq_report",
+    "corr_matrix_lineitem",
+    "part_price_twap",
+    "part_price_ohlc_monthly",
+    "part_state_asof",
+    "supplier_price_trend",
+    "event_sessions_gap30m",
+    "session_path_trigrams",
+    "user_value_ses_2level",
+    "event_value_mad_outliers",
+    "events_wau",
+    "funnel_latency_percentiles",
+    "customer_rfm_segments",
+    "top_terms_per_source",
+    "incremental_lsh_dedup",
+    "semantic_canonical_docs",
+    "scrub_repeated_spans",
+    "quality_gate_p10",
+    "ngram_jaccard_prefix",
+    "doc_chunks",
+    "top_orders_per_customer",
+    "user_event_gaps",
+    "order_price_quartiles",
+    "funnel_view_click_purchase",
 ]
 
 
@@ -93,10 +92,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    window-rotated so never-gated queries lead (see WINDOW_R5)."""
-    missing = [n for n in WINDOW_R5 if n not in QUERIES]
-    assert not missing, f"WINDOW_R5 names not in registry: {missing}"
-    rotated = {name: QUERIES[name] for name in WINDOW_R5}
+    window-rotated so never-gated queries lead (see WINDOW_R6)."""
+    missing = [n for n in WINDOW_R6 if n not in QUERIES]
+    assert not missing, f"WINDOW_R6 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R6}
     rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
     return rotated
 

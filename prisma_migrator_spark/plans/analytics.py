@@ -1046,6 +1046,12 @@ def pareto_frontier_2d(
     the frontier-pair frame (never larger than the distinct-value
     count, usually tiny) broadcasts back into a semi join against the
     fact. Two fact scans, both column-pruned to the axis columns.
+
+    Precondition: both axis columns must be non-null. Rows with NULL
+    in either axis are silently dropped (a null ``minimize`` never
+    buckets; a null champion never matches the semi join), whereas
+    the SQL NOT EXISTS form would retain them — filter or impute
+    nulls upstream if they carry meaning.
     """
     from prisma_migrator_spark.operators.ranking import bounded_global_window
 

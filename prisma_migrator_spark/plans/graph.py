@@ -1060,8 +1060,8 @@ SELECT node AS part, label AS community FROM l2
 @query("copurchase_communities", oracle=_LPA_ORACLE)
 def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the co-purchase graph: which parts
-    cluster into purchasing neighborhoods? {_LPA_ITER} synchronous
-    LPA rounds with min-label tie-break; the oracle unrolls the same
+    cluster into purchasing neighborhoods? 2 synchronous LPA rounds
+    (_LPA_ITER) with min-label tie-break; the oracle unrolls the same
     rounds, so the hash match proves the Spark message/argmax
     pipeline implements the recurrence exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

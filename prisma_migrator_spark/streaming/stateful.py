@@ -467,7 +467,7 @@ def streaming_topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         )
         cur = list(zip(ids, vals))
         batch = pd.concat(list(pdfs), ignore_index=True)
-        ok = batch["value"].notna()
+        ok = batch["value"].notna() & batch["event_id"].notna()
         merged = cur + [
             (int(e), float(v))
             for e, v in zip(batch["event_id"][ok], batch["value"][ok])

@@ -18,11 +18,27 @@ from prisma_migrator_spark.writers.bucketed import write_bucketed
 
 
 @pytest.fixture(scope="module")
-def bucket_db(spark, tmp_path_factory):
+def bucket_db(spark, sf_dir, tmp_path_factory):
     """A throwaway metastore database whose tables live under tmp —
-    saveAsTable needs a catalog entry, not just a path."""
+    saveAsTable needs a catalog entry, not just a path. The two
+    co-bucketed tables are written here so every test in the module
+    is independent of execution order."""
     loc = tmp_path_factory.mktemp("bucket_wh")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS pms_bucket_test LOCATION '{loc}'")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_bucketed(
+        orders, "pms_bucket_test.orders_b", ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust, "pms_bucket_test.customer_b", ["c_custkey"], 8,
+        sort_cols=["c_custkey"],
+    )
     yield "pms_bucket_test"
     spark.sql("DROP DATABASE IF EXISTS pms_bucket_test CASCADE")
 
@@ -42,12 +58,6 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, sf_dir, bucket_db):
     )
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
-    )
-    write_bucketed(
-        orders, f"{bucket_db}.orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"]
-    )
-    write_bucketed(
-        cust, f"{bucket_db}.customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"]
     )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -2539,3 +2539,24 @@ def test_streaming_topk_matches_batch(spark, sf_dir, tmp_path):
         # emit-on-change: every emitted snapshot differs from its
         # predecessor (duplicates would mean wasted sink volume)
         assert len(set(boards.values())) == len(boards), et
+
+
+def test_streaming_topk_skips_null_event_id(spark, tmp_path):
+    """A malformed row with a NULL event_id must be skipped like the
+    other stateful operators skip null values — not fail the whole
+    micro-batch task with int(NaN) (ADVICE r5)."""
+    from prisma_migrator_spark.streaming.jobs import run_to_parquet
+    from prisma_migrator_spark.streaming.stateful import streaming_topk_per_key
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "event_id bigint, event_type string, value double"
+    spark.createDataFrame(
+        [(1, "click", 5.0), (None, "click", 99.0), (2, "click", None),
+         (3, "click", 7.0)],
+        schema,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_to_parquet(streaming_topk_per_key(stream, k=3), out, ckpt)
+    sink = spark.read.parquet(out)
+    got = {(r.rank, r.event_id, r.value) for r in sink.collect()}
+    assert got == {(1, 3, 7.0), (2, 1, 5.0)}
