@@ -43,7 +43,7 @@ def synthesize_listing_pages(docs: DataFrame, page_mod: int = _PAGE_MOD) -> Data
     shuffle, and card order inside a page is pinned by sorting the
     (doc_id, card) structs."""
     card = F.concat(
-        F.lit('<div class="card app"><h3 class="name">'),
+        F.lit('<div class="card app" data-kind="app"><h3 class="name">'),
         F.col("source"), F.lit("#"), F.col("doc_id"),
         F.lit('</h3><a class="link" href="/apps/'), F.col("doc_id"),
         F.lit('">view</a><span class="reviews">'),
@@ -59,7 +59,8 @@ def synthesize_listing_pages(docs: DataFrame, page_mod: int = _PAGE_MOD) -> Data
         .agg(
             F.concat(
                 F.lit('<html><body><div class="listing">'
-                      '<div class="card promo"><h3 class="name">AD</h3></div>'),
+                      '<div class="card promo" data-kind="ad">'
+                      '<h3 class="name">AD</h3></div>'),
                 F.concat_ws(
                     "",
                     F.transform(
@@ -81,14 +82,19 @@ def html_app_cards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     136-146). The promo card and void-element noise must NOT produce
     rows; the oracle recomputes every field from the table directly,
     so the gate checks selector matching, document order, text
-    collapse, and attribute extraction end-to-end."""
+    collapse, and attribute extraction end-to-end. The root selector
+    matches by ATTRIBUTE (``[data-kind=app]``) and the link by
+    attribute prefix (``[href^=/apps/]``) — the cheerio attribute
+    grammar, oracle-gated (r6: the promo card carries
+    ``data-kind="ad"``, so a presence-only or wrong-op match would
+    surface as extra/shifted rows at the gate)."""
     docs = load_table(spark, sf_dir, "documents")
     pages = synthesize_listing_pages(docs)
     cards = extract_entities(
         pages,
         "html",
-        "div.card.app",
-        {"name": "h3.name::text", "handle": "a.link@href",
+        "div.card[data-kind=app]",
+        {"name": "h3.name::text", "handle": "a.link[href^=/apps/]@href",
          "reviews": "span.reviews::text"},
         id_col="page_id",
     )

@@ -13,6 +13,10 @@ in, one typed row per matched element out — composable with
 Selector language (the cheerio subset the save-path idioms need):
 
 - ``tag``, ``.class``, ``#id``, compound ``tag.class.other#id``
+- attribute selectors (cheerio/CSS): presence ``[attr]``, exact
+  ``[attr=value]`` (value optionally quoted), prefix ``[attr^=v]``,
+  suffix ``[attr$=v]``, substring ``[attr*=v]``, word ``[attr~=v]``;
+  composable with the compound forms — ``a.link[href^=/apps/]``
 - descendant chains: ``div.card a.link`` (any-depth descent)
 - extraction suffix on LEAF selectors: ``::text`` (default — all
   descendant text, whitespace-collapsed) or ``@attr`` (attribute
@@ -110,11 +114,30 @@ def parse_html(html: str) -> _Node:
     return b.root
 
 
-def _parse_step(step: str) -> tuple[str | None, list[str], str | None]:
-    """One selector step -> (tag, classes, id)."""
+#: Attribute-selector operators, two-char ops before ``=`` so the
+#: split never mistakes ``^=`` for a name ending in ``^``.
+_ATTR_OPS = ("^=", "$=", "*=", "~=", "=")
+
+
+def _parse_attr(inner: str) -> tuple[str, str, str | None]:
+    """``name``/``name<op>value`` inside ``[...]`` -> (name, op,
+    value); op ``""`` is presence-only; quotes around value optional
+    (cheerio accepts both)."""
+    for op in _ATTR_OPS:
+        if op in inner:
+            name, val = inner.split(op, 1)
+            return name.strip(), op, val.strip().strip("\"'")
+    return inner.strip(), "", None
+
+
+def _parse_step(
+    step: str,
+) -> tuple[str | None, list[str], str | None, list[tuple[str, str, str | None]]]:
+    """One selector step -> (tag, classes, id, attr_tests)."""
     tag: str | None = None
     classes: list[str] = []
     ident: str | None = None
+    attrs: list[tuple[str, str, str | None]] = []
     buf, mode = "", "tag"
 
     def flush():
@@ -129,7 +152,20 @@ def _parse_step(step: str) -> tuple[str | None, list[str], str | None]:
             ident = buf
         buf = ""
 
-    for ch in step:
+    i = 0
+    while i < len(step):
+        ch = step[i]
+        if ch == "[":
+            # bracket content is opaque to ./# parsing — a value like
+            # [href*=/apps/1.2] must not start a class
+            flush()
+            end = step.find("]", i)
+            if end < 0:  # unterminated bracket: treat rest as content
+                end = len(step)
+            attrs.append(_parse_attr(step[i + 1 : end]))
+            i = end + 1
+            mode = "tag"
+            continue
         if ch == ".":
             flush()
             mode = "class"
@@ -138,11 +174,12 @@ def _parse_step(step: str) -> tuple[str | None, list[str], str | None]:
             mode = "id"
         else:
             buf += ch
+        i += 1
     flush()
-    return tag, classes, ident
+    return tag, classes, ident, attrs
 
 
-def _matches(n: _Node, tag, classes, ident) -> bool:
+def _matches(n: _Node, tag, classes, ident, attrs=()) -> bool:
     if tag and n.tag != tag:
         return False
     if ident and n.attrs.get("id") != ident:
@@ -150,6 +187,22 @@ def _matches(n: _Node, tag, classes, ident) -> bool:
     if classes:
         have = (n.attrs.get("class") or "").split()
         if any(c not in have for c in classes):
+            return False
+    for name, op, val in attrs:
+        if name not in n.attrs:
+            return False
+        got = n.attrs.get(name) or ""  # bare attrs parse as None
+        if op == "":
+            continue
+        if op == "=" and got != val:
+            return False
+        if op == "^=" and not got.startswith(val):
+            return False
+        if op == "$=" and not got.endswith(val):
+            return False
+        if op == "*=" and val not in got:
+            return False
+        if op == "~=" and val not in got.split():
             return False
     return True
 
@@ -159,7 +212,7 @@ def select(root: _Node, selector: str) -> list[_Node]:
     order (cheerio's ``$(sel)`` over the subset grammar)."""
     steps = [_parse_step(s) for s in selector.split() if s]
     frontier = [root]
-    for tag, classes, ident in steps:
+    for tag, classes, ident, attrs in steps:
         nxt: list[_Node] = []
         seen: set[int] = set()
 
@@ -167,7 +220,7 @@ def select(root: _Node, selector: str) -> list[_Node]:
             for c in n.children:
                 if isinstance(c, str):
                     continue
-                if _matches(c, tag, classes, ident) and id(c) not in seen:
+                if _matches(c, tag, classes, ident, attrs) and id(c) not in seen:
                     seen.add(id(c))
                     nxt.append(c)
                 walk(c)
@@ -189,8 +242,9 @@ def extract_one(html: str, root_selector: str, fields: Mapping[str, str]) -> lis
         row: dict[str, str | None] = {}
         for name, spec in fields.items():
             attr = None
-            if "@" in spec:
-                spec, attr = spec.rsplit("@", 1)
+            at = spec.rfind("@")
+            if at > spec.rfind("]"):  # an @ inside [..] is a value char
+                spec, attr = spec[:at], spec[at + 1 :]
             if spec.endswith("::text"):
                 spec = spec[: -len("::text")]
             spec = spec.strip()

@@ -2261,6 +2261,57 @@ def test_html_text_document_order():
     assert select(soup, "div #s")[0].text() == "three"
 
 
+def test_html_attribute_selectors():
+    """Cheerio's attribute grammar (r6, closes the r5 selector-subset
+    gap): presence, exact (quoted or bare), prefix/suffix/substring/
+    word ops, compound with class, and values whose chars (``.#@``)
+    must stay opaque inside brackets."""
+    from prisma_migrator_spark.sources.html_extract import parse_html, select
+
+    soup = parse_html(
+        '<div class="listing">'
+        '<a class="link" href="/apps/alpha" data-kind="app hot">A</a>'
+        '<a class="link" href="/apps/beta.io" data-kind="app">B</a>'
+        '<a class="link" href="https://x/y" data-kind="promo">C</a>'
+        '<a class="link" data-kind="apphot">D</a>'
+        "<input disabled>"
+        "</div>"
+    )
+
+    def texts(sel):
+        return [n.text() for n in select(soup, sel)]
+
+    assert texts("a[href]") == ["A", "B", "C"]  # presence; D has none
+    assert texts('a[data-kind="app"]') == ["B"]  # exact, quoted
+    assert texts("a[data-kind=promo]") == ["C"]  # exact, bare
+    assert texts("a[href^=/apps/]") == ["A", "B"]  # prefix
+    assert texts("a[href$=.io]") == ["B"]  # suffix
+    assert texts("a[href*=pps/al]") == ["A"]  # substring
+    assert texts("a[data-kind~=hot]") == ["A"]  # word, not substring
+    assert texts("a.link[href^=/apps/][data-kind~=app]") == ["A", "B"]
+    assert texts("div.listing a[href*=beta.io]") == ["B"]  # '.' in value
+    # bare attribute (value None in html.parser) still matches presence
+    assert len(select(soup, "input[disabled]")) == 1
+    assert select(soup, "a[missing=x]") == []
+
+
+def test_html_attribute_extraction_suffix_disambiguation():
+    """``@`` inside a bracket value is a value char (it selects); only
+    a trailing ``@attr`` AFTER the last bracket extracts."""
+    from prisma_migrator_spark.sources.html_extract import extract_one
+
+    html = (
+        '<div class="m"><a data-to="x@y" href="/go">hi</a>'
+        '<a data-to="z" href="/no">no</a></div>'
+    )
+    got = extract_one(
+        html,
+        "div.m",
+        {"to": "a[data-to=x@y]@href", "txt": "a[data-to=x@y]::text"},
+    )
+    assert got == [{"to": "/go", "txt": "hi"}]
+
+
 def test_html_extract_entities_pipeline(spark, tmp_path):
     """The fetchHTML→cheerio→save* analog end-to-end: scripted fetch →
     entity extraction → typed upsert sink, with retry, tag soup, and
