@@ -461,20 +461,15 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def _oriented_triangle_corners(
-    und: DataFrame, n_partitions: int | None = None
-) -> DataFrame:
-    """Shared degree-oriented (compact-forward) triangle enumeration
-    over a symmetric edge list: orient each undirected edge from its
-    lower-(deg, id) endpoint to the higher one, join wedges
-    head-to-tail, close against a third oriented edge. Each triangle
-    appears exactly once in ``closed``; the returned frame is its
-    three corners unioned (one row per (triangle, corner)). Wedge
-    cost is Σ out-deg² with out-deg bounded by O(√|E|) under this
-    orientation. ``und`` must already be snapshot (localCheckpoint)
-    by the caller — it feeds the degree agg and three join legs."""
+def _orient_edges(und: DataFrame) -> DataFrame:
+    """Degree-orient a symmetric edge list: keep each undirected edge
+    once, directed from its lower-(deg, id) endpoint to the higher
+    one. Under this orientation out-degree is bounded by O(√|E|) on
+    any graph, which is what bounds the wedge join. Returned frame is
+    localCheckpoint'ed — it feeds the degree agg and three join legs
+    in the enumerator, and the wedge-mass accounting in tests."""
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
+    return (
         und.join(deg.withColumnRenamed("src", "s_join"), und.src == F.col("s_join"))
         .drop("s_join")
         .withColumnRenamed("deg", "deg_src")
@@ -489,6 +484,22 @@ def _oriented_triangle_corners(
         )
         .select("src", "dst")
     ).localCheckpoint()
+
+
+def _oriented_triangle_corners(
+    und: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """Shared degree-oriented (compact-forward) triangle enumeration
+    over a symmetric edge list: orient each undirected edge from its
+    lower-(deg, id) endpoint to the higher one (:func:`_orient_edges`),
+    join wedges head-to-tail, close against a third oriented edge.
+    Each triangle appears exactly once in ``closed``; the returned
+    frame is its three corners unioned (one row per
+    (triangle, corner)). Wedge cost is Σ out-deg² with out-deg bounded
+    by O(√|E|) under this orientation. ``und`` must already be
+    snapshot (localCheckpoint) by the caller — it feeds the degree agg
+    and three join legs."""
+    e = _orient_edges(und)
     # Explicit width on the wedge/close joins when asked: the wedge
     # frame is the Σ out-deg² blow-up, and the CPU-sized session
     # shuffle default leaves each task a huge slice to sort/spill
@@ -549,10 +560,18 @@ def triangle_counts_capped(
     number of partners), so cap=100 retains ~75% of vertices and most
     of the wedge mass: the sf10 run finishes where exact DNFs
     (666 s after the r5c rework — PERF.md #59) but is not cheap. For
-    homogeneous graphs the scale dial is edge sampling
+    homogeneous graphs the DEFAULT scale dial is edge sampling
     (:func:`triangle_estimate_sampled` — cost drops with p², 193 s at
-    p=0.2 / sf10); keep the cap for hub-dominated
-    graphs where it removes the quadratic tail at tiny coverage loss.
+    p=0.2 / sf10); keep the cap for hub-dominated graphs where it
+    removes the quadratic tail at tiny coverage loss. On the
+    hub-skewed fixture (tools/gen_fixtures.hub_skewed_lineitem,
+    PERF.md #60) the cap demonstrably binds: it drops exactly the hub
+    population at ≥99.9% vertex coverage and sheds >95% of the naive
+    Σ in·out wedge mass. Same measurement's second finding: the
+    degree ORIENTATION alone is hub-immune (a hub's edges all point
+    into it, so out(hub)=0) — on skewed graphs the cap's residual
+    value over the orientation is halving |E| and bounding join
+    memory, not the asymptotics.
 
     Returns ``(per_part_counts, dropped_report)`` — the report is a
     1-row frame (n_vertices, n_dropped_vertices, n_edges,

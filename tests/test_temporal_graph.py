@@ -163,6 +163,88 @@ def test_triangles_capped_subgraph_semantics(spark):
     assert (rep.n_edges, rep.n_edges_kept) == (12, 6)
 
 
+def test_degree_cap_binds_on_hub_skewed_fixture(spark):
+    """VERDICT r5 item 2: the shipped co-purchase graph is degree-
+    homogeneous, so the cap dial never had a fixture where it binds.
+    On the hub-skewed lineitem fixture (a few best-seller parts on
+    ~35% of order lines, a long uniform tail) pin what each defense
+    actually buys, measured as wedge-join row counts (Σ_v in(v)·out(v)
+    — the exact row count of the enumerator's first join):
+
+    (a) the cap drops exactly the hub population at ≥99.9% vertex
+        coverage — it BINDS here, unlike on the homogeneous fixture
+        where it retains ~75% of vertices;
+    (b) under the naive id orientation (the oracle's shape, and what
+        any engine without degree orientation pays) the hubs carry
+        >95% of the wedge mass and the cap removes it;
+    (c) the degree orientation ALONE is hub-immune: a hub's edges all
+        point INTO it (every neighbor has lower degree), so out(hub)=0
+        and the oriented wedge mass is within ~3x of the capped
+        graph's — the cap's residual value on skewed graphs is halving
+        |E| and bounding memory, not the asymptotics. This is why
+        `triangle_estimate_sampled` stays the documented scale dial
+        for HOMOGENEOUS graphs (where neither cap nor orientation can
+        shed mass) while the cap is the dial for hub-skewed ones."""
+    from tools.gen_fixtures import hub_part_ids, hub_skewed_lineitem
+    from prisma_migrator_spark.plans.graph import (
+        _orient_edges,
+        copurchase_edges,
+        triangle_counts_capped,
+    )
+
+    n_hubs, n_tail, cap = 5, 6_000, 100
+    hubs = hub_part_ids(n_hubs, n_tail)
+    li = hub_skewed_lineitem(
+        spark, n_orders=8_000, n_hubs=n_hubs, n_tail_parts=n_tail,
+        hub_line_pct=35,
+    )
+    und = copurchase_edges(li).localCheckpoint()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    is_hub = F.col("src").isin(hubs)
+    prof = deg.agg(
+        F.min(F.when(is_hub, F.col("deg"))).alias("min_hub"),
+        F.max(F.when(~is_hub, F.col("deg"))).alias("max_tail"),
+    ).collect()[0]
+    # (a) two populations separated by the cap: it drops hubs, only hubs
+    assert prof.min_hub > cap, prof
+    assert prof.max_tail <= cap, prof
+
+    counts, dropped = triangle_counts_capped(und, max_degree=cap)
+    rep = dropped.collect()[0]
+    assert rep.n_dropped_vertices == n_hubs, rep
+    assert rep.n_dropped_vertices / rep.n_vertices < 0.001, rep
+    assert counts.where(F.col("part").isin(hubs)).count() == 0
+
+    def mass(e):
+        """Wedge-join row count for an oriented edge frame:
+        Σ_v in(v)·out(v)."""
+        outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("o"))
+        ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("i"))
+        return (
+            outd.join(ind, outd.src == ind.dst)
+            .agg(F.sum(F.col("o") * F.col("i")))
+            .collect()[0][0]
+        ) or 0
+
+    def naive(sym):
+        return sym.where(F.col("src") < F.col("dst"))
+
+    keep = deg.where(F.col("deg") <= cap).select("src")
+    kept = (
+        und.join(keep, "src", "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    # (b) naive id orientation: hubs carry the mass, the cap sheds it
+    naive_full, naive_capped = mass(naive(und)), mass(naive(kept))
+    assert naive_capped < 0.05 * naive_full, (naive_capped, naive_full)
+    # (c) degree orientation is already hub-immune on the FULL graph
+    orient_full = mass(_orient_edges(und))
+    assert orient_full < 0.05 * naive_full, (orient_full, naive_full)
+    assert orient_full < 3.5 * mass(_orient_edges(kept))
+
+
 def test_triangles_sampled_estimator_error_bound(spark):
     """Doulion estimate on a triangle-rich graph: deterministic md5
     coin at keep=60% must land within 35% of the exact count (p³=0.216

@@ -271,7 +271,93 @@ def gen(spark: SparkSession, sf: float, out: str) -> None:
     write(emb, "embeddings", max(1, int(4 * sf)))
 
 
+def hub_part_ids(n_hubs: int, n_tail_parts: int) -> list[int]:
+    """Hub part ids, spread across the MIDDLE of the id space.
+    Placement matters for what the fixture demonstrates: an
+    id-ordered (naive) triangle orientation pays Σ in·out wedge mass
+    at each vertex, and a hub only carries that mass when it has both
+    lower- and higher-id neighbors. Hubs at the extremes of the id
+    range would be sources/sinks only and cost nothing — mid-range
+    ids make the naive wedge mass land on the hubs, which is the
+    blow-up the degree cap (and the degree orientation) must remove."""
+    return [(h + 1) * n_tail_parts // (n_hubs + 1) for h in range(n_hubs)]
+
+
+def hub_skewed_lineitem(
+    spark: SparkSession,
+    n_orders: int = 30_000,
+    n_li_per: int = 4,
+    n_hubs: int = 8,
+    n_tail_parts: int = 20_000,
+    hub_line_pct: int = 35,
+) -> "F.DataFrame":
+    """A lineitem table whose CO-PURCHASE GRAPH is hub-skewed — the
+    degree profile the degree-cap triangle dial is built for
+    (VERDICT r5 item 2: the shipped TPC-H-ish fixture is degree-
+    HOMOGENEOUS, so the cap never had a fixture where it binds).
+
+    Shape: ``n_hubs`` best-seller parts (:func:`hub_part_ids`, spread
+    mid-id-space) together appear on ~``hub_line_pct``% of order
+    lines; the remaining lines draw uniformly from ``n_tail_parts``
+    long-tail parts. A hub therefore co-occurs with thousands of
+    distinct partners (degree ~O(n_tail)) while a tail part lands in
+    ~n_orders·lines·(1-p)/n_tail orders, i.e. degree ~tens — two
+    populations separated by orders of magnitude, exactly the profile
+    where dropping the hubs removes ~all of the naive Σ in·out wedge
+    mass at ~zero vertex-coverage loss.
+
+    Deterministic (xxhash64-seeded like every generator here); only
+    the columns the co-purchase graph reads are non-trivial
+    (l_orderkey, l_partkey) — the rest carry schema-parity filler.
+    """
+    hub_arr = F.array(*[F.lit(h) for h in hub_part_ids(n_hubs, n_tail_parts)])
+    li = spark.range(n_orders * n_li_per).select(
+        (F.col("id") / n_li_per).cast("long").alias("l_orderkey"),
+        F.col("id").alias("__i"),
+    )
+    is_hub = (F.abs(F.xxhash64("__i", F.lit(81))) % 100) < hub_line_pct
+    return li.select(
+        "l_orderkey",
+        F.when(
+            is_hub,
+            F.element_at(
+                hub_arr,
+                ((F.abs(F.xxhash64("__i", F.lit(82))) % n_hubs) + 1).cast("int"),
+            ).cast("long"),
+        )
+        .otherwise(F.abs(F.xxhash64("__i", F.lit(83))) % n_tail_parts)
+        .alias("l_partkey"),
+        (F.abs(F.xxhash64("__i", F.lit(84))) % 100).alias("l_suppkey"),
+        ((F.col("__i") % n_li_per) + 1).cast("int").alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(1000.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.lit("1995-01-01").cast("timestamp").alias("l_shipdate"),
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "hub":
+        out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.fixtures/hub"
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("gen-fixtures-hub")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+        import os
+
+        os.makedirs(out, exist_ok=True)
+        hub_skewed_lineitem(spark).repartition(8).write.mode("overwrite").parquet(
+            f"{out}/lineitem.parquet"
+        )
+        spark.stop()
+        print(f"GENERATED hub-skewed lineitem at {out}")
+        return
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.fixtures/sf{sf:g}"
     spark = (
