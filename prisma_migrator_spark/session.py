@@ -47,7 +47,13 @@ def get_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/bench hygiene); tools that read
+        # per-stage spill/shuffle metrics over the REST API (e.g.
+        # tools/graph_cache_probe.py) opt in via SPARK_GRAFT_UI=1.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
