@@ -422,43 +422,30 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # snapshot the symmetric edge list once: it feeds the degree agg
     # AND (via the orientation) all three legs of the triangle join —
-    # without the checkpoint the lineitem self-join subtree re-executes
+    # without the snapshot the lineitem self-join subtree re-executes
     # per consumer (the plan printer showed it ~100x)
-    und = copurchase_edges(li).localCheckpoint()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # orient by (deg, id): lower endpoint -> higher endpoint
-    e = (
-        und.join(deg.withColumnRenamed("src", "s_join"), und.src == F.col("s_join"))
-        .drop("s_join")
-        .withColumnRenamed("deg", "deg_src")
-        .join(
-            deg.select(F.col("src").alias("d_join"), F.col("deg").alias("deg_dst")),
-            und.dst == F.col("d_join"),
-        )
-        .drop("d_join")
-        .where(
-            (F.col("deg_src") < F.col("deg_dst"))
-            | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
-        )
-        .select("src", "dst")
-    ).localCheckpoint()  # one oriented-edge frame feeds three join legs
-    wedges = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(
-            e.select(F.col("src").alias("v"), F.col("dst").alias("w")), "v"
-        )
-    )
-    closed = wedges.join(
-        e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-        ["u", "w"],
-    )
-    # ONE map-side explode per triangle, not a three-branch union —
-    # the union's branches each re-evaluate `closed`, running the
-    # wedge+close joins (the whole cost of this operator) three times
-    corners = closed.select(
-        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("part")
-    )
+    und = _snapshot_edges(copurchase_edges(li))
+    corners = _oriented_triangle_corners(und)
     return corners.groupBy("part").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _snapshot_edges(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer edge frame as an EAGER compressed
+    columnar cache (persist + count) instead of a localCheckpoint.
+    Both stop the upstream pipeline re-executing per consumer, but the
+    bytes differ by ~9x — measured at sf10 on the same 180M-edge
+    frame (PERF.md #63): 11.8 bytes/edge as CachedBatch columnar vs
+    104 bytes/edge as the checkpoint's cached UnsafeRow objects
+    (17.9 GB vs 2.0 GB). The iterative-state caveat that mandates
+    localCheckpoint for LOOP state (a partially-materialized cache
+    recomputes through the unpersisted chain, PERF.md #29) does not
+    apply here: these frames are built once, fully materialized by
+    the eager count BEFORE the join job, and never rebound. An
+    evicted cache block recomputes instead of failing — strictly
+    kinder than an evicted checkpoint block, which is fatal."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def _orient_edges(und: DataFrame) -> DataFrame:
@@ -466,10 +453,11 @@ def _orient_edges(und: DataFrame) -> DataFrame:
     once, directed from its lower-(deg, id) endpoint to the higher
     one. Under this orientation out-degree is bounded by O(√|E|) on
     any graph, which is what bounds the wedge join. Returned frame is
-    localCheckpoint'ed — it feeds the degree agg and three join legs
-    in the enumerator, and the wedge-mass accounting in tests."""
+    snapshot (:func:`_snapshot_edges`) — it feeds the degree agg and
+    three join legs in the enumerator, and the wedge-mass accounting
+    in tests."""
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    return (
+    return _snapshot_edges(
         und.join(deg.withColumnRenamed("src", "s_join"), und.src == F.col("s_join"))
         .drop("s_join")
         .withColumnRenamed("deg", "deg_src")
@@ -483,7 +471,7 @@ def _orient_edges(und: DataFrame) -> DataFrame:
             | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
-    ).localCheckpoint()
+    )
 
 
 def _oriented_triangle_corners(
@@ -497,8 +485,8 @@ def _oriented_triangle_corners(
     frame is its three corners unioned (one row per
     (triangle, corner)). Wedge cost is Σ out-deg² with out-deg bounded
     by O(√|E|) under this orientation. ``und`` must already be
-    snapshot (localCheckpoint) by the caller — it feeds the degree agg
-    and three join legs."""
+    snapshot (:func:`_snapshot_edges` or localCheckpoint) by the
+    caller — it feeds the degree agg and three join legs."""
     e = _orient_edges(und)
     # Explicit width on the wedge/close joins when asked: the wedge
     # frame is the Σ out-deg² blow-up, and the CPU-sized session
@@ -559,7 +547,8 @@ def triangle_counts_capped(
     degree 90, p50 90, max 162 — every part co-occurs with a similar
     number of partners), so cap=100 retains ~75% of vertices and most
     of the wedge mass: the sf10 run finishes where exact DNFs
-    (666 s after the r5c rework — PERF.md #59) but is not cheap. For
+    (same-day replicated r6 curve: 7.9/39/321 s median, ~8x/decade —
+    PERF.md #62) but is not cheap. For
     homogeneous graphs the DEFAULT scale dial is edge sampling
     (:func:`triangle_estimate_sampled` — cost drops with p², 193 s at
     p=0.2 / sf10); keep the cap for hub-dominated graphs where it
@@ -579,11 +568,10 @@ def triangle_counts_capped(
     """
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     keep = deg.where(F.col("deg") <= max_degree).select("src")
-    kept = (
+    kept = _snapshot_edges(
         und.join(keep, "src", "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
     )
     counts = _oriented_triangle_corners(kept, n_partitions).groupBy("part").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -638,7 +626,8 @@ def triangle_estimate_sampled(
                 F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").localCheckpoint()
+    ).select("e.src", "e.dst")
+    und = _snapshot_edges(und)
     tri = _oriented_triangle_corners(und, n_partitions).agg(
         (F.count(F.lit(1)) / 3).cast("bigint").alias("n_triangles_sampled")
     )
@@ -696,7 +685,7 @@ def copurchase_triangles_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame
     available from :func:`triangle_counts_capped`."""
     li = load_table(spark, sf_dir, "lineitem")
     width = _graph_width(spark, li)
-    und = copurchase_edges(li, n_partitions=width).localCheckpoint()
+    und = _snapshot_edges(copurchase_edges(li, n_partitions=width))
     counts, _dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return counts
 
@@ -728,7 +717,7 @@ def copurchase_cap_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes the cap a documented subgraph, not a silent truncation."""
     li = load_table(spark, sf_dir, "lineitem")
     width = _graph_width(spark, li)
-    und = copurchase_edges(li, n_partitions=width).localCheckpoint()
+    und = _snapshot_edges(copurchase_edges(li, n_partitions=width))
     _counts, dropped = triangle_counts_capped(und, _TRI_CAP, width)
     return dropped
 
@@ -1082,7 +1071,14 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster into purchasing neighborhoods? 2 synchronous LPA rounds
     (_LPA_ITER) with min-label tie-break; the oracle unrolls the same
     rounds, so the hash match proves the Spark message/argmax
-    pipeline implements the recurrence exactly."""
+    pipeline implements the recurrence exactly.
+
+    Scale record (PERF.md #61-62): the controlled cold/warm
+    experiment shows this plan spills nothing and is insensitive to
+    page-cache state at sf10; same-day replicated endpoints put the
+    last decade at ~8x (work-proportional — edges grow 10x/decade).
+    The apparent 19-24x in r5 was single-sample endpoints through the
+    host's ~2x run-to-run compute variance."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     width = _graph_width(spark, li)
     labels = label_propagation(

@@ -245,6 +245,25 @@ def test_degree_cap_binds_on_hub_skewed_fixture(spark):
     assert orient_full < 3.5 * mass(_orient_edges(kept))
 
 
+def test_triangle_edge_frames_read_from_columnar_cache(spark, sf_dir):
+    """The triangle paths snapshot their multi-consumer edge frames as
+    eager columnar persists, NOT localCheckpoints: 11.8 vs 104
+    bytes/edge measured at sf10 (PERF.md #63) — a 9x memory cut on
+    the biggest materialization in the family. Pin the plan shape so
+    a reintroduced checkpoint (which would resurface as a
+    'Scan ExistingRDD' of raw UnsafeRows) fails loudly."""
+    from prisma_migrator_spark.plans import QUERIES
+
+    for name in ("copurchase_triangles", "copurchase_triangles_capped"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, name
+        assert "ExistingRDD" not in plan, (
+            f"{name}: checkpoint RDD scan reappeared in the triangle path"
+        )
+    spark.catalog.clearCache()
+
+
 def test_triangles_sampled_estimator_error_bound(spark):
     """Doulion estimate on a triangle-rich graph: deterministic md5
     coin at keep=60% must land within 35% of the exact count (p³=0.216
