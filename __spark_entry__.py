@@ -32,6 +32,8 @@ WINDOW_R6 = [
     # -- never driver-gated (added mid-r5) --
     "doc_containment_pairs_capped",
     "tfidf_cosine_pairs_capped",
+    # -- new in r6 --
+    "bm25_topk",
     # -- plans touched in r6 --
     "html_app_cards",
     "copurchase_triangles_capped",
@@ -81,7 +83,6 @@ WINDOW_R6 = [
     "top_orders_per_customer",
     "user_event_gaps",
     "order_price_quartiles",
-    "funnel_view_click_purchase",
 ]
 
 

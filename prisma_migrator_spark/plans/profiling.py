@@ -205,6 +205,114 @@ def term_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 ranked retrieval over the corpus -----------------------------
+
+#: Okapi BM25 constants (the standard Robertson/Lucene defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+#: Deterministic query — three mid-frequency fixture-vocabulary terms.
+_BM25_QUERY = ["spark", "join", "vector"]
+_BM25_K = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   ' ')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+  WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term
+), df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM sc ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval: the top-k documents for a fixed
+    multi-term query — the scoring function behind corpus search,
+    eval-set contamination lookup, and retrieval-based data selection.
+
+    score(q, d) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+    with the Lucene-robust IDF ln((N-df+0.5)/(df+0.5)+1), k1=1.2,
+    b=0.75.
+
+    Scale shape: document length and corpus stats come from the full
+    token stream (one (doc)-keyed aggregate); term frequencies are
+    computed ONLY for the broadcast query terms (the isin filter runs
+    before the tf aggregate, so the scored stream is query-postings-
+    sized, not corpus-sized); corpus stats join back as a 1-row
+    broadcast; the global top-k is sort+limit — TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), never a
+    single-partition window. Determinism across engines: scores are
+    rounded to 6dp BEFORE the rank cut and ties break on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_QUERY)
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_K)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 score per document containing ≥1 query term — the scoring
+    core of :func:`bm25_topk_q` (see its docstring for the scale
+    shape). Returns (doc_id, bm25) with the score rounded to 6dp."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+        .select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
+    )
+
+
 # --- one-pass pairwise correlation matrix ------------------------------
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]

@@ -369,6 +369,50 @@ def test_term_postings_sorted_and_distinct(spark, tmp_path):
     assert got["alpha"].postings == ",".join(str(i) for i in range(9, 21))
 
 
+def test_bm25_matches_pure_python_reference(spark):
+    """BM25 scores on a constructed corpus must match an independent
+    pure-Python computation of the Okapi/Lucene formula (robust IDF
+    ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) — a different code
+    path from both the Spark plan and the DuckDB oracle."""
+    import math
+
+    from prisma_migrator_spark.plans.profiling import bm25_scores
+
+    corpus = {
+        1: "spark join spark",
+        2: "join vector",
+        3: "the a the filter",
+        4: "spark spark spark spark",
+    }
+    query = ["spark", "join", "vector"]
+    k1, b = 1.2, 0.75
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(q in t for t in toks.values()) for q in query}
+    expected = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in query:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s:
+            expected[d] = round(s, 6)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in corpus.items()]
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, query).collect()}
+    assert got == pytest.approx(expected, abs=1e-6)
+    # doc 3 has no query term: absent, not zero-scored
+    assert 3 not in got
+
+
 def test_incremental_sessionize_constructed(spark):
     """Boundary session fuses when the gap closes, indexes renumber
     after a merge, new users start at 1, untouched users pass through
