@@ -34,6 +34,7 @@ WINDOW_R6 = [
     "tfidf_cosine_pairs_capped",
     # -- new in r6 --
     "bm25_topk",
+    "dsir_selection",
     # -- plans touched in r6 --
     "html_app_cards",
     "copurchase_triangles_capped",
@@ -82,7 +83,6 @@ WINDOW_R6 = [
     "doc_chunks",
     "top_orders_per_customer",
     "user_event_gaps",
-    "order_price_quartiles",
 ]
 
 

@@ -2299,6 +2299,119 @@ FROM keyed ORDER BY ws DESC, doc_id LIMIT 100
 """
 
 
+#: DSIR selection size and log-weight clamp (exp(±30) caps the
+#: importance ratio at ~1e13 so the exponential-key power stays
+#: finite on both engines).
+_DSIR_K = 100
+_DSIR_CLAMP = 30.0
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'),
+                                   ' ')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+raw AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c_r FROM tok2 GROUP BY term),
+tgt AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS c_t FROM tok2
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY term
+), stats AS (
+  SELECT (SELECT SUM(c_r) FROM raw) AS n_r,
+         (SELECT COALESCE(SUM(c_t), 0) FROM tgt) AS n_t,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw) AS v
+), ratio AS (
+  SELECT r.term,
+         LN(((COALESCE(t.c_t, 0) + 1) / (s.n_t + s.v))
+            / ((r.c_r + 1) / (s.n_r + s.v))) AS lr
+  FROM raw r LEFT JOIN tgt t USING (term) CROSS JOIN stats s
+), lw AS (
+  SELECT doc_id, MIN(lang) AS lang, ROUND(SUM(lr), 6) AS log_w
+  FROM tok2 JOIN ratio USING (term) GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id, lang, log_w,
+         ROUND(POW(
+             CAST(('0x' || substr(md5('dsir:' || doc_id), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0,
+             1.0 / EXP(LEAST(GREATEST(log_w, -{_DSIR_CLAMP}), {_DSIR_CLAMP}))
+         ), 12) AS ws
+  FROM lw
+)
+SELECT doc_id, lang, log_w FROM keyed ORDER BY ws DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@query("dsir_selection", oracle=_DSIR_ORACLE)
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc
+    by the log importance ratio of a TARGET-domain unigram LM over
+    the raw-corpus LM (both Laplace-smoothed over the shared raw
+    vocabulary), then importance-RESAMPLE {k} docs without
+    replacement via the deterministic exponential-key scheme
+    (weight = exp(clamped log ratio), llm/sampling.weighted_sample_k)
+    — the standard "make the training mix look like the target
+    domain" selection pass. Target here = the '{lang}' cohort; in
+    production the target LM comes from a curated domain corpus and
+    the paper's hashed-n-gram features replace raw terms when the
+    vocabulary outgrows a broadcast.
+
+    Scale shape: one token-stream scan; both LMs are vocabulary-sized
+    aggregates; the per-term log-ratio table broadcasts into the
+    scoring join; the per-doc sum is one doc-keyed aggregate; the
+    resample is a distributed TakeOrdered (never a global sort).
+    Determinism: log weights ROUND(·,6) before exp on BOTH engines,
+    exponential keys ROUND(·,12), doc_id tiebreak — the DuckDB oracle
+    reproduces the selection exactly.
+    """
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.sampling import weighted_sample_k
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    raw = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
+    tgt = (
+        toks.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_t"))
+    )
+    n_r, v = raw.agg(F.sum("c_r"), F.count(F.lit(1)).cast("double")).first()
+    n_t = float(tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0.0))).first()[0])
+    ratio = raw.join(tgt, "term", "left").select(
+        "term",
+        F.log(
+            ((F.coalesce(F.col("c_t"), F.lit(0.0)) + 1) / F.lit(n_t + v))
+            / ((F.col("c_r") + 1) / F.lit(float(n_r) + v))
+        ).alias("lr"),
+    )
+    lw = (
+        toks.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.round(F.sum("lr"), 6).alias("log_w"),
+        )
+    )
+    w = F.exp(
+        F.least(
+            F.greatest(F.col("log_w"), F.lit(-_DSIR_CLAMP)), F.lit(_DSIR_CLAMP)
+        )
+    )
+    return weighted_sample_k(lw, _DSIR_K, w, key_col="doc_id", salt="dsir")
+
+
+dsir_selection_q.__doc__ = dsir_selection_q.__doc__.format(
+    k=_DSIR_K, lang=_DSIR_TARGET_LANG
+)
+
+
 @query("weighted_sample_100", oracle=_WSAMPLE_ORACLE)
 def weighted_sample_100_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted sample of 100 docs without replacement

@@ -1247,6 +1247,61 @@ def test_text_ops_null_empty_unicode_robust(spark):
     assert enc[3]["n_tokens"] == 5 and all(isinstance(i, int) for i in enc[3]["token_ids"])
 
 
+def test_dsir_selection_scores_content_not_labels(spark, tmp_path):
+    """DSIR on a constructed corpus with two disjoint vocabularies:
+    target-LM log-ratios must (a) match a pure-Python computation of
+    the Laplace-smoothed formula exactly, and (b) rank by CONTENT —
+    an off-label doc written in the target vocabulary outscores every
+    doc in the off-domain vocabulary (selecting by what the text
+    looks like, not by its metadata, is the point of importance
+    resampling)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.plans.llm import dsir_selection_q
+
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "sigma", "tau", "rho"]
+    corpus = {}
+    for i in range(20):  # target cohort: lang=en, vocabulary A
+        corpus[i] = ("en", " ".join(vocab_a[(i + j) % 4] for j in range(8)))
+    for i in range(20, 40):  # off-domain cohort: lang=de, vocabulary B
+        corpus[i] = ("de", " ".join(vocab_b[(i + j) % 4] for j in range(8)))
+    # crossover: labeled de but WRITTEN in the target vocabulary
+    corpus[40] = ("de", " ".join(vocab_a[j % 4] for j in range(8)))
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang=lg, source="s", n_chars=len(t))
+         for d, (lg, t) in corpus.items()]
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in dsir_selection_q(spark, sf).collect()}
+    assert len(got) == 41  # k=100 > corpus: selection returns all
+
+    # (a) exact log-weight parity with an independent implementation
+    toks = {d: t.split() for d, (_, t) in corpus.items()}
+    c_r, c_t = {}, {}
+    for d, t in toks.items():
+        for w in t:
+            c_r[w] = c_r.get(w, 0) + 1
+            if corpus[d][0] == "en":
+                c_t[w] = c_t.get(w, 0) + 1
+    n_r, n_t, v = sum(c_r.values()), sum(c_t.values()), len(c_r)
+    for d, t in toks.items():
+        lw = sum(
+            math.log(((c_t.get(w, 0) + 1) / (n_t + v))
+                     / ((c_r[w] + 1) / (n_r + v)))
+            for w in t
+        )
+        assert got[d].log_w == pytest.approx(round(lw, 6), abs=1e-6), d
+    # (b) content beats labels: the de-labeled vocab-A doc outscores
+    # every vocab-B doc
+    assert all(got[40].log_w > got[d].log_w for d in range(20, 40))
+    assert got[40].log_w > 0
+
+
 def test_weighted_sample_bias_and_determinism(spark):
     """Heavier-weight rows appear more often across disjoint salt
     draws; the sample is exactly reproducible; zero-weight rows are
