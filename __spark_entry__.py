@@ -35,6 +35,7 @@ WINDOW_R6 = [
     # -- new in r6 --
     "bm25_topk",
     "dsir_selection",
+    "leakage_safe_split",
     # -- plans touched in r6 --
     "html_app_cards",
     "copurchase_triangles_capped",
@@ -82,7 +83,6 @@ WINDOW_R6 = [
     "ngram_jaccard_prefix",
     "doc_chunks",
     "top_orders_per_customer",
-    "user_event_gaps",
 ]
 
 

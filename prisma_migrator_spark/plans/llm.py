@@ -1531,6 +1531,74 @@ def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAKAGE_SPLIT_ORACLE = rf"""{_CLUSTERS_CTES},
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+), keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5('split:' || cluster_id), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM keyed) t
+"""
+
+
+@query("leakage_safe_split", oracle=_LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that CANNOT leak near-duplicates across
+    splits — the eval-contamination failure a doc-keyed split has by
+    construction: a near-dup pair hash-split independently lands in
+    different splits with probability ~2·p·(1-p), silently putting a
+    paraphrase of a training doc in the test set. Here the hash draw
+    keys on the NEAR-DUP CLUSTER id (MinHash-LSH candidates ≥ 0.5
+    estimated Jaccard, connected components, min-id label; unclustered
+    docs are their own cluster), so an entire duplicate cluster moves
+    as one unit.
+
+    Scale shape: the cluster pass is the standard banded-LSH pipeline
+    (Σ band-bucket² candidates, label-propagation components); the
+    split itself stays map-side (one hash per row, thresholded) after
+    a cluster-id left join; same determinism story as corpus_split —
+    membership is a pure function of (cluster_id, salt), docs added
+    later never reshuffle earlier assignments, and a new doc joining
+    an existing cluster inherits that cluster's split, which is
+    exactly the behavior an incremental corpus needs.
+    """
+    from prisma_migrator_spark.llm.dedup import near_dup_clusters
+    from prisma_migrator_spark.llm.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    clusters = near_dup_clusters(pairs)
+    keyed = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    u = hash_unit(F.col("cluster_id"), salt="split")
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u < 0.9, "train")
+        .when(u < 0.95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _GOPHER_ORACLE = r"""
 WITH words AS (
   SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w,

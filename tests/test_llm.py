@@ -1302,6 +1302,59 @@ def test_dsir_selection_scores_content_not_labels(spark, tmp_path):
     assert got[40].log_w > 0
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
+    """Near-dup clusters must land in ONE split, and the demonstration
+    must be non-vacuous: the doc-keyed naive split straddles at least
+    one of the same clusters (that straddle IS the test-set leakage
+    this operator exists to prevent)."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.sampling import hash_unit
+    from prisma_migrator_spark.plans.llm import leakage_safe_split_q
+
+    rows = []
+    for i in range(30):  # 30 exact-dup pairs + 20 singletons
+        text = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append(Row(doc_id=i, text=text, lang="en", source="s",
+                        n_chars=len(text)))
+        rows.append(Row(doc_id=1000 + i, text=text, lang="en", source="s",
+                        n_chars=len(text)))
+    for i in range(100, 120):
+        text = f"solo{i} mono{i} uno{i} single{i} lone{i} apart{i}"
+        rows.append(Row(doc_id=i, text=text, lang="en", source="s",
+                        n_chars=len(text)))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+
+    got = leakage_safe_split_q(spark, sf).collect()
+    assert len(got) == len(rows)
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # (a) no cluster straddles splits
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # dup pairs actually clustered together (clusters of size 2 exist)
+    sizes = {}
+    for r in got:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    assert sum(1 for n in sizes.values() if n == 2) == 30
+
+    # (b) the naive doc-keyed split straddles >= 1 dup pair
+    naive = {
+        r.doc_id: r.s
+        for r in spark.createDataFrame(rows)
+        .select(
+            "doc_id",
+            F.when(hash_unit(F.col("doc_id"), "split") < 0.9, "train")
+            .when(hash_unit(F.col("doc_id"), "split") < 0.95, "val")
+            .otherwise("test")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert any(naive[i] != naive[1000 + i] for i in range(30))
+
+
 def test_weighted_sample_bias_and_determinism(spark):
     """Heavier-weight rows appear more often across disjoint salt
     draws; the sample is exactly reproducible; zero-weight rows are
