@@ -129,9 +129,13 @@ PINS = {
     "user_value_ses": (1, [4], False),
     # 5 rules, one scan, 1-row agg (SinglePartition), map unpivot
     "lineitem_dq_report": (0, [5], False),
-    # checkpointed oriented edges: 0 parquet scans in the final plan;
-    # wedge + close + corner-agg shuffles
-    "copurchase_triangles": (13, [], False),
+    # copurchase_triangles moved to the printer-artifact exclusion
+    # below (r6): its edge frames are now eager columnar persists
+    # (PERF.md #63), and the printer re-emits each InMemoryRelation
+    # subtree — exchanges included — once per consuming scan, so the
+    # exchange count is consumers x subtree, not executed shuffles.
+    # Its plan shape is pinned instead by
+    # test_triangle_edge_frames_read_from_columnar_cache.
     # --- driver-round-4 additions ---
     # stacked semi joins: ONE exchange (the latest-per-key agg);
     # capp/ach branch predicates pushed to 3-col lineitem scans, the
@@ -153,14 +157,14 @@ PINS = {
     # exchanges over the distinct-price frame; frontier broadcasts
     # into the semi join; all three part scans column-pruned
     "pareto_parts_price_size": (5, [2, 2, 3], False),
-    # part_copurchase_pagerank, semantic_canonical_docs, and
-    # copurchase_communities are NOT pinnable this way: their
-    # persisted/checkpointed iteration state (ranks / component
-    # labels / LPA edges+labels) makes the plan PRINTER re-emit
-    # cached subtrees once per consumer (same artifact as
-    # corpus_recipe — see PERF.md); they are covered by the
-    # plan-audit known-good list instead (zero flags for
-    # copurchase_communities as of round 5c).
+    # part_copurchase_pagerank, semantic_canonical_docs,
+    # copurchase_communities, and (r6) copurchase_triangles are NOT
+    # pinnable this way: their persisted/checkpointed state (ranks /
+    # component labels / LPA edges+labels / persisted edge frames)
+    # makes the plan PRINTER re-emit cached subtrees once per
+    # consumer (same artifact as corpus_recipe — see PERF.md); they
+    # are covered by the plan-audit known-good list and the
+    # InMemoryTableScan pin test instead.
 }
 
 
