@@ -36,6 +36,7 @@ WINDOW_R6 = [
     "bm25_topk",
     "dsir_selection",
     "leakage_safe_split",
+    "eval_contamination_report",
     # -- plans touched in r6 --
     "html_app_cards",
     "copurchase_triangles_capped",
@@ -82,7 +83,6 @@ WINDOW_R6 = [
     "quality_gate_p10",
     "ngram_jaccard_prefix",
     "doc_chunks",
-    "top_orders_per_customer",
 ]
 
 

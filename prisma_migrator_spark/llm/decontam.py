@@ -64,3 +64,50 @@ def decontaminate(
             (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_by_eval_doc(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The reverse attribution of :func:`decontaminate`: per EVAL doc,
+    how many training docs share ≥1 distinct k-gram with it and how
+    many distinct grams are shared — the "which benchmarks are
+    compromised" report (dropping contaminated training docs fixes
+    future runs; a benchmark whose answers already leaked into a
+    trained model needs to be flagged on the EVAL side).
+
+    Every eval doc appears, zero rows included. Scale shape: the eval
+    gram table broadcasts (benchmarks are small); the join fan-out is
+    Σ_gram df_train(g)·df_eval(g), which is why production uses
+    k=8-13 — at that length df_train of any shared gram is ~1 and the
+    fan-out collapses to the true leak count. k=3 here keeps the
+    oracle SQL shared with the Jaccard/minhash family.
+    """
+    ev = shingles(eval_docs, k=k, id_col=id_col, distinct=True).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    tr = shingles(train_docs, k=k, id_col=id_col, distinct=True).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    agg = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("train_id").alias("n_train_docs_sharing"),
+            F.count_distinct("shingle").alias("n_shared_grams"),
+        )
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("eval_id"))
+        .join(agg, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_train_docs_sharing", F.lit(0)).alias(
+                "n_train_docs_sharing"
+            ),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+    )

@@ -973,6 +973,45 @@ def decontaminate_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.where(~ev), eval_gram_set(docs.where(ev), k=3), k=3)
 
 
+_EVAL_CONTAM_ORACLE = rf"""
+WITH words AS ({_SHINGLE_SQL}),
+evg AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3 AND doc_id % 23 = 0
+), trg AS (
+  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3 AND doc_id % 23 <> 0
+), agg AS (
+  SELECT evg.doc_id AS eval_id,
+         COUNT(DISTINCT trg.doc_id) AS n_train,
+         COUNT(DISTINCT evg.shingle) AS n_grams
+  FROM trg JOIN evg USING (shingle)
+  GROUP BY evg.doc_id
+)
+SELECT d.doc_id AS eval_id,
+       CAST(COALESCE(n_train, 0) AS BIGINT) AS n_train_docs_sharing,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_shared_grams
+FROM documents d LEFT JOIN agg ON agg.eval_id = d.doc_id
+WHERE d.doc_id % 23 = 0
+"""
+
+
+@query("eval_contamination_report", oracle=_EVAL_CONTAM_ORACLE)
+def eval_contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse attribution of decontaminate_eval: per EVAL doc
+    (doc_id % 23 == 0 stands in for the benchmark), how many training
+    docs share ≥1 distinct word 3-gram with it and how many of its
+    grams leaked — the "which benchmarks are compromised" view.
+    Same broadcast-eval-grams join, aggregated on the eval side."""
+    from prisma_migrator_spark.llm.decontam import contamination_by_eval_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = F.col("doc_id") % 23 == 0
+    return contamination_by_eval_doc(docs.where(~ev), docs.where(ev), k=3)
+
+
 _PII_INJECT_SQL = """
   SELECT doc_id,
          text || ' contact user' || doc_id ||

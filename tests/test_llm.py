@@ -458,6 +458,35 @@ def test_decontaminate_constructed(spark):
     assert got == {1: (2, True), 2: (0, False), 3: (0, False)}
 
 
+def test_contamination_by_eval_doc_constructed(spark):
+    """Reverse attribution: the compromised eval doc reports the
+    distinct train docs and distinct grams that leaked (duplicated
+    occurrences count once); the clean eval doc reports zeros, not
+    absence."""
+    from prisma_migrator_spark.llm.decontam import contamination_by_eval_doc
+
+    ev = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the secret eval answer is forty two"),
+            Row(doc_id=101, text="pristine benchmark nothing leaked here"),
+        ]
+    )
+    tr = spark.createDataFrame(
+        [
+            # shares "secret eval answer" + "eval answer is" with 100
+            Row(doc_id=1, text="a secret eval answer is a secret eval answer is"),
+            # shares only "secret eval answer" with 100
+            Row(doc_id=2, text="my secret eval answer here"),
+            Row(doc_id=3, text="completely unrelated clean text"),
+        ]
+    )
+    got = {
+        r.eval_id: (r.n_train_docs_sharing, r.n_shared_grams)
+        for r in contamination_by_eval_doc(tr, ev, k=3).collect()
+    }
+    assert got == {100: (2, 2), 101: (0, 0)}
+
+
 def test_redact_pii_constructed(spark):
     from prisma_migrator_spark.llm.text import redact_pii
 
