@@ -102,7 +102,9 @@ def contamination_by_eval_doc(
     )
     return (
         eval_docs.select(F.col(id_col).alias("eval_id"))
-        .join(agg, "eval_id", "left")
+        # agg is eval-sized (benchmarks are small by definition):
+        # broadcast it so the zero-fill join never sorts either side
+        .join(F.broadcast(agg), "eval_id", "left")
         .select(
             "eval_id",
             F.coalesce("n_train_docs_sharing", F.lit(0)).alias(
