@@ -115,6 +115,42 @@ def _merge(
     return existing.unionByName(new_rows)
 
 
+def _align_schemas(
+    existing: DataFrame, batch: DataFrame, allow: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Reconcile an evolved batch schema with the table's (Delta
+    ``mergeSchema`` semantics, made explicit):
+
+    - batch columns NOT in the table: with ``allow`` the table gains
+      them (NULL for every pre-existing row); without it this raises
+      — the previous behavior was ``select(*existing.columns)``,
+      which silently DROPPED the new columns' data, the one outcome a
+      writer must never default to.
+    - table columns missing from the batch: with ``allow`` they are
+      NULL-filled in the batch (full-row replace semantics — to keep
+      existing values for matched keys, use ``update_cols`` instead);
+      without it the merge fails on the column mismatch as before.
+    """
+    extra = [c for c in batch.columns if c not in existing.columns]
+    missing = [c for c in existing.columns if c not in batch.columns]
+    if extra and not allow:
+        raise ValueError(
+            f"batch has columns not in the table: {extra}; pass "
+            "allow_schema_evolution=True to add them (silently "
+            "dropping them would lose data)"
+        )
+    if allow:
+        for c in extra:
+            existing = existing.withColumn(
+                c, F.lit(None).cast(batch.schema[c].dataType)
+            )
+        for c in missing:
+            batch = batch.withColumn(
+                c, F.lit(None).cast(existing.schema[c].dataType)
+            )
+    return existing, batch
+
+
 def upsert_parquet(
     spark: SparkSession,
     batch: DataFrame,
@@ -122,6 +158,7 @@ def upsert_parquet(
     key_cols: Sequence[str],
     update_cols: Sequence[str] | None = None,
     order_col: str | None = None,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE ``batch`` into the parquet table at ``path``.
 
@@ -130,6 +167,14 @@ def upsert_parquet(
       existing row (DO NOTHING), mirroring reference lib.ts:91.
     - ``order_col``: dedupe within the batch keeping the latest by
       this column (else arbitrary-deterministic first).
+    - ``allow_schema_evolution``: batch columns the table lacks are
+      ADDED (NULL for untouched rows); table columns the batch lacks
+      are NULL-filled in the batch (:func:`_align_schemas`). Off by
+      default: an unexpected new column then raises instead of being
+      silently dropped. The full rewrite is the correct physical op
+      for a schema change — every row gains the column — which is why
+      the file-granularity CoW variant rejects evolved batches
+      outright.
 
     Returns a small report dict (counts), like the reference's
     progress logging (src/utils/lib.ts:97).
@@ -150,6 +195,7 @@ def upsert_parquet(
         return {"path": path, "inserted": n, "kept": 0, "mode": "create"}
 
     existing = spark.read.parquet(path)
+    existing, batch = _align_schemas(existing, batch, allow_schema_evolution)
     do_update = update_cols is None or len(update_cols) > 0
     result = _merge(existing, batch, keys, update_cols)
 
@@ -233,6 +279,17 @@ def upsert_parquet_cow(
     from prisma_migrator_spark.writers.layout import file_key_ranges_df
 
     existing_schema = spark.read.parquet(path).schema
+    evolved = [c for c in batch.columns if c not in existing_schema.names]
+    if evolved:
+        raise ValueError(
+            f"batch has columns not in the table: {evolved}. Schema "
+            "evolution touches EVERY row, so file-granularity CoW has "
+            "no pruning advantage and would leave untouched files on "
+            "the old schema (readers then need mergeSchema and see "
+            "the column vanish per-file) - use "
+            "upsert_parquet(..., allow_schema_evolution=True), whose "
+            "full rewrite is the correct physical op for this change."
+        )
     prune_key = keys[0]
     files = _part_files(path)
     # footer ranges as a DataFrame: driver-serial for small tables,

@@ -56,6 +56,52 @@ def test_upsert_do_update_idempotent(spark, tmp_table):
         assert got == {1: "a", 2: "B2", 3: "c", 9: "z"}
 
 
+def test_upsert_schema_evolution_explicit_never_silent(spark, tmp_table):
+    """A batch carrying a column the table lacks must RAISE by default
+    (the old select(*existing.columns) silently dropped the data);
+    with allow_schema_evolution=True the table gains the column (NULL
+    for untouched rows), a column missing from the batch is
+    NULL-filled on full-row replace, and the evolved upsert stays
+    idempotent."""
+    upsert_parquet(spark, _df(spark, BASE), tmp_table, ["k"])
+    evolved = _df(spark, [{"k": 2, "v": "B2", "ts": 20, "lang": "en"},
+                          {"k": 9, "v": "z", "ts": 20, "lang": "de"}])
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        upsert_parquet(spark, evolved, tmp_table, ["k"])
+
+    for _ in range(2):  # idempotent under evolution too
+        upsert_parquet(
+            spark, evolved, tmp_table, ["k"], allow_schema_evolution=True
+        )
+        got = {
+            r["k"]: (r["v"], r["lang"])
+            for r in spark.read.parquet(tmp_table).collect()
+        }
+        assert got == {
+            1: ("a", None),  # untouched rows: new column NULL
+            2: ("B2", "en"),
+            3: ("c", None),
+            9: ("z", "de"),
+        }
+
+    # batch MISSING a table column: full-row replace NULL-fills it
+    narrow = spark.createDataFrame([Row(k=2, v="B3", lang="fr")])
+    upsert_parquet(spark, narrow, tmp_table, ["k"], allow_schema_evolution=True)
+    row2 = {r["k"]: r for r in spark.read.parquet(tmp_table).collect()}[2]
+    assert (row2["v"], row2["lang"], row2["ts"]) == ("B3", "fr", None)
+
+
+def test_upsert_cow_rejects_evolved_batch(spark, tmp_table):
+    """File-granularity CoW cannot evolve schemas (untouched files
+    would keep the old one); it must refuse with guidance, not merge."""
+    from prisma_migrator_spark.writers.upsert import upsert_parquet_cow
+
+    upsert_parquet_cow(spark, _df(spark, BASE), tmp_table, ["k"])
+    evolved = _df(spark, [{"k": 2, "v": "B2", "ts": 20, "lang": "en"}])
+    with pytest.raises(ValueError, match="full rewrite"):
+        upsert_parquet_cow(spark, evolved, tmp_table, ["k"])
+
+
 def test_upsert_do_nothing(spark, tmp_table):
     upsert_parquet(spark, _df(spark, BASE), tmp_table, ["k"])
     batch = _df(spark, [{"k": 2, "v": "CHANGED", "ts": 20}, {"k": 5, "v": "e", "ts": 20}])
