@@ -21,7 +21,22 @@ host-noise drift, costing a round of signal — VERDICT r4 item 6):
   suite-order contamination (GC pressure, checkpoint/broadcast blocks
   clearCache cannot free). CANONICAL from r5 on, per BASELINE.md.
 
+From r7 the isolated pass is REPLICATED (``BENCH_ISO_N``, default 3)
+and the canonical number is the PER-QUERY MEDIAN: the r6 cache-probe
+experiment measured a 1.8× CPU-second spread for IDENTICAL runs on
+this host (SCALE_r06 ``cache_experiment``), so a single-pass bench
+cannot certify a <15% delta — r4 and r6 each burned a round
+adjudicating host noise (VERDICT r6 item 2). Replicas run
+ROUND-ROBIN (q1..qN, q1..qN, ...) so a host-condition drift spreads
+across queries instead of biasing one. Emitted keys:
+
+- ``queries_isolated_median`` / ``value_isolated_median`` — CANONICAL
+- ``queries_isolated_spread`` — per-query [min, max] over replicas
+- ``queries_isolated`` / ``value_isolated`` — alias of the medians
+  (kept so r5/r6 tooling keeps parsing; single-pass before r7)
+
 ``BENCH_ISOLATE=0`` skips the isolated pass (quick iteration);
+``BENCH_ISO_N=<n>`` sets the replica count;
 ``BENCH_ONLY=<name>`` restricts to one query (the subprocess leg).
 """
 
@@ -29,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,27 +74,46 @@ HEADLINE = [
 ]
 
 
-def run_isolated(names: list[str]) -> dict[str, float]:
-    """Fresh-JVM-per-query pass: re-invoke this script once per query
-    with BENCH_ONLY set; each subprocess pays its own session spin-up
-    and warm-up, and only its steady-state number is kept."""
+def _run_one_isolated(name: str) -> float:
+    """One fresh-JVM run of one query: re-invoke this script with
+    BENCH_ONLY set; the subprocess pays its own session spin-up and
+    warm-up, and only its steady-state number is kept."""
     import subprocess
 
-    timings: dict[str, float] = {}
-    for name in names:
-        env = {**os.environ, "BENCH_ONLY": name, "BENCH_ISOLATE": "0"}
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(f"isolated {name} failed (rc={proc.returncode})")
-        out = json.loads(proc.stdout.strip().splitlines()[-1])
-        timings[name] = out["queries"][name]
-        print(f"  [isolated] {name}: {timings[name]:.2f}s",
-              file=sys.stderr, flush=True)
-    return timings
+    env = {**os.environ, "BENCH_ONLY": name, "BENCH_ISOLATE": "0"}
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"isolated {name} failed (rc={proc.returncode})")
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    return out["queries"][name]
+
+
+def run_isolated(
+    names: list[str], n: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Replicated fresh-JVM pass: ``n`` runs per query, ROUND-ROBIN
+    ordered so a host-condition drift mid-bench spreads across all
+    queries instead of biasing whichever one it lands on. Returns
+    (per-query median, per-query [min, max] spread)."""
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for rep in range(n):
+        for name in names:
+            t = _run_one_isolated(name)
+            samples[name].append(t)
+            print(f"  [isolated {rep + 1}/{n}] {name}: {t:.2f}s",
+                  file=sys.stderr, flush=True)
+    medians = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+    }
+    return medians, spread
 
 
 def main() -> None:
@@ -135,9 +170,15 @@ def main() -> None:
     }
     if not only and os.environ.get("BENCH_ISOLATE", "1") != "0":
         spark.stop()  # free the suite JVM before the per-query ones
-        iso = run_isolated(names)
-        result["queries_isolated"] = iso
-        result["value_isolated"] = round(sum(iso.values()), 3)
+        n = int(os.environ.get("BENCH_ISO_N", "3"))
+        medians, spread = run_isolated(names, n)
+        result["queries_isolated_median"] = medians
+        result["value_isolated_median"] = round(sum(medians.values()), 3)
+        result["queries_isolated_spread"] = spread
+        result["iso_replicas"] = n
+        # legacy keys (single-pass before r7) now alias the medians
+        result["queries_isolated"] = medians
+        result["value_isolated"] = result["value_isolated_median"]
     print(json.dumps(result))
 
 

@@ -2465,9 +2465,16 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paper's hashed-n-gram features replace raw terms when the
     vocabulary outgrows a broadcast.
 
-    Scale shape: one token-stream scan; both LMs are vocabulary-sized
-    aggregates; the per-term log-ratio table broadcasts into the
-    scoring join; the per-doc sum is one doc-keyed aggregate; the
+    Scale shape: FULLY LAZY — three map-side token-stream scans (both
+    LMs in one vocabulary-sized aggregate, the corpus scalars in one
+    1-row aggregate, the scoring join), zero driver actions at plan
+    time (ADVICE r6 #3 closed: the old shape ran two eager
+    ``.first()`` scans during construction and re-tokenized per
+    consumer — four scans and jobs before the returned frame was ever
+    acted on). The scalars (n_r, n_t, |V|) fold into the ratio plan
+    via a broadcast crossJoin of the 1-row stats frame, exactly like
+    the oracle's CTE; the per-term log-ratio table broadcasts into
+    the scoring join; the per-doc sum is one doc-keyed aggregate; the
     resample is a distributed TakeOrdered (never a global sort).
     Determinism: log weights ROUND(·,6) before exp on BOTH engines,
     exponential keys ROUND(·,12), doc_id tiebreak — the DuckDB oracle
@@ -2483,19 +2490,25 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
     ).where(F.col("term") != "")
-    raw = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
-    tgt = (
-        toks.where(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("c_t"))
+    is_tgt = (F.col("lang") == _DSIR_TARGET_LANG).cast("double")
+    # both unigram LMs from ONE vocabulary-sized aggregate: c_t is the
+    # target-cohort count (0.0, never NULL, for terms outside it)
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("c_r"),
+        F.sum(is_tgt).alias("c_t"),
     )
-    n_r, v = raw.agg(F.sum("c_r"), F.count(F.lit(1)).cast("double")).first()
-    n_t = float(tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0.0))).first()[0])
-    ratio = raw.join(tgt, "term", "left").select(
+    # corpus scalars as a 1-row frame folded in lazily (the oracle's
+    # stats CTE), instead of eager .first() driver round-trips
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_r"),
+        F.sum(is_tgt).alias("n_t"),
+        F.countDistinct("term").cast("double").alias("v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(stats)).select(
         "term",
         F.log(
-            ((F.coalesce(F.col("c_t"), F.lit(0.0)) + 1) / F.lit(n_t + v))
-            / ((F.col("c_r") + 1) / F.lit(float(n_r) + v))
+            ((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")))
+            / ((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")))
         ).alias("lr"),
     )
     lw = (

@@ -218,7 +218,12 @@ def streaming_ingest_dedup(docs_with_fp: DataFrame) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            for _ in pdfs:  # drain: re-arrivals of a seen fingerprint
+            # Deliberate swallow (VERDICT r6 housekeeping): a seen
+            # fingerprint's re-arrivals are EXPECTED duplicates, the
+            # very rows this operator exists to drop — but the
+            # iterator contract requires consuming every batch before
+            # returning, so drain without emitting.
+            for _ in pdfs:
                 pass
             return
         batch = pd.concat(list(pdfs), ignore_index=True)

@@ -171,7 +171,11 @@ def upsert_parquet(
       ADDED (NULL for untouched rows); table columns the batch lacks
       are NULL-filled in the batch (:func:`_align_schemas`). Off by
       default: an unexpected new column then raises instead of being
-      silently dropped. The full rewrite is the correct physical op
+      silently dropped. With a non-empty ``update_cols``, evolved
+      columns are implicitly appended to the update set — a new
+      column's data is batch-sourced by definition, so matched keys
+      take it too (only ``update_cols=[]`` DO NOTHING keeps existing
+      rows fully untouched). The full rewrite is the correct physical op
       for a schema change — every row gains the column — which is why
       the file-granularity CoW variant rejects evolved batches
       outright.
@@ -195,8 +199,24 @@ def upsert_parquet(
         return {"path": path, "inserted": n, "kept": 0, "mode": "create"}
 
     existing = spark.read.parquet(path)
+    evolved = [c for c in batch.columns if c not in existing.columns]
     existing, batch = _align_schemas(existing, batch, allow_schema_evolution)
     do_update = update_cols is None or len(update_cols) > 0
+    if evolved and update_cols is not None and len(update_cols) > 0:
+        # Partial update + evolution: _align_schemas added the new
+        # column to `existing` as NULL, and the partial-update merge
+        # keeps the EXISTING value for every column outside
+        # update_cols — so without this, matched keys would get NULL
+        # for the evolved column, silently dropping the batch's data
+        # (ADVICE r6 #2). An evolved column is definitionally
+        # batch-sourced, so it is always part of the update set.
+        update_cols = list(update_cols) + [
+            c for c in evolved if c not in update_cols
+        ]
+        # update_cols=[] (DO NOTHING) is deliberately NOT extended:
+        # that mode's contract is "matched keys keep the existing row
+        # for EVERY column"; the evolved column still lands as NULL
+        # for existing keys and with batch values for brand-new keys.
     result = _merge(existing, batch, keys, update_cols)
 
     staged = path + ".staging"

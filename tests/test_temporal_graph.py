@@ -264,6 +264,42 @@ def test_triangle_edge_frames_read_from_columnar_cache(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_graph_snapshots_released_between_queries(spark, sf_dir):
+    """The edge-frame persists are NOT session-lifetime (ADVICE r6
+    #1): each graph query's entry releases the previous query's
+    snapshots, bounding CacheManager residency at one query's frames,
+    and release_graph_snapshots() frees the last one on demand. The
+    released frame stays CORRECT — it just recomputes."""
+    from prisma_migrator_spark.plans import QUERIES
+    from prisma_migrator_spark.plans.graph import (
+        _SNAPSHOTS,
+        release_graph_snapshots,
+    )
+
+    spark.catalog.clearCache()
+    release_graph_snapshots()
+    df1 = QUERIES["copurchase_triangles"](spark, sf_dir)
+    n1 = df1.count()
+    first_batch = list(_SNAPSHOTS)
+    assert first_batch, "triangle query should pin snapshot frames"
+
+    # next graph query's construction frees the previous query's pins
+    # (registry rotates: only the NEW query's frames remain tracked)
+    QUERIES["copurchase_triangles_capped"](spark, sf_dir)
+    assert first_batch[0] not in _SNAPSHOTS
+
+    # explicit release drains the rest; NOTHING stays cached after —
+    # storageLevel is a plan-keyed CacheManager lookup, so this also
+    # proves the rotation actually unpersisted (not just untracked)
+    assert release_graph_snapshots() > 0
+    assert not _SNAPSHOTS
+    assert all(f.storageLevel.useMemory is False for f in first_batch), (
+        "edge-frame plans still registered in the CacheManager"
+    )
+    assert df1.count() == n1  # recompute-through-unpersisted is safe
+    spark.catalog.clearCache()
+
+
 def test_triangles_sampled_estimator_error_bound(spark):
     """Doulion estimate on a triangle-rich graph: deterministic md5
     coin at keep=60% must land within 35% of the exact count (p³=0.216

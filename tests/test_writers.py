@@ -91,6 +91,47 @@ def test_upsert_schema_evolution_explicit_never_silent(spark, tmp_table):
     assert (row2["v"], row2["lang"], row2["ts"]) == ("B3", "fr", None)
 
 
+def test_upsert_schema_evolution_with_partial_update(spark, tmp_table):
+    """allow_schema_evolution=True + explicit update_cols (ADVICE r6
+    #2): the evolved column is implicitly part of the update set — a
+    matched key takes the batch's value for it, NOT the NULL that
+    _align_schemas padded into `existing`. Columns outside
+    update_cols still keep their existing values, and DO NOTHING
+    (update_cols=[]) still leaves matched rows fully untouched."""
+    upsert_parquet(spark, _df(spark, BASE), tmp_table, ["k"])
+    evolved = _df(spark, [{"k": 2, "v": "B2", "ts": 20, "lang": "en"},
+                          {"k": 9, "v": "z", "ts": 20, "lang": "de"}])
+    upsert_parquet(
+        spark, evolved, tmp_table, ["k"],
+        update_cols=["v"], allow_schema_evolution=True,
+    )
+    got = {
+        r["k"]: (r["v"], r["ts"], r["lang"])
+        for r in spark.read.parquet(tmp_table).collect()
+    }
+    assert got == {
+        1: ("a", 10, None),   # untouched key
+        2: ("B2", 10, "en"),  # v updated, ts KEPT, evolved lang taken
+        3: ("c", 10, None),
+        9: ("z", 20, "de"),   # brand-new key: full batch row
+    }
+
+    # DO NOTHING + evolution: matched rows untouched (lang stays),
+    # new keys land with the evolved column populated
+    nothing = _df(spark, [{"k": 2, "v": "XX", "ts": 99, "lang": "zz"},
+                          {"k": 7, "v": "g", "ts": 30, "lang": "fr"}])
+    upsert_parquet(
+        spark, nothing, tmp_table, ["k"],
+        update_cols=[], allow_schema_evolution=True,
+    )
+    got = {
+        r["k"]: (r["v"], r["lang"])
+        for r in spark.read.parquet(tmp_table).collect()
+    }
+    assert got[2] == ("B2", "en")  # DO NOTHING: existing row kept
+    assert got[7] == ("g", "fr")
+
+
 def test_upsert_cow_rejects_evolved_batch(spark, tmp_table):
     """File-granularity CoW cannot evolve schemas (untouched files
     would keep the old one); it must refuse with guidance, not merge."""
