@@ -459,14 +459,52 @@ def simhash_near_dup_pairs(
     shingles). Cost becomes Σ min(bucket, cap)² — linear in corpus
     size for fixed cap.
     """
-    sigs = simhash(df, text_col, id_col, n_bits=n_bits).persist()
+    sigs = simhash(df, text_col, id_col, n_bits=n_bits)
+    return hamming_band_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        n_bits=n_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generic banded Hamming self-join over ANY fixed-width '0'/'1'
+    bit-string signature column — the machinery behind
+    :func:`simhash_near_dup_pairs` (text) and
+    :func:`image_near_dup_pairs` (perceptual image hashes), factored
+    so every Hamming-space dedup family shares one audited plan.
+
+    Pigeonhole guarantee: with ``n_bits/band_bits`` bands, any pair
+    within Hamming distance (n_bands - 1) shares at least one intact
+    band, so recall is EXACT for ``max_hamming <= n_bands - 1``. The
+    self-join is keyed on (band index, band value) and carries ids
+    only (signatures re-join after the pair-distinct); cost is
+    Σ bucket², bounded to Σ min(bucket, cap)² by ``max_bucket``
+    (see :func:`simhash_near_dup_pairs` for the stop-band argument).
+    The signature frame is persisted: it feeds band explosion AND the
+    two re-join legs, and is signature-sized (one short string per
+    doc), not corpus-sized.
+    """
+    sigs = sigs.persist()
     n_bands = n_bits // band_bits
     bands = F.array(
         *[
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                F.substring("simhash", b * band_bits + 1, band_bits),
+                F.substring(sig_col, b * band_bits + 1, band_bits),
             )
             for b in range(n_bands)
         ]
@@ -493,8 +531,8 @@ def simhash_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b"))
     hamming = sum(
         F.when(
             F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1

@@ -548,26 +548,21 @@ def bmp_pixels(b: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
 # --- PNG: second REAL image format (stdlib zlib — no codec) -----------
 
 
-def synthesize_png(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
-    """Deterministic truecolor (8-bit RGB) PNG bytes — a real,
-    spec-valid image: PNG signature, IHDR/IDAT/IEND chunks with CRCs,
-    zlib-compressed scanlines (filter type 0). Same pixel recipe as
-    :func:`synthesize_bmp`, so the two formats' decoded stats agree —
-    which the tests exploit. Pure stdlib (``zlib`` + ``struct``):
-    PNG's container and DEFLATE stream need no external codec, only
-    fancy filters/interlacing do (not used here)."""
-    import hashlib
+def encode_png(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Generic truecolor (8-bit RGB) PNG encoder from top-down
+    ``(r, g, b)`` rows: PNG signature, IHDR/IDAT/IEND chunks with
+    CRCs, zlib-compressed scanlines (filter type 0). Pure stdlib
+    (``zlib`` + ``struct``): PNG's container and DEFLATE stream need
+    no external codec, only fancy filters/interlacing do (not used).
+    The encode counterpart of :func:`png_pixels`."""
     import struct
     import zlib
 
-    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    height, width = len(rows), len(rows[0])
     raw = bytearray()
-    for y in range(height):  # top-down scanlines, filter byte 0 each
+    for row in rows:  # top-down scanlines, filter byte 0 each
         raw.append(0)
-        for x in range(width):
-            r = (x * 255 // max(width - 1, 1)) ^ (h & 0xFF)
-            g = (y * 255 // max(height - 1, 1)) ^ ((h >> 8) & 0xFF)
-            b = (doc_id * 37 + x * y) % 256
+        for r, g, b in row:
             raw += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -585,6 +580,26 @@ def synthesize_png(doc_id: int, seed_text: str, width: int = 16, height: int = 1
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def synthesize_png(doc_id: int, seed_text: str, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic truecolor (8-bit RGB) PNG bytes — a real,
+    spec-valid image (see :func:`encode_png`). Same pixel recipe as
+    :func:`synthesize_bmp`, so the two formats' decoded stats agree —
+    which the tests exploit."""
+    import hashlib
+
+    h = int(hashlib.md5(seed_text.encode()).hexdigest()[:8], 16)
+    rows = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            r = (x * 255 // max(width - 1, 1)) ^ (h & 0xFF)
+            g = (y * 255 // max(height - 1, 1)) ^ ((h >> 8) & 0xFF)
+            b = (doc_id * 37 + x * y) % 256
+            row.append((r & 0xFF, g & 0xFF, b & 0xFF))
+        rows.append(row)
+    return encode_png(rows)
 
 
 def attach_png_payload(
@@ -1103,3 +1118,192 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- perceptual hashing (image near-dup dedup) ------------------------
+#
+# DCT pHash (the classic perceptual hash, as in the pHash library /
+# ImageHash): decode -> grayscale -> box-resample to 32x32 -> 2D
+# DCT-II -> keep the top-left 8x8 low-frequency block -> threshold
+# each coefficient against the block median -> 64-bit signature.
+# Near-duplicate images (re-encodes across containers, mild resizes,
+# small quality loss) agree on low-frequency structure, so their
+# signatures sit within a few Hamming bits; distinct images are
+# ~random (expected distance 32). Pairing is the SAME banded Hamming
+# self-join as text SimHash (llm/dedup.hamming_band_pairs) — the
+# image family reuses the audited Σ bucket² machinery rather than
+# growing its own.
+
+_PHASH_N = 32  # resample side; DCT runs over the 32x32 grayscale
+
+
+def _phash_dct_basis():
+    """Orthonormal DCT-II basis matrix for N=32, built once per
+    interpreter (executors build their own copy inside the UDF)."""
+    import math
+
+    import numpy as np
+
+    n = _PHASH_N
+    c = np.zeros((n, n))
+    for u in range(n):
+        scale = (1.0 / n) ** 0.5 if u == 0 else (2.0 / n) ** 0.5
+        for x in range(n):
+            c[u, x] = scale * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+    return c
+
+
+_PHASH_BASIS = None
+
+
+def phash64(payload: bytes) -> str:
+    """64-bit DCT perceptual hash of any supported image payload
+    (BMP/PNG/JPEG via the :func:`image_pixels` sniffing dispatch),
+    returned as a 64-char '0'/'1' string — the same bit-string shape
+    as ``llm/dedup.simhash``, so the banded Hamming join is shared.
+    Raises ``ValueError`` on non-image payloads (callers
+    NULL-isolate per row, like every decode stage here)."""
+    import numpy as np
+
+    global _PHASH_BASIS
+    if _PHASH_BASIS is None:
+        _PHASH_BASIS = _phash_dct_basis()
+    w, h, rows = image_pixels(payload)
+    px = np.asarray(rows, dtype=np.float64)
+    gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    n = _PHASH_N
+    # box-resample to n x n: mean over each source block (degenerates
+    # to nearest-neighbor replication when upscaling)
+    yb = np.linspace(0, h, n + 1).astype(int)
+    xb = np.linspace(0, w, n + 1).astype(int)
+    grid = np.empty((n, n))
+    for i in range(n):
+        y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
+        for j in range(n):
+            x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
+            grid[i, j] = gray[y0:y1, x0:x1].mean()
+    d = _PHASH_BASIS @ grid @ _PHASH_BASIS.T
+    low = d[:8, :8].ravel()
+    med = float(np.median(low))
+    return "".join("1" if v > med else "0" for v in low)
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched pHash stage: ``(id, payload)`` -> ``(id, phash)``
+    via ``mapInPandas`` — decode + DCT are per-row Python compute
+    (the justified UDF shape for binary media; no built-in expresses
+    a codec), batched through Arrow, embarrassingly parallel, zero
+    shuffle. Undecodable payloads are DROPPED (fault isolation: a
+    corrupt image can't be near-anything), never task failures."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, phash string"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    hashes.append(phash64(bytes(payload)))
+                    ids.append(int(i))
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def pattern_rows(
+    group: int, width: int = 32, height: int = 32, grid: int = 8
+) -> list[list[tuple[int, int, int]]]:
+    """Deterministic SMOOTH test image: a ``grid x grid`` md5-random
+    cell mosaic upsampled to ``width x height`` — low-frequency-
+    dominated content, which is what photographs look like to a
+    perceptual hash. (The gradient+moire recipe of
+    :func:`synthesize_bmp` is adversarial for pHash by construction:
+    its ``(doc_id*37 + x*y) % 256`` term is pure high-frequency noise
+    that resampling destroys — measured intra-group Hamming up to 40
+    of 64. An 8x8 mosaic puts one random value under each retained
+    DCT coefficient: measured intra-group max 2 bits across
+    BMP/PNG/JPEG-q90/24px-resize variants vs inter-group min 16.)"""
+    import hashlib
+
+    cells = [
+        [
+            tuple(hashlib.md5(f"img:{group}:{cy}:{cx}".encode()).digest()[:3])
+            for cx in range(grid)
+        ]
+        for cy in range(grid)
+    ]
+    return [
+        [cells[y * grid // height][x * grid // width] for x in range(width)]
+        for y in range(height)
+    ]
+
+
+def rows_to_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows -> 24-bit BMP bytes (bottom-up BGR
+    with 4-byte row padding, per spec) — the encode counterpart of
+    :func:`bmp_pixels`, composing with :func:`bmp_wrap`."""
+    height, width = len(rows), len(rows[0])
+    pad = (-(width * 3)) % 4
+    data = b"".join(
+        bytes(v for (r, g, b) in rows[y] for v in (b, g, r)) + b"\x00" * pad
+        for y in range(height - 1, -1, -1)
+    )
+    return bmp_wrap(data, width, height)
+
+
+def attach_image_variant_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 4,
+    width: int = 32,
+    height: int = 32,
+    resize_to: int = 24,
+    jpeg_quality: int = 90,
+) -> DataFrame:
+    """Near-duplicate image corpus: every ``group_size`` consecutive
+    ids share ONE smooth source image (:func:`pattern_rows` keyed on
+    ``id // group_size``), each id carrying a different real variant
+    of it — the constructed ground truth for perceptual-hash dedup,
+    with the variants a crawl actually serves:
+
+    - variant 0: the source as 24-bit BMP
+    - variant 1: the SAME pixels re-containered as PNG (lossless)
+    - variant 2: JPEG re-encode at ``jpeg_quality`` (lossy)
+    - variant 3: nearest-neighbor resize to ``resize_to`` px (BMP)
+
+    Synthesis runs inside Arrow batches (``mapInPandas``), like every
+    attach stage here; group membership is ``id``-derived so the
+    corpus is deterministic at any scale factor."""
+    import pandas as pd
+
+    from prisma_migrator_spark.llm.jpeg import encode_jpeg
+
+    schema = f"{id_col} bigint, payload binary"
+
+    def _make(i: int) -> bytes:
+        rows = pattern_rows(i // group_size, width, height)
+        variant = i % group_size
+        if variant == 1:
+            return encode_png(rows)
+        if variant == 2:
+            return encode_jpeg(rows, quality=jpeg_quality)
+        bmp = rows_to_bmp(rows)
+        if variant == 3:
+            return resize_bmp(bmp, resize_to, resize_to)
+        return bmp
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {id_col: pd.array(ids, dtype="int64"),
+                 "payload": [_make(i) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)

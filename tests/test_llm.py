@@ -2748,3 +2748,97 @@ def test_streaming_topk_skips_null_event_id(spark, tmp_path):
     sink = spark.read.parquet(out)
     got = {(r.rank, r.event_id, r.value) for r in sink.collect()}
     assert got == {(1, 3, 7.0), (2, 1, 5.0)}
+
+
+# --- image perceptual-hash dedup (r7) ----------------------------------
+
+
+def test_phash_container_invariance_and_robustness():
+    """pHash ground physics, no Spark: (a) BMP and PNG of IDENTICAL
+    pixels hash IDENTICALLY (the signature sees pixels, not
+    containers); (b) JPEG q90 and a 24px nearest-neighbor resize
+    stay within the banding guarantee (Hamming <= 7); (c) distinct
+    source images separate by >= 16 bits — so threshold 7 has real
+    margin on BOTH sides."""
+    from prisma_migrator_spark.llm.jpeg import encode_jpeg
+    from prisma_migrator_spark.llm.multimodal import (
+        encode_png,
+        pattern_rows,
+        phash64,
+        resize_bmp,
+        rows_to_bmp,
+    )
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    hashes = {}
+    for k in range(12):
+        rows = pattern_rows(k)
+        bmp = rows_to_bmp(rows)
+        hashes[(k, "bmp")] = phash64(bmp)
+        hashes[(k, "png")] = phash64(encode_png(rows))
+        hashes[(k, "jpeg")] = phash64(encode_jpeg(rows, quality=90))
+        hashes[(k, "resized")] = phash64(resize_bmp(bmp, 24, 24))
+
+    for k in range(12):
+        base = hashes[(k, "bmp")]
+        assert hashes[(k, "png")] == base  # lossless: exact
+        assert ham(hashes[(k, "jpeg")], base) <= 7
+        assert ham(hashes[(k, "resized")], base) <= 7
+    inter = [
+        ham(hashes[(a, "bmp")], hashes[(b, "bmp")])
+        for a in range(12)
+        for b in range(a + 1, 12)
+    ]
+    assert min(inter) >= 16, min(inter)
+
+
+def test_image_near_dup_pairs_recall_and_precision(spark, sf_dir):
+    """End-to-end registry query on the constructed corpus: EVERY
+    intra-group pair (same source image under 4 real variants) is
+    recovered — recall 1.0, guaranteed by 8-band pigeonhole for
+    Hamming <= 7 — and ZERO cross-group pairs appear (precision
+    1.0; inter-group distances measured >= 16)."""
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["image_near_dup_pairs"](spark, sf_dir).collect()
+    import duckdb  # count docs without hardcoding the sf
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    expected = {
+        (a, b)
+        for g in range((n_docs + 3) // 4)
+        for a in range(g * 4, min(g * 4 + 4, n_docs))
+        for b in range(a + 1, min(g * 4 + 4, n_docs))
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == expected, (
+        f"missed {sorted(expected - got)[:5]}, spurious {sorted(got - expected)[:5]}"
+    )
+    assert all(r.hamming <= 7 for r in rows)
+
+
+def test_image_phash_drops_undecodable_payloads(spark):
+    """Fault isolation: a corrupt/non-image payload yields NO
+    signature row (it can't be near-anything), never a task error."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        image_phash,
+        pattern_rows,
+        rows_to_bmp,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=rows_to_bmp(pattern_rows(1))),
+            Row(doc_id=2, payload=b"not an image at all"),
+            Row(doc_id=3, payload=b"BM\x00\x01truncated"),
+        ]
+    )
+    out = image_phash(df).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert len(out[0].phash) == 64 and set(out[0].phash) <= {"0", "1"}
