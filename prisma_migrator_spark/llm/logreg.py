@@ -1,0 +1,180 @@
+"""Distributed logistic-regression training for the quality classifier.
+
+`quality_model_score` (plans/llm.py) APPLIES a given broadcast weight
+map — the inference shape. Real pipelines TRAIN that model: weak
+labels come from the cheap heuristic gate (or a small human-labeled
+set), features are term frequencies over a bounded vocabulary, and
+the classifier replaces the heuristic once it beats it (the
+fasttext-style quality filter of CCNet/Gopher-class pipelines). This
+module is the training side, built on the same iterative discipline
+as the k-means (`llm/similarity.train_ivf_centroids`) and BPE
+trainers: the loop state living on the driver is MODEL-sized (dim
+floats), never data-sized, and each iteration is ONE distributed
+aggregate job.
+
+Execution shape per gradient-descent iteration:
+
+- the weight vector rides into the plan as literals (broadcast by
+  value, like the inference path's weight map);
+- z = w·x unrolls to dim multiply-adds on the feature array — pure
+  whole-stage-codegen expressions, zero Python;
+- the gradient Σ (σ(z) − y)·x, the log-loss Σ, and the row count
+  come back as ONE HashAggregate row (dim + 2 partially-aggregated
+  sums — map-side combine does the heavy lifting, the shuffle is
+  one row per partition);
+- `bounded_collect(…, 1)` pulls that single row to the driver.
+
+So a 100 TB corpus trains in n_iters scans with nothing
+data-proportional ever leaving the executors. Feature construction
+is map-side (no explode/shuffle): per vocabulary term a
+filter-count over the token array — fine for the dim ≤ 64 quality
+models this targets; swap in the hashing trick (token_hash % D) when
+the feature space outgrows unrolled expressions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.llm.text import quality_score, tokens
+from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+#: clamp for σ(z) inside the loss so log() never sees 0 — standard
+#: numerical guard, same value in the pure-Python test reference.
+_EPS = 1e-12
+
+
+def featurize_terms(
+    docs: DataFrame,
+    vocab_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, x[, keep_cols…]) rows where x = [1.0 (bias),
+    min(n_tokens/100, 1), freq(term_1), …, freq(term_V)] — term
+    counts normalized by token count and the length feature CLAMPED
+    so every feature sits in [0, 1]: with unbounded features (a raw
+    log-length reaches ~4-8) plain full-batch GD at a useful learning
+    rate overshoots and oscillates — measured diverging, even
+    SIGN-INVERTING, on the fixture corpus before the clamp. Map-side
+    only: each frequency is a filter-count over the token array."""
+    tok = tokens(F.col(text_col))
+    n = F.size(tok).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+
+    def _matches(term: str):
+        # closure factory, NOT a default-arg lambda: F.filter treats a
+        # two-parameter lambda as its (element, index) form and would
+        # bind `term` to the BIGINT index column
+        return lambda t: t == F.lit(term)
+
+    freqs = [
+        (F.size(F.filter(tok, _matches(term))) / safe_n)
+        for term in vocab_terms
+    ]
+    x = F.array(F.lit(1.0), F.least(n / F.lit(100.0), F.lit(1.0)), *freqs)
+    return docs.select(
+        F.col(id_col), x.alias("x"), *[F.col(c) for c in (keep_cols or [])]
+    )
+
+
+def weak_quality_label(text: Column, threshold: float = 0.3) -> Column:
+    """Weak label from the heuristic gate: 1.0 where
+    `quality_score` ≥ threshold (the same cut `clean_corpus` keeps),
+    else 0.0 — the standard bootstrap when no human labels exist."""
+    return (quality_score(text) >= F.lit(threshold)).cast("double")
+
+
+def _dot(w: list[float], x_col: str) -> Column:
+    """w·x unrolled to literal multiply-adds (whole-stage codegen)."""
+    z: Column = F.lit(0.0)
+    for j, wj in enumerate(w):
+        z = z + F.lit(wj) * F.col(x_col)[j]
+    return z
+
+
+def train_logreg(
+    feats: DataFrame,
+    dim: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    lr: float = 2.0,
+    n_iters: int = 20,
+    l2: float = 0.0,
+) -> tuple[list[float], list[float]]:
+    """Full-batch gradient descent from w = 0. Returns
+    (weights, per-iteration mean log-loss BEFORE each step) — the
+    loss history is the trainer's own convergence evidence (pinned
+    decreasing in pytest).
+
+    The caller owns persistence of ``feats``: it is scanned once per
+    iteration, so snapshot it (persist + count — it is static, built
+    once and never rebound, so the eager-columnar-cache pattern of
+    PERF.md #63 applies, not the localCheckpoint-for-LOOP-state rule:
+    the loop state here is the driver-side weight vector)."""
+    w = [0.0] * dim
+    losses: list[float] = []
+    for _ in range(n_iters):
+        z = _dot(w, x_col)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        p = F.least(F.greatest(p, F.lit(_EPS)), F.lit(1.0 - _EPS))
+        r = p - F.col(y_col)
+        y = F.col(y_col)
+        loss = -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
+        agg = feats.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(loss).alias("loss"),
+            *[F.sum(r * F.col(x_col)[j]).alias(f"g{j}") for j in range(dim)],
+        )
+        row = bounded_collect(agg, 1, "1-row gradient aggregate")[0]
+        n = max(row["n"] or 0.0, 1.0)
+        losses.append(row["loss"] / n)
+        w = [
+            wj - lr * ((row[f"g{j}"] / n) + l2 * wj)
+            for j, wj in enumerate(w)
+        ]
+    return w, losses
+
+
+def score_logreg(
+    feats: DataFrame, w: list[float], x_col: str = "x"
+) -> DataFrame:
+    """σ(w·x) as a map-side column — identical execution shape to the
+    fixed-weight `quality_model_score` inference path."""
+    z = _dot(w, x_col)
+    return feats.withColumn(
+        "p_keep", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    )
+
+
+def train_logreg_py(
+    rows: list[tuple[list[float], float]],
+    dim: int,
+    lr: float = 2.0,
+    n_iters: int = 20,
+    l2: float = 0.0,
+) -> tuple[list[float], list[float]]:
+    """Pure-Python reference of the EXACT same GD (same init, lr,
+    clamp, update) — the parity oracle for pytest: Spark and this
+    must agree on the trajectory up to float-summation order."""
+    w = [0.0] * dim
+    losses: list[float] = []
+    for _ in range(n_iters):
+        g = [0.0] * dim
+        total = 0.0
+        for x, y in rows:
+            z = sum(wj * xj for wj, xj in zip(w, x))
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, _EPS), 1.0 - _EPS)
+            total += -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+            r = p - y
+            for j in range(dim):
+                g[j] += r * x[j]
+        n = max(len(rows), 1)
+        losses.append(total / n)
+        w = [wj - lr * ((g[j] / n) + l2 * wj) for j, wj in enumerate(w)]
+    return w, losses

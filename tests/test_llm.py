@@ -2842,3 +2842,71 @@ def test_image_phash_drops_undecodable_payloads(spark):
     out = image_phash(df).collect()
     assert [r.doc_id for r in out] == [1]
     assert len(out[0].phash) == 64 and set(out[0].phash) <= {"0", "1"}
+
+
+# --- in-engine quality classifier training (r7) -------------------------
+
+
+def _toy_quality_corpus(spark):
+    """Linearly separable toy corpus: 'good' docs are stopword-rich
+    with punctuation, 'junk' docs are short keyword spam — the same
+    signal axes the weak heuristic label keys on."""
+    from pyspark.sql import Row
+
+    rows = []
+    for i in range(24):
+        rows.append(Row(doc_id=i, text=(
+            "the quick analysis shows that the results are stable and "
+            "the method works well. " * (2 + i % 3)
+        )))
+    for i in range(24, 48):
+        rows.append(Row(doc_id=i, text="error error fast slow " * (1 + i % 2)))
+    return spark.createDataFrame(rows)
+
+
+def test_logreg_loss_decreases_and_matches_python_reference(spark):
+    """The distributed trainer IS gradient descent: (a) mean log-loss
+    strictly decreases across iterations; (b) the full weight
+    trajectory matches a pure-Python implementation of the identical
+    update (same init/lr/clamp) to float-summation-order tolerance;
+    (c) discriminative weights land with the right SIGN (stopword
+    features positive, junk-marker features negative)."""
+    from prisma_migrator_spark.llm.logreg import (
+        featurize_terms,
+        train_logreg,
+        train_logreg_py,
+        weak_quality_label,
+    )
+
+    docs = _toy_quality_corpus(spark)
+    terms = ["the", "and", "error", "fast", "slow", "results"]
+    labeled = docs.withColumn("y", weak_quality_label(F.col("text")))
+    feats = featurize_terms(labeled, terms, keep_cols=["y"]).persist()
+    dim = len(terms) + 2
+    w, losses = train_logreg(feats, dim=dim, lr=2.0, n_iters=15)
+
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    local = [(list(r["x"]), float(r["y"])) for r in feats.collect()]
+    feats.unpersist()
+    w_py, losses_py = train_logreg_py(local, dim=dim, lr=2.0, n_iters=15)
+    assert max(abs(a - b) for a, b in zip(w, w_py)) < 1e-6, (w, w_py)
+    assert max(abs(a - b) for a, b in zip(losses, losses_py)) < 1e-9
+
+    idx = {t: 2 + j for j, t in enumerate(terms)}
+    assert w[idx["the"]] > 0 and w[idx["and"]] > 0
+    assert w[idx["error"]] < 0 and w[idx["fast"]] < 0 and w[idx["slow"]] < 0
+
+
+def test_quality_classifier_scores_query_separates(spark, sf_dir):
+    """End-to-end registry entry: the LEARNED model's scores order
+    the weak classes almost perfectly (pairwise AUC >= 0.95 measured
+    0.999 at sf0.01) and are valid probabilities."""
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["quality_classifier_scores"](spark, sf_dir).collect()
+    assert all(0.0 < r.p_keep < 1.0 for r in rows)
+    pos = [r.p_keep for r in rows if r.label == 1.0]
+    neg = [r.p_keep for r in rows if r.label == 0.0]
+    assert pos and neg
+    auc = sum(1 for p in pos for n in neg if p > n) / (len(pos) * len(neg))
+    assert auc >= 0.95, auc
