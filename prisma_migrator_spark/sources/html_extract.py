@@ -18,6 +18,11 @@ Selector language (the cheerio subset the save-path idioms need):
   suffix ``[attr$=v]``, substring ``[attr*=v]``, word ``[attr~=v]``;
   composable with the compound forms — ``a.link[href^=/apps/]``
 - descendant chains: ``div.card a.link`` (any-depth descent)
+- pseudo-classes (r7): ``:first-child``, ``:last-child``,
+  ``:nth-child(n)`` (1-indexed over element siblings, per CSS), and
+  ``:not(simple)`` where the argument is any single step of this
+  grammar (including attribute tests); unknown pseudos raise at
+  parse rather than silently matching nothing
 - extraction suffix on LEAF selectors: ``::text`` (default — all
   descendant text, whitespace-collapsed) or ``@attr`` (attribute
   value, e.g. ``a.link@href``)
@@ -130,14 +135,27 @@ def _parse_attr(inner: str) -> tuple[str, str, str | None]:
     return inner.strip(), "", None
 
 
+#: Pseudo-classes supported (the css-select subset the porting user
+#: actually hits — VERDICT r6 item 6); anything else raises at parse
+#: so a typo fails loudly instead of matching nothing.
+_PSEUDOS = frozenset(("first-child", "last-child", "nth-child", "not"))
+
+
 def _parse_step(
     step: str,
-) -> tuple[str | None, list[str], str | None, list[tuple[str, str, str | None]]]:
-    """One selector step -> (tag, classes, id, attr_tests)."""
+) -> tuple[
+    str | None,
+    list[str],
+    str | None,
+    list[tuple[str, str, str | None]],
+    list[tuple[str, str | None]],
+]:
+    """One selector step -> (tag, classes, id, attr_tests, pseudos)."""
     tag: str | None = None
     classes: list[str] = []
     ident: str | None = None
     attrs: list[tuple[str, str, str | None]] = []
+    pseudos: list[tuple[str, str | None]] = []
     buf, mode = "", "tag"
 
     def flush():
@@ -166,6 +184,28 @@ def _parse_step(
             i = end + 1
             mode = "tag"
             continue
+        if ch == ":":
+            # pseudo-class: name up to the next delimiter, optional
+            # (arg) whose content is opaque (":not(.ad)" has a "."
+            # that must not start a class)
+            flush()
+            j = i + 1
+            while j < len(step) and (step[j].isalnum() or step[j] == "-"):
+                j += 1
+            name = step[i + 1 : j]
+            arg: str | None = None
+            if j < len(step) and step[j] == "(":
+                end = step.find(")", j)
+                if end < 0:
+                    end = len(step)
+                arg = step[j + 1 : end]
+                j = end + 1
+            if name not in _PSEUDOS:
+                raise ValueError(f"unsupported pseudo-class :{name}")
+            pseudos.append((name, arg))
+            i = j
+            mode = "tag"
+            continue
         if ch == ".":
             flush()
             mode = "class"
@@ -176,10 +216,10 @@ def _parse_step(
             buf += ch
         i += 1
     flush()
-    return tag, classes, ident, attrs
+    return tag, classes, ident, attrs, pseudos
 
 
-def _matches(n: _Node, tag, classes, ident, attrs=()) -> bool:
+def _matches(n: _Node, tag, classes, ident, attrs=(), pseudos=()) -> bool:
     if tag and n.tag != tag:
         return False
     if ident and n.attrs.get("id") != ident:
@@ -204,6 +244,27 @@ def _matches(n: _Node, tag, classes, ident, attrs=()) -> bool:
             return False
         if op == "~=" and val not in got.split():
             return False
+    for name, arg in pseudos:
+        if name == "not":
+            if _matches(n, *_parse_step(arg or "")):
+                return False
+            continue
+        # child-position pseudos: position among ELEMENT siblings
+        # (CSS counts elements, not text runs), 1-indexed for nth
+        if n.parent is None:
+            return False
+        sibs = [c for c in n.parent.children if isinstance(c, _Node)]
+        if name == "first-child" and sibs[0] is not n:
+            return False
+        if name == "last-child" and sibs[-1] is not n:
+            return False
+        if name == "nth-child":
+            try:
+                k = int(arg or "")
+            except ValueError:
+                return False
+            if k < 1 or k > len(sibs) or sibs[k - 1] is not n:
+                return False
     return True
 
 
@@ -212,7 +273,7 @@ def select(root: _Node, selector: str) -> list[_Node]:
     order (cheerio's ``$(sel)`` over the subset grammar)."""
     steps = [_parse_step(s) for s in selector.split() if s]
     frontier = [root]
-    for tag, classes, ident, attrs in steps:
+    for tag, classes, ident, attrs, pseudos in steps:
         nxt: list[_Node] = []
         seen: set[int] = set()
 
@@ -220,7 +281,10 @@ def select(root: _Node, selector: str) -> list[_Node]:
             for c in n.children:
                 if isinstance(c, str):
                     continue
-                if _matches(c, tag, classes, ident, attrs) and id(c) not in seen:
+                if (
+                    _matches(c, tag, classes, ident, attrs, pseudos)
+                    and id(c) not in seen
+                ):
                     seen.add(id(c))
                     nxt.append(c)
                 walk(c)
@@ -297,5 +361,122 @@ def extract_entities(
             for j, n in enumerate(names):
                 data[n] = pd.array(cols[2 + j], dtype="object")
             yield pd.DataFrame(data)
+
+    return df.select(id_col, html_col).mapInPandas(run, schema)
+
+
+# --- main-content extraction (boilerplate removal) ---------------------
+#
+# trafilatura/boilerpipe-style: LLM ingestion of crawled HTML needs
+# "the article, not the page" — navigation, footers, link farms, and
+# ad blocks are token soup that poisons a corpus. Two-stage classic:
+# (1) prune STRUCTURAL boilerplate by tag; (2) among the remaining
+# block candidates, score each subtree by text mass discounted by
+# LINK DENSITY — score = (T − L)² / T with T = subtree text length,
+# L = anchor-text length, i.e. T·(1−density)² — and keep the best
+# block. Link farms have density ≈ 1 (score ≈ 0) no matter how much
+# text they carry; the article's inline links barely dent it. Ties
+# break on document order, so the result is deterministic.
+
+_BOILERPLATE_TAGS = frozenset(
+    "script style nav header footer aside form noscript template iframe".split()
+)
+_CANDIDATE_TAGS = frozenset("article main section div td body".split())
+
+
+def _prune_boilerplate(n: _Node) -> None:
+    """Drop structural-boilerplate subtrees in place."""
+    n.children = [
+        c
+        for c in n.children
+        if isinstance(c, str) or c.tag not in _BOILERPLATE_TAGS
+    ]
+    for c in n.children:
+        if isinstance(c, _Node):
+            _prune_boilerplate(c)
+
+
+def _text_and_link_len(n: _Node) -> tuple[int, int]:
+    """(total text length, text length under <a> descendants) for the
+    subtree — one walk, no repeated text() materialization."""
+    total = link = 0
+
+    def walk(node: _Node, in_a: bool) -> None:
+        nonlocal total, link
+        for c in node.children:
+            if isinstance(c, str):
+                t = len(" ".join(c.split()))
+                total += t
+                if in_a:
+                    link += t
+            else:
+                walk(c, in_a or c.tag == "a")
+
+    walk(n, n.tag == "a")
+    return total, link
+
+
+def main_content(html: str) -> tuple[str, float]:
+    """Extract the main content block of a page: returns
+    ``(collapsed text, link_density of the chosen block)``; an empty
+    or fully-boilerplate page yields ``("", 0.0)``."""
+    doc = parse_html(html)
+    _prune_boilerplate(doc)
+    best: tuple[float, _Node] | None = None
+    order = 0
+
+    def walk(n: _Node) -> None:
+        nonlocal best, order
+        for c in n.children:
+            if isinstance(c, str):
+                continue
+            if c.tag in _CANDIDATE_TAGS:
+                t, link = _text_and_link_len(c)
+                if t > 0:
+                    score = (t - link) ** 2 / t
+                    # strict > : earlier-in-document wins ties
+                    if best is None or score > best[0]:
+                        best = (score, c)
+            walk(c)
+
+    walk(doc)
+    if best is None:
+        return "", 0.0
+    node = best[1]
+    t, link = _text_and_link_len(node)
+    return node.text(), (link / t) if t else 0.0
+
+
+def extract_main_content(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML column -> (id, main_text, n_chars, link_density): the
+    boilerplate-removal ingestion stage, Arrow-batched like every
+    parse stage here (``mapInPandas``, zero shuffle, per-row fault
+    isolation: unparseable rows yield an empty main_text)."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, main_text string, n_chars int, link_density double"
+
+    def run(batches):
+        for pdf in batches:
+            ids, texts, lens, dens = [], [], [], []
+            for i, html in zip(pdf[id_col], pdf[html_col]):
+                try:
+                    text, density = main_content(str(html or ""))
+                except Exception:
+                    text, density = "", 0.0
+                ids.append(int(i))
+                texts.append(text)
+                lens.append(len(text))
+                dens.append(round(density, 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "main_text": pd.array(texts, dtype="object"),
+                    "n_chars": pd.array(lens, dtype="int32"),
+                    "link_density": pd.array(dens, dtype="float64"),
+                }
+            )
 
     return df.select(id_col, html_col).mapInPandas(run, schema)

@@ -2910,3 +2910,112 @@ def test_quality_classifier_scores_query_separates(spark, sf_dir):
     assert pos and neg
     auc = sum(1 for p in pos for n in neg if p > n) / (len(pos) * len(neg))
     assert auc >= 0.95, auc
+
+
+# --- CSS pseudo-classes + main-content extraction (r7) -------------------
+
+
+def test_html_pseudo_class_selectors():
+    """:first-child / :last-child / :nth-child(n) / :not(simple) over
+    the stdlib DOM — CSS semantics: positions count ELEMENT siblings
+    (text runs ignored), nth is 1-indexed, :not takes any single step
+    including attribute tests, unknown pseudos raise at parse."""
+    import pytest as _pytest
+
+    from prisma_migrator_spark.sources.html_extract import (
+        parse_html,
+        select,
+    )
+
+    root = parse_html(
+        "<ul>text<li>a</li><li class='x' data-k='v'>b</li>"
+        "<li>c</li><li>d</li></ul>"
+        "<ol><li>z</li></ol>"
+    )
+    texts = lambda sel: [n.text() for n in select(root, sel)]
+    assert texts("ul li:first-child") == ["a"]
+    assert texts("ul li:last-child") == ["d"]
+    assert texts("li:nth-child(2)") == ["b"]
+    assert texts("li:nth-child(9)") == []
+    assert texts("ul li:not(.x)") == ["a", "c", "d"]
+    assert texts("li:not([data-k=v])") == ["a", "c", "d", "z"]
+    # one li is BOTH first and last child (the ol) — compound pseudos
+    assert texts("li:first-child:last-child") == ["z"]
+    with _pytest.raises(ValueError, match="unsupported pseudo-class"):
+        select(root, "li:nth-of-type(2)")
+
+
+def test_main_content_strips_boilerplate_keeps_article(spark):
+    """Boilerplate removal on constructed pages: structural tags
+    (nav/header/footer/style/script) stripped, the link-farm ad div
+    rejected by LINK DENSITY (it is not a structural tag — dropping
+    it requires the scoring), the article kept verbatim; a
+    link-farm-only page yields the least-linky block, and malformed
+    HTML yields an empty row, never a task failure."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.sources.html_extract import (
+        extract_main_content,
+        main_content,
+    )
+
+    article = "the actual story goes here with quite a few plain words"
+    page = (
+        "<html><head><style>x{}</style><script>var a=1</script></head>"
+        "<body><header><h1>Site</h1></header>"
+        "<nav><a href='/'>home page link text</a>"
+        "<a href='/b'>about the whole team page</a></nav>"
+        "<div class='wrap'><div class='ads'>"
+        "<a href='/x'>buy this great deal now</a>"
+        "<a href='/y'>another long sponsored offer right here</a></div>"
+        f"<article><p>{article}</p>"
+        "<p>second paragraph with <a href='/r'>one link</a> inline</p>"
+        "</article></div>"
+        "<footer><a href='/c'>contact</a> copyright corp</footer>"
+        "</body></html>"
+    )
+    text, density = main_content(page)
+    assert text == article + " second paragraph with one link inline"
+    assert 0.0 < density < 0.25
+
+    # distributed stage + fault isolation
+    df = spark.createDataFrame(
+        [Row(doc_id=1, html=page), Row(doc_id=2, html="<<<not html")]
+    )
+    rows = {r.doc_id: r for r in extract_main_content(df).collect()}
+    assert rows[1].main_text.startswith(article)
+    assert rows[1].n_chars == len(rows[1].main_text)
+    assert rows[2].main_text == "" and rows[2].n_chars == 0
+
+    # pure link farm: SOME block still returns (least-linky wins),
+    # and its density is flagged ~1 for a downstream quality gate
+    farm = ("<body><div><a href='/1'>spam one</a>"
+            "<a href='/2'>spam two</a></div></body>")
+    t2, d2 = main_content(farm)
+    assert d2 == 1.0
+
+
+def test_main_content_composes_with_fetch(spark):
+    """fetch -> main_content: the crawl-side ingestion composition
+    (the extract_entities pipeline's sibling for corpus building)."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.sources.html_extract import (
+        extract_main_content,
+    )
+    from prisma_migrator_spark.sources.http import (
+        RetryPolicy,
+        fetch_urls,
+        fetched_ok,
+        scripted_transport,
+    )
+
+    body = ("<body><nav><a href='/'>navigation link row</a></nav>"
+            "<article>fetched article body text</article>"
+            "<footer>foot</footer></body>")
+    transport = scripted_transport({"http://s/a": [(200, body)]})
+    urls = spark.createDataFrame([Row(url="http://s/a")]).coalesce(1)
+    fetched = fetched_ok(fetch_urls(urls, transport, RetryPolicy()))
+    pages = fetched.select(F.lit(1).alias("doc_id"), F.col("body").alias("html"))
+    out = extract_main_content(pages).collect()
+    assert out[0].main_text == "fetched article body text"
