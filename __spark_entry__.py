@@ -19,70 +19,72 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-6 driver window rotation (VERDICT r5 item 3): the driver
-# gates the FIRST 50 registry entries each round. Leads with the only
-# two oracle-backed queries never driver-gated (added mid-r5 after
-# that window froze) — after this round every oracle-backed query has
-# a driver CORRECTNESS row — then 48 oracle-backed representatives
-# rotated from OUTSIDE the r5 window, biased toward plans touched
-# this round (html_app_cards: attribute-selector oracle; the graph
-# family: bytes-per-edge rework). Everything past the window still
-# runs in the replica gate (tools/drive_driver.py, full registry).
-WINDOW_R6 = [
-    # -- never driver-gated (added mid-r5) --
-    "doc_containment_pairs_capped",
-    "tfidf_cosine_pairs_capped",
-    # -- new in r6 --
-    "bm25_topk",
-    "dsir_selection",
-    "leakage_safe_split",
-    "eval_contamination_report",
-    # -- plans touched in r6 --
+# Round-7 driver window rotation (VERDICT r6 item 8: every
+# oracle-backed query now has >=1 CORRECTNESS row, so rotation keys
+# on STALENESS — the round of each query's most recent driver row,
+# computed from CORRECTNESS_r01..r06). Leads with the queries new or
+# touched in r7 (image pHash dedup, trained quality classifier,
+# main-content extraction, the :not()-gated html cards, the
+# lazy-DSIR rework, the hamming_band_pairs refactor behind the
+# simhash queries, the graph snapshot-release rework), then the 38
+# stalest-gated oracle-backed entries (last gated r1-r2). Everything
+# past the window still runs in the replica gate
+# (tools/drive_driver.py, full registry; --twice adds the
+# determinism double-run).
+WINDOW_R7 = [
+    # -- new in r7 --
+    "html_main_content",
+    "image_near_dup_pairs",
+    "quality_classifier_scores",
+    # -- plans touched in r7 --
     "html_app_cards",
-    "copurchase_triangles_capped",
-    "copurchase_communities",
+    "dsir_selection",
+    "simhash16",
+    "simhash_near_dup",
+    "simhash64_near_dup",
     "copurchase_triangles",
-    "part_copurchase_pagerank",
-    # -- rotated representatives (not in the r5 window) --
-    "anti_join_customers",
-    "semi_join_orders",
-    "filter_inlist_range",
-    "normalized_part_scores",
-    "dynamic_pivot_categories",
-    "hyperlink_report",
-    "distinct_pair_agg",
-    "repeat_customers_setops",
-    "revenue_rollup",
-    "event_attribution_24h",
-    "asof_last_order",
-    "events_tumbling_hourly",
-    "events_session_30m",
-    "text_stats",
-    "exact_dedup_groups",
-    "topk_cosine_bruteforce",
-    "apps_by_category_open",
-    "vocab_top_terms",
-    "part_entity_clusters",
-    "lineitem_dq_report",
-    "corr_matrix_lineitem",
-    "part_price_twap",
-    "part_price_ohlc_monthly",
-    "part_state_asof",
-    "supplier_price_trend",
-    "event_sessions_gap30m",
-    "session_path_trigrams",
-    "user_value_ses_2level",
-    "event_value_mad_outliers",
-    "events_wau",
-    "funnel_latency_percentiles",
-    "customer_rfm_segments",
-    "top_terms_per_source",
-    "incremental_lsh_dedup",
-    "semantic_canonical_docs",
-    "scrub_repeated_spans",
-    "quality_gate_p10",
-    "ngram_jaccard_prefix",
-    "doc_chunks",
+    "copurchase_triangles_capped",
+    "copurchase_cap_report",
+    "copurchase_triangles_sampled",
+    # -- stalest-gated rotation (most recent driver row r1-r2) --
+    "corpus_stats",
+    "dataset_splits",
+    "deterministic_sample",
+    "events_sliding_1h_30m",
+    "latest_event_per_user",
+    "minhash_signatures",
+    "region_rollup",
+    "user_event_gaps",
+    "canonical_docs",
+    "category_report",
+    "category_sizes",
+    "date_format_orders",
+    "embedding_quantize_int8",
+    "events_rolling_1h",
+    "order_price_quartiles",
+    "rank_scores",
+    "recommendation_metrics",
+    "top_orders_per_customer",
+    "training_shards",
+    "bigram_logprob_score",
+    "busy_window_events",
+    "clean_corpus",
+    "corpus_recipe",
+    "cross_corpus_dedup",
+    "doc_chunks_overlap",
+    "domain_mixture_sample",
+    "embedding_near_dup",
+    "encode_token_ids",
+    "funnel_view_click_purchase",
+    "fuzzy_part_matches",
+    "gopher_repetition_flags",
+    "label_centroids",
+    "latest_per_key_lineitem",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "pii_redaction",
+    "profile_lineitem_numeric",
+    "quality_deciles",
 ]
 
 
@@ -93,10 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    window-rotated so never-gated queries lead (see WINDOW_R6)."""
-    missing = [n for n in WINDOW_R6 if n not in QUERIES]
-    assert not missing, f"WINDOW_R6 names not in registry: {missing}"
-    rotated = {name: QUERIES[name] for name in WINDOW_R6}
+    window-rotated by staleness, r7 plans leading (see WINDOW_R7)."""
+    missing = [n for n in WINDOW_R7 if n not in QUERIES]
+    assert not missing, f"WINDOW_R7 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R7}
     rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
     return rotated
 

@@ -38,15 +38,32 @@ def norm(v):
     return v
 
 qs, oracles = e.queries(), e.oracle_sql()
-if len(sys.argv) > 1:
-    qs = {k: v for k, v in qs.items() if k in sys.argv[1:]}
+args = [a for a in sys.argv[1:] if a != "--twice"]
+# --twice (r7, VERDICT r6 item 7): run every query TWICE back-to-back
+# in one session and require byte-identical value multisets — the
+# cross-run determinism pin behind retry/AQE stability (md5-derived
+# randomness, rounding before rank cuts). A query whose two passes
+# differ is flagged NONDETERMINISTIC even if both happen to match the
+# oracle.
+TWICE = "--twice" in sys.argv[1:]
+if args:
+    qs = {k: v for k, v in qs.items() if k in args}
 ok = bad = 0
 vacuous = []
+nondet = []
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     sdf = fn(spark, SF)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    if TWICE:
+        r2 = [tuple(r) for r in fn(spark, SF).collect()]
+        h1 = Counter(tuple(norm(v) for v in r) for r in s_rows)
+        h2 = Counter(tuple(norm(v) for v in r) for r in r2)
+        if h1 != h2:
+            nondet.append(name)
+            print(f"  {name}: NONDETERMINISTIC across back-to-back runs "
+                  f"({len(s_rows)} vs {len(r2)} rows)")
     if name not in oracles:
         print(f"  {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
         continue
@@ -65,3 +82,6 @@ for name, fn in sorted(qs.items()):
 print(f"RESULT: {ok} match, {bad} mismatch")
 if vacuous:
     print(f"WARNING: {len(vacuous)} zero-row (vacuously matching) queries: {vacuous}")
+if TWICE:
+    print(f"DETERMINISM: {len(nondet)} nondeterministic queries"
+          + (f": {nondet}" if nondet else " (all byte-identical across runs)"))
