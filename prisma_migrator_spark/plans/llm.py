@@ -2513,11 +2513,12 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lw = (
         toks.join(F.broadcast(ratio), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.min("lang").alias("lang"),
-            F.round(F.sum("lr"), 6).alias("log_w"),
-        )
+        # lang is functionally dependent on doc_id, so grouping by
+        # BOTH keeps it without a min(string) aggregate — a string
+        # buffer is not hash-agg-able and forced the whole per-doc
+        # sum into SortAggregate (plan-audit flag, r7)
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("lr"), 6).alias("log_w"))
     )
     w = F.exp(
         F.least(
