@@ -31,6 +31,12 @@ def norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, dt.datetime): return v.isoformat()
+    if isinstance(v, (list, tuple)):  # array/struct columns (rows-only
+        return tuple(norm(x) for x in v)  # queries) must hash for --twice
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
     try:
         import decimal
         if isinstance(v, decimal.Decimal): return round(float(v), 9)
