@@ -34,7 +34,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 WINDOW_R7 = [
     # -- new in r7 --
     "html_main_content",
+    "html_corpus_ingest",
     "image_near_dup_pairs",
+    "image_near_dup_clusters",
     "quality_classifier_scores",
     # -- plans touched in r7 --
     "html_app_cards",
@@ -83,8 +85,6 @@ WINDOW_R7 = [
     "near_dup_clusters",
     "ngram_jaccard_pairs",
     "pii_redaction",
-    "profile_lineitem_numeric",
-    "quality_deciles",
 ]
 
 

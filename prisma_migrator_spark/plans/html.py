@@ -178,3 +178,52 @@ def html_main_content_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages, "html", id_col="doc_id").select(
         "doc_id", "main_text", "n_chars"
     )
+
+
+_HTML_INGEST_ORACLE_NOTE = """The oracle is clean_corpus's, verbatim:
+extract_main_content returns the whitespace-collapsed article, whose
+token stream, punctuation, and content fingerprint are identical to
+the raw column's — so any extraction defect (boilerplate leaking in,
+article text lost, collapse mismatch) shifts tokens/quality/fp and
+fails the gate."""
+
+
+def _clean_corpus_oracle() -> str:
+    from prisma_migrator_spark.plans.llm import _CLEAN_CORPUS_ORACLE
+
+    return _CLEAN_CORPUS_ORACLE
+
+
+@query("html_corpus_ingest", oracle=_clean_corpus_oracle())
+def html_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-side corpus-ingest composition end-to-end: synthesize
+    article pages (the crawl), recover the main content through
+    boilerplate removal (``extract_main_content``), then run the
+    SAME cleaning pipeline `clean_corpus` runs on raw text — quality
+    gate >= 0.3, exact dedup (min-id canonical per fingerprint), per
+    -doc stats. This is the real shape of HTML->training-corpus
+    ingestion: fetch -> extract -> clean, each stage already gated
+    alone, composed here under one oracle. The oracle is
+    clean_corpus's verbatim — legitimate because the extractor's
+    output is the whitespace-collapsed article (token stream,
+    punctuation, and fingerprint identical to the raw column), so
+    the gate proves the extractor is LOSSLESS through the whole
+    cleaning pipeline, not just row-wise."""
+    from prisma_migrator_spark.llm.dedup import dedupe_exact
+    from prisma_migrator_spark.llm.text import quality_score, token_count
+    from prisma_migrator_spark.sources.html_extract import (
+        extract_main_content,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = synthesize_article_pages(docs)
+    extracted = extract_main_content(pages, "html").select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    kept = extracted.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    deduped = dedupe_exact(kept)
+    return deduped.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )

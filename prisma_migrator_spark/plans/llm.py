@@ -3628,3 +3628,38 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_classifier_scores_q.__doc__ = quality_classifier_scores_q.__doc__.format(
     v=_QC_V, iters=_QC_ITERS
 )
+
+
+@query("image_near_dup_clusters")  # rows-only like the pairs (binary
+# decode); pytest pins cluster == constructed variant group exactly
+def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: the pHash pair stage fed through the
+    same min-label connected components the text dedup families use —
+    pairs tell you what matched, clusters are what a dedup pass
+    actually keys its keep-one-per-group decision on. Returns
+    (cluster, n_members, member_ids sorted) — one row per
+    near-duplicate image group. Scale shape: pair generation as in
+    `image_near_dup_pairs`; components converge in O(diameter)
+    rounds (near-cliques: 2-3) with localCheckpoint'ed loop state;
+    the member array aggregation is per-cluster sized."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import (
+        connected_components,
+        hamming_band_pairs,
+    )
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_image_variant_payload,
+        image_phash,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sigs = image_phash(attach_image_variant_payload(docs))
+    pairs = hamming_band_pairs(
+        sigs, id_col="doc_id", sig_col="phash",
+        n_bits=64, band_bits=8, max_hamming=7,
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.array_sort(F.collect_list("node")).alias("member_ids"),
+    ).select(F.col("component").alias("cluster"), "n_members", "member_ids")

@@ -3019,3 +3019,24 @@ def test_main_content_composes_with_fetch(spark):
     pages = fetched.select(F.lit(1).alias("doc_id"), F.col("body").alias("html"))
     out = extract_main_content(pages).collect()
     assert out[0].main_text == "fetched article body text"
+
+
+def test_image_near_dup_clusters_match_variant_groups(spark, sf_dir):
+    """Cluster stage on the constructed corpus: every cluster is
+    EXACTLY one variant group (4 consecutive ids), labeled by its min
+    id — the keep-one-per-group key an image dedup pass uses."""
+    import duckdb
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["image_near_dup_clusters"](spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    got = {r.cluster: list(r.member_ids) for r in rows}
+    expected = {
+        g * 4: list(range(g * 4, min(g * 4 + 4, n_docs)))
+        for g in range((n_docs + 3) // 4)
+    }
+    assert got == expected
+    assert all(r.n_members == len(r.member_ids) for r in rows)
