@@ -38,6 +38,8 @@ WINDOW_R7 = [
     "image_near_dup_pairs",
     "image_near_dup_clusters",
     "quality_classifier_scores",
+    "url_canonicalize",
+    "domain_quota_sample",
     # -- plans touched in r7 --
     "html_app_cards",
     "dsir_selection",
@@ -78,8 +80,6 @@ WINDOW_R7 = [
     "embedding_near_dup",
     "encode_token_ids",
     "funnel_view_click_purchase",
-    "fuzzy_part_matches",
-    "gopher_repetition_flags",
     "label_centroids",
     "latest_per_key_lineitem",
     "near_dup_clusters",

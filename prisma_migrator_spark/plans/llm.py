@@ -3663,3 +3663,108 @@ def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_members"),
         F.array_sort(F.collect_list("node")).alias("member_ids"),
     ).select(F.col("component").alias("cluster"), "n_members", "member_ids")
+
+
+# --- URL curation (canonicalize + domain quotas, r7) --------------------
+
+_DIRTY_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 4 < 2 THEN source ELSE UPPER(source) END)
+    || '.Example.COM/docs//' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || '?b=2&utm_source=feed&a=1'
+    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=x' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+"""
+
+#: The oracle states the EXPECTED canonical form analytically (from
+#: the synthesis recipe), not by re-implementing the canonicalizer —
+#: the gate therefore proves the canonicalizer meets the SPEC:
+#: fragment gone, scheme+host lowercased, doubled slash collapsed,
+#: trailing slash gone, tracking params stripped, remainder sorted.
+_URL_CANON_ORACLE = f"""
+SELECT doc_id,
+       {_DIRTY_URL_SQL} AS url,
+       'https://' || lower(source) || '.example.com/docs/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url
+FROM documents
+"""
+
+
+def _dirty_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic dirty-URL synthesis: every canonicalization rule
+    exercised on a doc_id-keyed schedule (case-varied scheme and
+    host, doubled slash, conditional trailing slash, tracking params
+    out of order, conditional fragment)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 4 < 2, F.col("source")).otherwise(F.upper("source")),
+        F.lit(".Example.COM/docs//"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?b=2&utm_source=feed&a=1"),
+        F.when(d % 5 == 0, F.lit("&ref=x")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@query("url_canonicalize", oracle=_URL_CANON_ORACLE)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the curation stage web corpora run
+    BEFORE any text stage (CCNet/RefinedWeb): the same page arrives
+    under many spellings, and URL-level dedup only works on the
+    canonical form. Pure map-side regexp/split/sort expressions
+    (llm/urls.py), zero Python, zero shuffle."""
+    from prisma_migrator_spark.llm.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = _dirty_urls(docs)
+    return dirty.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+_DOMAIN_QUOTA = 10
+
+_DOMAIN_QUOTA_ORACLE = f"""
+SELECT doc_id, lower(source) || '.example.com' AS domain
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_DOMAIN_QUOTA}
+"""
+
+
+@query("domain_quota_sample", oracle=_DOMAIN_QUOTA_ORACLE)
+def domain_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (RefinedWeb-style): cap any one
+    domain's corpus share at {q} docs, selected by md5(doc_id) order
+    — deterministic across runs/engines/partitionings, so the oracle
+    reproduces the exact kept set. One domain-keyed window over the
+    canonicalized URLs; composes downstream of `url_canonicalize`."""
+    from prisma_migrator_spark.llm.urls import (
+        canonicalize_url,
+        domain_quota_sample,
+        url_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = _dirty_urls(docs).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    kept = domain_quota_sample(canon, _DOMAIN_QUOTA)
+    return kept.select(
+        "doc_id", url_domain(F.col("canonical_url")).alias("domain")
+    )
+
+
+domain_quota_sample_q.__doc__ = domain_quota_sample_q.__doc__.format(
+    q=_DOMAIN_QUOTA
+)

@@ -3040,3 +3040,53 @@ def test_image_near_dup_clusters_match_variant_groups(spark, sf_dir):
     }
     assert got == expected
     assert all(r.n_members == len(r.member_ids) for r in rows)
+
+
+def test_url_canonicalize_edge_cases(spark):
+    """Spec edges beyond the synthesized schedule: bare host, only
+    tracking params (the '?' must drop), root path, port preserved
+    in the canonical form but stripped from the quota domain,
+    query-less fragment."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.urls import canonicalize_url, url_domain
+
+    cases = [
+        ("HTTP://Host.COM", "http://host.com", "host.com"),
+        ("https://a.com/?utm_source=x&ref=y", "https://a.com", "a.com"),
+        ("https://a.com//x///y//", "https://a.com/x/y", "a.com"),
+        ("https://a.com:8080/p#frag", "https://a.com:8080/p", "a.com"),
+        ("https://a.com/p?z=1&a=2#q=3", "https://a.com/p?a=2&z=1", "a.com"),
+        ("https://a.com/CaseKept?B=1", "https://a.com/CaseKept?B=1", "a.com"),
+    ]
+    df = spark.createDataFrame([Row(i=i, url=u) for i, (u, _, _) in enumerate(cases)])
+    out = df.select(
+        "i",
+        canonicalize_url(F.col("url")).alias("c"),
+        url_domain(canonicalize_url(F.col("url"))).alias("d"),
+    ).collect()
+    for r in out:
+        want_c, want_d = cases[r.i][1], cases[r.i][2]
+        assert r.c == want_c, (cases[r.i][0], r.c, want_c)
+        assert r.d == want_d, (cases[r.i][0], r.d, want_d)
+
+
+def test_domain_quota_sample_caps_and_is_deterministic(spark):
+    """Quota bound holds per domain, small domains pass through
+    whole, and the kept set is identical across two runs (md5
+    ordering, no RNG)."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.urls import domain_quota_sample
+
+    rows = [Row(doc_id=i, canonical_url=f"https://d{i % 3}.com/p/{i}")
+            for i in range(30)] + [
+           Row(doc_id=100, canonical_url="https://tiny.com/only")]
+    df = spark.createDataFrame(rows)
+    kept1 = {r.doc_id for r in domain_quota_sample(df, 4).collect()}
+    kept2 = {r.doc_id for r in domain_quota_sample(df, 4).collect()}
+    assert kept1 == kept2
+    assert 100 in kept1  # small domain untouched
+    from collections import Counter
+    per = Counter(i % 3 for i in kept1 if i != 100)
+    assert all(v == 4 for v in per.values()), per
