@@ -40,6 +40,7 @@ WINDOW_R7 = [
     "quality_classifier_scores",
     "url_canonicalize",
     "domain_quota_sample",
+    "audio_near_dup_pairs",
     # -- plans touched in r7 --
     "html_app_cards",
     "dsir_selection",
@@ -79,7 +80,6 @@ WINDOW_R7 = [
     "domain_mixture_sample",
     "embedding_near_dup",
     "encode_token_ids",
-    "funnel_view_click_purchase",
     "label_centroids",
     "latest_per_key_lineitem",
     "near_dup_clusters",

@@ -1307,3 +1307,213 @@ def attach_image_variant_payload(
             )
 
     return df.select(id_col).mapInPandas(run, schema)
+
+
+# --- audio fingerprinting (near-dup dedup, r7) -------------------------
+#
+# The audio member of the dedup family, completing the modality set:
+# a crawl's audio shows up re-encoded (requantized), re-leveled
+# (amplitude-scaled), resampled, and silence-padded — byte hashing
+# sees none of it. Fingerprint = normalized spectral ENVELOPE: Hann
+# window -> rFFT power -> 64 linear bands over 100-3900 Hz (band
+# edges in Hz, so a sample-rate change maps the same content to the
+# same bands) -> normalize by total energy (amplitude-invariant) ->
+# bit b = band share above the mean. Near-dup variants measured <= 4
+# Hamming bits apart, distinct sources >= 12 (24-tone mosaic corpus,
+# 125 groups x 5 variants) — the same margins-then-band-join shape as
+# image pHash, and the SAME banded join (llm/dedup.hamming_band_pairs).
+
+
+def pcm16_wav(rate: int, samples: list[int]) -> bytes:
+    """Wrap mono 16-bit PCM samples in a minimal RIFF/WAVE container
+    (the encode counterpart of the `parse_wav_metadata` walk)."""
+    import struct
+
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frames))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+
+
+def wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a PCM16 WAV payload to (rate, mono samples) — channel-
+    averaged for multi-channel input. Same RIFF chunk walk as
+    `parse_wav_metadata` (word-aligned skips, truncation check);
+    raises ``ValueError`` on anything that is not integer PCM16."""
+    import struct
+
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_body = data_body = None
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (sz,) = struct.unpack("<I", b[off + 4 : off + 8])
+        body = b[off + 8 : off + 8 + sz]
+        if cid in (b"fmt ", b"data") and len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        off += 8 + sz + (sz & 1)
+    if fmt_body is None or data_body is None or len(fmt_body) < 16:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_ch, rate, _br, _al, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+    if tag == 0xFFFE and len(fmt_body) >= 26:
+        (tag,) = struct.unpack("<H", fmt_body[24:26])
+    if tag != 1 or bits != 16 or n_ch == 0 or rate == 0:
+        raise ValueError("only integer PCM16 supported")
+    n = len(data_body) // 2 // n_ch
+    flat = struct.unpack(f"<{n * n_ch}h", data_body[: n * n_ch * 2])
+    if n_ch == 1:
+        return rate, list(flat)
+    return rate, [
+        sum(flat[i * n_ch : (i + 1) * n_ch]) // n_ch for i in range(n)
+    ]
+
+
+_AFP_BANDS = 64
+_AFP_LO, _AFP_HI = 100.0, 3900.0
+
+
+def afp64(payload: bytes) -> str:
+    """64-bit spectral-envelope audio fingerprint of a PCM16 WAV,
+    returned as a '0'/'1' string — the same signature shape as
+    `phash64`/`simhash`, so the banded Hamming join is shared.
+    Raises ``ValueError`` on non-audio payloads."""
+    import numpy as np
+
+    rate, samples = wav_samples(payload)
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < 8:
+        raise ValueError("clip too short to fingerprint")
+    x = x * np.hanning(len(x))  # leakage control: tones stay in-band
+    mag = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
+    edges = np.linspace(_AFP_LO, _AFP_HI, _AFP_BANDS + 1)
+    e = np.array(
+        [
+            mag[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+            for b in range(_AFP_BANDS)
+        ]
+    )
+    e = e / (e.sum() or 1.0)
+    mean = float(e.mean())
+    return "".join("1" if v > mean else "0" for v in e)
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched fingerprint stage: ``(id, payload)`` ->
+    ``(id, afp)``; undecodable payloads are DROPPED (fault
+    isolation), mirroring `image_phash`."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, afp string"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps.append(afp64(bytes(payload)))
+                    ids.append(int(i))
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthesize_tone_mosaic(
+    group: int,
+    rate: int = 8000,
+    n: int = 1600,
+    scale: float = 1.0,
+    quant_bits: int = 16,
+    pad: int = 0,
+    n_tones: int = 24,
+) -> bytes:
+    """Deterministic broadband test clip: a 24-tone md5 'spectral
+    mosaic' (random freqs 150-3350 Hz, amplitudes, phases per group)
+    — the audio analog of `pattern_rows`: a single synthesized tone
+    is spectrally sparse and collides across groups; 24 tones spread
+    energy so the 64-band envelope is distinctive (measured
+    inter-group Hamming >= 12 across 125 groups)."""
+    import hashlib
+    import math
+
+    ps = []
+    for t in range(n_tones):
+        h = hashlib.md5(f"afp:{group}:{t}".encode()).digest()
+        ps.append(
+            (
+                150.0 + (int.from_bytes(h[:2], "big") % 3200),
+                0.3 + (h[2] / 255.0) * 0.7,
+                (h[3] / 255.0) * 2 * math.pi,
+            )
+        )
+    raw = [
+        sum(a * math.sin(2 * math.pi * f * i / rate + ph) for f, a, ph in ps)
+        for i in range(n)
+    ]
+    peak = max(abs(v) for v in raw) or 1.0
+    x = [v / peak * 12000.0 * scale for v in raw]
+    if quant_bits == 8:  # requantize through 8 bits and back
+        x = [round(v / 256.0) * 256.0 for v in x]
+    samples = [max(-32768, min(32767, int(v))) for v in x]
+    if pad:
+        samples = [0] * pad + samples + [0] * pad
+    return pcm16_wav(rate, samples)
+
+
+def attach_audio_variant_payload(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 5
+) -> DataFrame:
+    """Near-duplicate audio corpus: every ``group_size`` consecutive
+    ids share one tone mosaic (keyed on ``id // group_size``), each
+    id carrying a real transformation of it — the audio ground truth
+    mirroring `attach_image_variant_payload`:
+
+    - variant 0: the source clip (8 kHz, 0.2 s)
+    - variant 1: re-leveled to 30% amplitude
+    - variant 2: requantized through 8 bits
+    - variant 3: resynthesized at 16 kHz (same Hz content)
+    - variant 4: silence-padded both ends
+    """
+    import pandas as pd
+
+    schema = f"{id_col} bigint, payload binary"
+
+    def _make(i: int) -> bytes:
+        g, v = i // group_size, i % group_size
+        if v == 1:
+            return synthesize_tone_mosaic(g, scale=0.3)
+        if v == 2:
+            return synthesize_tone_mosaic(g, quant_bits=8)
+        if v == 3:
+            return synthesize_tone_mosaic(g, rate=16000, n=3200)
+        if v == 4:
+            return synthesize_tone_mosaic(g, pad=400)
+        return synthesize_tone_mosaic(g)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {id_col: pd.array(ids, dtype="int64"),
+                 "payload": [_make(i) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)

@@ -3768,3 +3768,33 @@ def domain_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 domain_quota_sample_q.__doc__ = domain_quota_sample_q.__doc__.format(
     q=_DOMAIN_QUOTA
 )
+
+
+@query("audio_near_dup_pairs")  # rows-only: FFT over binary audio —
+# no SQL oracle; recall/precision pinned in pytest on constructed
+# re-level / requantize / resample / pad variants (intra <= 4 bits,
+# inter >= 12 measured over 125 groups)
+def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs — the third modality on the shared
+    Hamming machinery (text SimHash, image pHash, now audio):
+    spectral-envelope fingerprint (Hann -> rFFT power -> 64 Hz-keyed
+    bands -> amplitude-normalized -> mean threshold,
+    `llm/multimodal.afp64`) catches the transformations a crawl
+    actually serves (re-leveling, requantization, resampling,
+    silence padding) that byte hashing misses. Pairing =
+    `hamming_band_pairs`, 8-bit bands, exact recall for Hamming <= 7
+    by pigeonhole. Scale shape identical to `image_near_dup_pairs`:
+    map-side Arrow-batched signatures, Σ bucket² banded join."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import hamming_band_pairs
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_audio_variant_payload,
+        audio_fingerprint,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sigs = audio_fingerprint(attach_audio_variant_payload(docs))
+    return hamming_band_pairs(
+        sigs, id_col="doc_id", sig_col="afp",
+        n_bits=64, band_bits=8, max_hamming=7,
+    )

@@ -3090,3 +3090,78 @@ def test_domain_quota_sample_caps_and_is_deterministic(spark):
     from collections import Counter
     per = Counter(i % 3 for i in kept1 if i != 100)
     assert all(v == 4 for v in per.values()), per
+
+
+# --- audio fingerprint dedup (r7) ---------------------------------------
+
+
+def test_afp_robustness_and_separation():
+    """Audio-fingerprint ground physics, no Spark: re-level /
+    requantize / resample / pad variants of the same clip stay
+    within the banding guarantee (<= 7), distinct clips separate by
+    >= 12 bits, and the fingerprint is EXACTLY amplitude-invariant
+    in its normalized envelope (scale variant <= 2 bits)."""
+    from prisma_migrator_spark.llm.multimodal import (
+        afp64,
+        synthesize_tone_mosaic,
+    )
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    base = {}
+    for g in range(12):
+        b = afp64(synthesize_tone_mosaic(g))
+        base[g] = b
+        assert len(b) == 64 and set(b) <= {"0", "1"}
+        assert ham(afp64(synthesize_tone_mosaic(g, scale=0.3)), b) <= 2
+        assert ham(afp64(synthesize_tone_mosaic(g, quant_bits=8)), b) <= 7
+        assert ham(afp64(synthesize_tone_mosaic(g, rate=16000, n=3200)), b) <= 7
+        assert ham(afp64(synthesize_tone_mosaic(g, pad=400)), b) <= 7
+    inter = [
+        ham(base[a], base[b]) for a in range(12) for b in range(a + 1, 12)
+    ]
+    assert min(inter) >= 12, min(inter)
+
+
+def test_audio_near_dup_pairs_recall_and_precision(spark, sf_dir):
+    """End-to-end registry query: every intra-group pair (5 real
+    variants of one clip) recovered, zero cross-group pairs."""
+    import duckdb
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["audio_near_dup_pairs"](spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    expected = {
+        (a, b)
+        for g in range((n_docs + 4) // 5)
+        for a in range(g * 5, min(g * 5 + 5, n_docs))
+        for b in range(a + 1, min(g * 5 + 5, n_docs))
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == expected, (
+        f"missed {sorted(expected - got)[:5]}, spurious {sorted(got - expected)[:5]}"
+    )
+
+
+def test_audio_fingerprint_drops_undecodable(spark):
+    """Fault isolation: non-audio payloads yield no signature row."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        audio_fingerprint,
+        synthesize_tone_mosaic,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=synthesize_tone_mosaic(1)),
+            Row(doc_id=2, payload=b"RIFF junk not wave"),
+            Row(doc_id=3, payload=b"definitely not audio"),
+        ]
+    )
+    out = audio_fingerprint(df).collect()
+    assert [r.doc_id for r in out] == [1]
