@@ -479,37 +479,58 @@ def hamming_band_pairs(
     band_bits: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    band_arity: int = 1,
 ) -> DataFrame:
     """Generic banded Hamming self-join over ANY fixed-width '0'/'1'
     bit-string signature column — the machinery behind
-    :func:`simhash_near_dup_pairs` (text) and
-    :func:`image_near_dup_pairs` (perceptual image hashes), factored
-    so every Hamming-space dedup family shares one audited plan.
+    :func:`simhash_near_dup_pairs` (text),
+    :func:`image_near_dup_pairs` (perceptual image hashes), and
+    ``audio_near_dup_pairs`` (spectral fingerprints), factored so
+    every Hamming-space dedup family shares one audited plan.
 
-    Pigeonhole guarantee: with ``n_bits/band_bits`` bands, any pair
-    within Hamming distance (n_bands - 1) shares at least one intact
-    band, so recall is EXACT for ``max_hamming <= n_bands - 1``. The
-    self-join is keyed on (band index, band value) and carries ids
-    only (signatures re-join after the pair-distinct); cost is
-    Σ bucket², bounded to Σ min(bucket, cap)² by ``max_bucket``
-    (see :func:`simhash_near_dup_pairs` for the stop-band argument).
-    The signature frame is persisted: it feeds band explosion AND the
-    two re-join legs, and is signature-sized (one short string per
-    doc), not corpus-sized.
+    Pigeonhole guarantee: with B = ``n_bits/band_bits`` bands and
+    join keys of ``band_arity`` bands each, a pair within Hamming
+    distance ``B - band_arity`` has at least ``band_arity`` intact
+    bands and therefore shares at least one intact key — recall is
+    EXACT for ``max_hamming <= B - band_arity``. The self-join is
+    keyed on the band combination and carries ids only (signatures
+    re-join after the pair-distinct); cost is Σ bucket², bounded to
+    Σ min(bucket, cap)² by ``max_bucket`` (see
+    :func:`simhash_near_dup_pairs` for the stop-band argument).
+
+    ``band_arity`` is the SATURATION dial (multi-index hashing on
+    band combinations): a ``band_bits``-bit band has only
+    2^band_bits key values, so buckets grow linearly with corpus
+    size and Σ bucket² goes quadratic/2^band_bits once the corpus
+    outgrows the alphabet (measured on pHash: Σ bucket² 25.3k at
+    500 docs → 1.05M at 5k — 41× for 10× docs, PERF.md #68).
+    Pairing bands two at a time (C(B,2) keys of 2·band_bits bits)
+    squares the alphabet for a ~B/2× row fan-out: at 8×8-bit bands,
+    28 keys over 65,536 values instead of 8 over 256 — bucket sizes
+    drop ~256×, the guarantee drops from ≤7 to ≤6 (still above the
+    measured ≤2 image / ≤4 audio intra-variant distances).
+
+    The signature frame is persisted: it feeds band explosion AND
+    the two re-join legs, and is signature-sized (one short string
+    per doc), not corpus-sized.
     """
+    from itertools import combinations
+
     sigs = sigs.persist()
     n_bands = n_bits // band_bits
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                F.substring(sig_col, b * band_bits + 1, band_bits),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select(id_col, F.explode(bands).alias("band"))
+    if not 1 <= band_arity <= n_bands:
+        raise ValueError(f"band_arity must be in [1, {n_bands}]")
+
+    def band(b: int):
+        return F.substring(sig_col, b * band_bits + 1, band_bits)
+
+    keys = [
+        F.concat_ws(
+            "|", F.lit("-".join(map(str, combo))), *[band(b) for b in combo]
+        )
+        for combo in combinations(range(n_bands), band_arity)
+    ]
+    banded = sigs.select(id_col, F.explode(F.array(*keys)).alias("band"))
     if max_bucket is not None:
         ok = (
             banded.groupBy("band")

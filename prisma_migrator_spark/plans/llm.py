@@ -3502,6 +3502,26 @@ def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- image near-duplicate dedup (perceptual hashing) -------------------
 
 
+#: Corpus size above which the signature pair joins switch from
+#: single-band keys (arity 1, guarantee <= 7) to band-PAIR keys
+#: (multi-index hashing, arity 2, guarantee <= 6): an 8-bit band has
+#: only 256 values, so beyond ~10^4-10^5 docs its buckets saturate and
+#: the join goes quadratic/256 (measured, PERF.md #68). The row probe
+#: is one parquet-metadata count, like the graph width probe.
+_MIH_ARITY_MIN_DOCS = 20_000
+
+
+def _sig_band_arity(docs: DataFrame) -> tuple[int, int]:
+    """(band_arity, max_hamming) for hamming_band_pairs, sized from
+    the corpus (see _MIH_ARITY_MIN_DOCS). The reduced guarantee stays
+    above the measured intra-variant distances (<= 2 image, <= 4
+    audio), and the constructed-corpus tests pin arity-2 output ==
+    arity-1 output exactly."""
+    if docs.count() < _MIH_ARITY_MIN_DOCS:
+        return 1, 7
+    return 2, 6
+
+
 @query("image_near_dup_pairs")  # rows-only: the signature needs a real
 # image decode + 32x32 DCT on every row — no SQL oracle can decode
 # binary media. Recall/precision are pinned in pytest instead, on
@@ -3543,6 +3563,7 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham = _sig_band_arity(docs)
     imgs = attach_image_variant_payload(docs)
     sigs = image_phash(imgs)
     return hamming_band_pairs(
@@ -3551,7 +3572,8 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_col="phash",
         n_bits=64,
         band_bits=8,
-        max_hamming=7,
+        max_hamming=maxham,
+        band_arity=arity,
     )
 
 
@@ -3653,10 +3675,11 @@ def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham = _sig_band_arity(docs)
     sigs = image_phash(attach_image_variant_payload(docs))
     pairs = hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="phash",
-        n_bits=64, band_bits=8, max_hamming=7,
+        n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
     )
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(
@@ -3793,8 +3816,9 @@ def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham = _sig_band_arity(docs)
     sigs = audio_fingerprint(attach_audio_variant_payload(docs))
     return hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="afp",
-        n_bits=64, band_bits=8, max_hamming=7,
+        n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
     )

@@ -3165,3 +3165,41 @@ def test_audio_fingerprint_drops_undecodable(spark):
     )
     out = audio_fingerprint(df).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_band_arity_two_finds_identical_pairs(spark, sf_dir):
+    """Multi-index hashing (band-PAIR keys, the >=20k-doc saturation
+    dial) returns EXACTLY the same pair set as single-band keys on
+    both signature families: the arity-2 pigeonhole guarantee (<= 6)
+    sits above every measured intra-variant distance, so no pair is
+    lost when the join switches key shape at scale."""
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.dedup import hamming_band_pairs
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_audio_variant_payload,
+        attach_image_variant_payload,
+        audio_fingerprint,
+        image_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    for sigs, col in (
+        (image_phash(attach_image_variant_payload(docs)), "phash"),
+        (audio_fingerprint(attach_audio_variant_payload(docs)), "afp"),
+    ):
+        sigs = sigs.localCheckpoint()  # same signatures to both joins
+        a1 = {
+            (r.id_a, r.id_b)
+            for r in hamming_band_pairs(
+                sigs, sig_col=col, n_bits=64, band_bits=8,
+                max_hamming=6, band_arity=1,
+            ).collect()
+        }
+        a2 = {
+            (r.id_a, r.id_b)
+            for r in hamming_band_pairs(
+                sigs, sig_col=col, n_bits=64, band_bits=8,
+                max_hamming=6, band_arity=2,
+            ).collect()
+        }
+        assert a1 == a2 and a1, (col, len(a1), len(a2))
