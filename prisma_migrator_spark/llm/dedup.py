@@ -471,6 +471,26 @@ def simhash_near_dup_pairs(
     )
 
 
+#: Signature frames pinned by :func:`hamming_band_pairs`, released at
+#: the next call (same bounded-cache-residency discipline as
+#: ``plans/graph._SNAPSHOTS``).
+_SIG_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> int:
+    """Unpersist signature frames pinned by prior
+    :func:`hamming_band_pairs` calls; returns how many were freed.
+    Safe at any time — a released frame recomputes through its plan."""
+    n = len(_SIG_CACHES)
+    for df in _SIG_CACHES:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # session already stopped
+            pass
+    _SIG_CACHES.clear()
+    return n
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -512,11 +532,17 @@ def hamming_band_pairs(
 
     The signature frame is persisted: it feeds band explosion AND
     the two re-join legs, and is signature-sized (one short string
-    per doc), not corpus-sized.
+    per doc), not corpus-sized. Like the graph edge snapshots
+    (ADVICE r6 #1), the persist is NOT session-lifetime: each call
+    releases the previous call's signature cache (bounded residency
+    at one query's frame; a released frame recomputes, never fails),
+    and :func:`release_signature_caches` frees the last one.
     """
     from itertools import combinations
 
+    release_signature_caches()
     sigs = sigs.persist()
+    _SIG_CACHES.append(sigs)
     n_bands = n_bits // band_bits
     if not 1 <= band_arity <= n_bands:
         raise ValueError(f"band_arity must be in [1, {n_bands}]")
