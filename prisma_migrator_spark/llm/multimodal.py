@@ -1454,6 +1454,8 @@ def synthesize_tone_mosaic(
     import hashlib
     import math
 
+    import numpy as np
+
     ps = []
     for t in range(n_tones):
         h = hashlib.md5(f"afp:{group}:{t}".encode()).digest()
@@ -1464,18 +1466,23 @@ def synthesize_tone_mosaic(
                 (h[3] / 255.0) * 2 * math.pi,
             )
         )
-    raw = [
-        sum(a * math.sin(2 * math.pi * f * i / rate + ph) for f, a, ph in ps)
-        for i in range(n)
-    ]
-    peak = max(abs(v) for v in raw) or 1.0
-    x = [v / peak * 12000.0 * scale for v in raw]
+    # vectorized synthesis: the per-sample math.sin loop measured
+    # ~30ms/clip and DNF'd the sf10 scale run on CORPUS GENERATION
+    # alone (the dedup operator was never the bottleneck)
+    t = np.arange(n, dtype=np.float64) / rate
+    x = np.zeros(n, dtype=np.float64)
+    for f, a, ph in ps:
+        x += a * np.sin(2 * math.pi * f * t + ph)
+    peak = float(np.max(np.abs(x))) or 1.0
+    x = x / peak * (12000.0 * scale)
     if quant_bits == 8:  # requantize through 8 bits and back
-        x = [round(v / 256.0) * 256.0 for v in x]
-    samples = [max(-32768, min(32767, int(v))) for v in x]
+        x = np.round(x / 256.0) * 256.0
+    samples = np.clip(x.astype(np.int64), -32768, 32767)
     if pad:
-        samples = [0] * pad + samples + [0] * pad
-    return pcm16_wav(rate, samples)
+        samples = np.concatenate(
+            [np.zeros(pad, np.int64), samples, np.zeros(pad, np.int64)]
+        )
+    return pcm16_wav(rate, [int(v) for v in samples])
 
 
 def attach_audio_variant_payload(

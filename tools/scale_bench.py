@@ -57,6 +57,8 @@ DEDUP_FAMILY = [
     "embedding_near_dup",
     "near_dup_clusters",
     "ngram_jaccard_prefix",
+    "image_near_dup_pairs",   # r7: pHash + arity-sized banded join
+    "audio_near_dup_pairs",   # r7: spectral fingerprint, same join
     "cross_corpus_dedup",
     "repeated_spans",
     "incremental_lsh_dedup",
