@@ -3511,15 +3511,22 @@ def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIH_ARITY_MIN_DOCS = 20_000
 
 
-def _sig_band_arity(docs: DataFrame) -> tuple[int, int]:
-    """(band_arity, max_hamming) for hamming_band_pairs, sized from
-    the corpus (see _MIH_ARITY_MIN_DOCS). The reduced guarantee stays
-    above the measured intra-variant distances (<= 2 image, <= 4
-    audio), and the constructed-corpus tests pin arity-2 output ==
-    arity-1 output exactly."""
+def _sig_band_arity(docs: DataFrame) -> tuple[int, int, int | None]:
+    """(band_arity, max_hamming, max_bucket) for hamming_band_pairs,
+    sized from the corpus (see _MIH_ARITY_MIN_DOCS). The reduced
+    guarantee stays above the measured intra-variant distances (<= 2
+    image, <= 4 audio), and the constructed-corpus tests pin arity-2
+    output == arity-1 output exactly. The stop-band cap engages with
+    arity 2: sparse signatures (the audio envelope carries ~17 ones
+    of 64) concentrate band values, and the biggest band-pair bucket
+    measured 3,708 members at 50k docs (sum bucket-sq 229M — DNF
+    trajectory at 500k); cap=500 cut the sf1 join to 57s at MEASURED
+    recall 1.0000 — a near-dup pair's distinctive band-pairs are
+    exactly the rare ones the cap keeps. Small corpora run uncapped
+    (buckets measured <= 76 at 5k docs; oracle/test parity exact)."""
     if docs.count() < _MIH_ARITY_MIN_DOCS:
-        return 1, 7
-    return 2, 6
+        return 1, 7, None
+    return 2, 6, 500
 
 
 @query("image_near_dup_pairs")  # rows-only: the signature needs a real
@@ -3563,7 +3570,7 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    arity, maxham = _sig_band_arity(docs)
+    arity, maxham, cap = _sig_band_arity(docs)
     imgs = attach_image_variant_payload(docs)
     sigs = image_phash(imgs)
     return hamming_band_pairs(
@@ -3574,6 +3581,7 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=8,
         max_hamming=maxham,
         band_arity=arity,
+        max_bucket=cap,
     )
 
 
@@ -3675,11 +3683,12 @@ def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    arity, maxham = _sig_band_arity(docs)
+    arity, maxham, cap = _sig_band_arity(docs)
     sigs = image_phash(attach_image_variant_payload(docs))
     pairs = hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="phash",
         n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
+        max_bucket=cap,
     )
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(
@@ -3816,9 +3825,10 @@ def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    arity, maxham = _sig_band_arity(docs)
+    arity, maxham, cap = _sig_band_arity(docs)
     sigs = audio_fingerprint(attach_audio_variant_payload(docs))
     return hamming_band_pairs(
         sigs, id_col="doc_id", sig_col="afp",
         n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
+        max_bucket=cap,
     )
