@@ -896,12 +896,29 @@ def synthesize_avi(
     ``synthesize_bmp(doc_id, f"{seed}|f{i}")`` — byte-identical, the
     cross-format pin. Pure stdlib ``struct``: like WAV/BMP/PNG, the
     container layer needs no codec; only lossy compression would."""
+    return avi_wrap(
+        [
+            _bgr_pixel_rows(doc_id, f"{seed_text}|f{i}", width, height)
+            for i in range(n_frames)
+        ],
+        width,
+        height,
+        fps,
+    )
+
+
+def avi_wrap(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Wrap raw-DIB frames (bottom-up padded BGR, one ``bytes`` per
+    frame) in a spec-valid AVI container — the container layer of
+    :func:`synthesize_avi`, factored out so variant corpora
+    (:func:`attach_video_variant_payload`) can wrap ARBITRARY frame
+    sequences, the way :func:`bmp_wrap`/:func:`pcm16_wav` serve the
+    image/audio families."""
     import struct
 
-    frames = [
-        _bgr_pixel_rows(doc_id, f"{seed_text}|f{i}", width, height)
-        for i in range(n_frames)
-    ]
+    n_frames = len(frames)
     frame_sz = len(frames[0]) if frames else 0
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -1244,17 +1261,24 @@ def pattern_rows(
     ]
 
 
-def rows_to_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
-    """Top-down (r, g, b) rows -> 24-bit BMP bytes (bottom-up BGR
-    with 4-byte row padding, per spec) — the encode counterpart of
-    :func:`bmp_pixels`, composing with :func:`bmp_wrap`."""
+def rows_to_dib(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows -> raw DIB bytes (bottom-up BGR with
+    4-byte row padding, per spec) — the pixel payload shared by the
+    BMP container (:func:`bmp_wrap`) and AVI frames
+    (:func:`avi_wrap`)."""
     height, width = len(rows), len(rows[0])
     pad = (-(width * 3)) % 4
-    data = b"".join(
+    return b"".join(
         bytes(v for (r, g, b) in rows[y] for v in (b, g, r)) + b"\x00" * pad
         for y in range(height - 1, -1, -1)
     )
-    return bmp_wrap(data, width, height)
+
+
+def rows_to_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows -> 24-bit BMP bytes — the encode
+    counterpart of :func:`bmp_pixels`, composing :func:`rows_to_dib`
+    with :func:`bmp_wrap`."""
+    return bmp_wrap(rows_to_dib(rows), len(rows[0]), len(rows))
 
 
 def attach_image_variant_payload(
@@ -1514,6 +1538,165 @@ def attach_audio_variant_payload(
         if v == 4:
             return synthesize_tone_mosaic(g, pad=400)
         return synthesize_tone_mosaic(g)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {id_col: pd.array(ids, dtype="int64"),
+                 "payload": [_make(i) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+# --- video fingerprinting (near-dup dedup, r7) --------------------------
+#
+# The VIDEO member of the dedup family - the fourth and last modality
+# on the shared Hamming machinery (text SimHash, image pHash, audio
+# spectral envelope). A crawl's video near-dups are the same footage
+# re-containered at a different frame rate, played back reversed or
+# re-cut, spatially resized, or brightness-regraded - byte hashing
+# sees none of it. Fingerprint = per-frame DCT pHash (the SAME
+# `phash64` the image family uses, over each decoded frame) pooled by
+# PER-BIT MAJORITY VOTE into one 64-bit temporal signature:
+#
+# - frame-rate changes (each frame duplicated k x), reordering, and
+#   reversal leave every bit's vote FRACTION unchanged -> the pooled
+#   hash is EXACTLY equal (0 bits), not merely close;
+# - spatial resize and linear brightness re-levels are absorbed by
+#   the per-frame pHash (box resample + median threshold), so votes
+#   shift by at most the per-frame drift;
+# - distinct sources vote from independent per-frame hashes ->
+#   ~random signatures (expected Hamming 32).
+#
+# Pairing is the SAME banded join (`llm/dedup.hamming_band_pairs`).
+
+_VHASH_MAX_FRAMES = 32
+
+
+def vhash64(payload: bytes) -> str:
+    """64-bit temporal video fingerprint of an AVI payload, returned
+    as a '0'/'1' string - the signature shape shared with
+    ``simhash``/``phash64``/``afp64`` so the banded Hamming join is
+    one audited plan across all four modalities. Per-frame
+    :func:`phash64` bits are pooled by per-bit majority vote (ties
+    round to '1'; vote fractions are preserved by frame duplication,
+    so the rounding is deterministic and duplication-invariant).
+    Videos longer than ``_VHASH_MAX_FRAMES`` vote over evenly
+    sampled frames - the same even-index sampling as
+    :func:`sample_frames`, and the one dial that trades exact
+    frame-duplication invariance for bounded per-row compute on long
+    clips. Raises ``ValueError`` on non-video payloads (callers drop
+    per row, like every decode stage here)."""
+    parsed = parse_avi(payload)
+    if not parsed:
+        raise ValueError("not a decodable AVI payload")
+    w, h, _total, frames = parsed
+    if not frames:
+        raise ValueError("video has no frames")
+    if len(frames) > _VHASH_MAX_FRAMES:
+        k, last = _VHASH_MAX_FRAMES, len(frames) - 1
+        frames = [frames[i] for i in sorted({
+            (j * last) // (k - 1) for j in range(k)
+        })]
+    votes = [0] * 64
+    for fr in frames:
+        for j, c in enumerate(phash64(bmp_wrap(fr, w, h))):
+            votes[j] += c == "1"
+    n = len(frames)
+    return "".join("1" if 2 * v >= n else "0" for v in votes)
+
+
+def video_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched fingerprint stage: ``(id, payload)`` ->
+    ``(id, vhash)``; undecodable payloads are DROPPED (fault
+    isolation), mirroring :func:`image_phash` /
+    :func:`audio_fingerprint`."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, vhash string"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps.append(vhash64(bytes(payload)))
+                    ids.append(int(i))
+                except Exception:
+                    continue
+            yield pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                                "vhash": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def synthesize_mosaic_avi(
+    group: int,
+    n_frames: int = 6,
+    size: int = 32,
+    frame_dup: int = 1,
+    reverse: bool = False,
+    scale: float = 1.0,
+) -> bytes:
+    """Deterministic SMOOTH test video: ``n_frames`` distinct
+    :func:`pattern_rows` mosaics (keyed on ``group`` and the frame
+    index) wrapped by :func:`avi_wrap` - the video analog of
+    :func:`pattern_rows`/:func:`synthesize_tone_mosaic`:
+    low-frequency content a perceptual hash keys on, per-group-random
+    so distinct groups separate. The knobs are the real-world
+    transforms the fingerprint must absorb: ``frame_dup`` repeats
+    each frame (a frame-rate change), ``reverse`` flips playback
+    order, ``size`` re-renders spatially, ``scale`` re-levels
+    brightness."""
+    rows_per_frame = [
+        pattern_rows(group * 131 + f, size, size) for f in range(n_frames)
+    ]
+    if scale != 1.0:
+        rows_per_frame = [
+            [[tuple(min(255, int(round(v * scale))) for v in px)
+              for px in row] for row in rows]
+            for rows in rows_per_frame
+        ]
+    frames = [rows_to_dib(rows) for rows in rows_per_frame
+              for _ in range(frame_dup)]
+    if reverse:
+        frames = frames[::-1]
+    return avi_wrap(frames, size, size)
+
+
+def attach_video_variant_payload(
+    df: DataFrame, id_col: str = "doc_id", group_size: int = 5
+) -> DataFrame:
+    """Near-duplicate video corpus: every ``group_size`` consecutive
+    ids share one frame-mosaic source (keyed on ``id // group_size``),
+    each id carrying a real transformation of it - the video ground
+    truth mirroring :func:`attach_image_variant_payload`:
+
+    - variant 0: the source clip (6 frames, 32px)
+    - variant 1: frame-doubled (12 frames - a 2x frame-rate change)
+    - variant 2: played back REVERSED
+    - variant 3: spatially re-rendered at 48px
+    - variant 4: brightness re-leveled to 70%
+    """
+    import pandas as pd
+
+    schema = f"{id_col} bigint, payload binary"
+
+    def _make(i: int) -> bytes:
+        g, v = i // group_size, i % group_size
+        if v == 1:
+            return synthesize_mosaic_avi(g, frame_dup=2)
+        if v == 2:
+            return synthesize_mosaic_avi(g, reverse=True)
+        if v == 3:
+            return synthesize_mosaic_avi(g, size=48)
+        if v == 4:
+            return synthesize_mosaic_avi(g, scale=0.7)
+        return synthesize_mosaic_avi(g)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -3832,3 +3832,54 @@ def audio_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
         max_bucket=cap,
     )
+
+
+@query("video_near_dup_pairs")  # rows-only: AVI decode + per-frame
+# DCT on every row — no SQL oracle can decode binary media;
+# recall/precision pinned in pytest on constructed frame-doubled /
+# reversed / resized / re-leveled variants (frame-rate change and
+# reversal EXACT by vote-fraction invariance, resize/brightness <= 2
+# bits, inter-group >= 16 measured over 100 groups)
+def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs — the FOURTH modality completing
+    the shared-Hamming dedup sweep (text SimHash, image pHash, audio
+    spectral envelope, now video): per-frame DCT pHash (the same
+    ``phash64`` the image family runs) pooled by per-bit MAJORITY
+    VOTE into one 64-bit temporal signature
+    (``llm/multimodal.vhash64``). The vote makes the transformations
+    a crawl actually serves free: a frame-rate change (every frame
+    duplicated), a re-cut playback order, or a reversal leaves every
+    bit's vote fraction unchanged — the pooled hash is EXACTLY equal
+    — while spatial resizes and brightness re-grades ride the
+    per-frame pHash's invariances (<= 2 bits measured). Pairing =
+    ``hamming_band_pairs``, 8-bit bands, exact recall for Hamming
+    <= 7 by pigeonhole.
+
+    Corpus: each run of 5 consecutive doc_ids shares one 6-frame
+    mosaic source, carried as source / frame-doubled / reversed /
+    48px re-render / 70%-brightness
+    (``attach_video_variant_payload``) — 10 ground-truth pairs per
+    group at any scale factor.
+
+    Scale shape identical to the image/audio members: signatures are
+    map-side Arrow-batched Python compute (the justified UDF — codecs
+    have no built-in expression; per-row cost is bounded by the
+    ``_VHASH_MAX_FRAMES`` even-sampling cap, the video analog of the
+    audio clip length), zero shuffle; pair generation is Σ bucket²
+    over banded keys with the corpus-sized arity/stop-band dials of
+    ``_sig_band_arity``."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import hamming_band_pairs
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_video_variant_payload,
+        video_phash,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham, cap = _sig_band_arity(docs)
+    sigs = video_phash(attach_video_variant_payload(docs))
+    return hamming_band_pairs(
+        sigs, id_col="doc_id", sig_col="vhash",
+        n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
+        max_bucket=cap,
+    )

@@ -3178,14 +3178,17 @@ def test_band_arity_two_finds_identical_pairs(spark, sf_dir):
     from prisma_migrator_spark.llm.multimodal import (
         attach_audio_variant_payload,
         attach_image_variant_payload,
+        attach_video_variant_payload,
         audio_fingerprint,
         image_phash,
+        video_phash,
     )
 
     docs = load_table(spark, sf_dir, "documents").limit(60)
     for sigs, col in (
         (image_phash(attach_image_variant_payload(docs)), "phash"),
         (audio_fingerprint(attach_audio_variant_payload(docs)), "afp"),
+        (video_phash(attach_video_variant_payload(docs)), "vhash"),
     ):
         sigs = sigs.localCheckpoint()  # same signatures to both joins
         a1 = {
@@ -3203,3 +3206,83 @@ def test_band_arity_two_finds_identical_pairs(spark, sf_dir):
             ).collect()
         }
         assert a1 == a2 and a1, (col, len(a1), len(a2))
+
+
+# --- video fingerprint dedup (r7, fourth modality) -----------------------
+
+
+def test_vhash_invariances_and_separation():
+    """Video-fingerprint ground physics, no Spark: (a) frame-rate
+    doubling and playback reversal yield the EXACT same hash (vote
+    fractions are invariant under frame duplication and reordering —
+    an identity, not a tolerance); (b) a 48px spatial re-render and a
+    70% brightness re-level stay within the banding guarantee
+    (measured <= 2 of 64); (c) distinct sources separate by >= 12
+    bits — real margin on both sides of threshold 7."""
+    from prisma_migrator_spark.llm.multimodal import (
+        synthesize_mosaic_avi,
+        vhash64,
+    )
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    base = {}
+    for g in range(12):
+        b = vhash64(synthesize_mosaic_avi(g))
+        base[g] = b
+        assert len(b) == 64 and set(b) <= {"0", "1"}
+        assert vhash64(synthesize_mosaic_avi(g, frame_dup=2)) == b
+        assert vhash64(synthesize_mosaic_avi(g, reverse=True)) == b
+        assert ham(vhash64(synthesize_mosaic_avi(g, size=48)), b) <= 7
+        assert ham(vhash64(synthesize_mosaic_avi(g, scale=0.7)), b) <= 7
+    inter = [
+        ham(base[a], base[b]) for a in range(12) for b in range(a + 1, 12)
+    ]
+    assert min(inter) >= 12, min(inter)
+
+
+def test_video_near_dup_pairs_recall_and_precision(spark, sf_dir):
+    """End-to-end registry query: every intra-group pair (5 real
+    variants of one 6-frame clip) recovered, zero cross-group
+    pairs."""
+    import duckdb
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["video_near_dup_pairs"](spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    expected = {
+        (a, b)
+        for g in range((n_docs + 4) // 5)
+        for a in range(g * 5, min(g * 5 + 5, n_docs))
+        for b in range(a + 1, min(g * 5 + 5, n_docs))
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == expected, (
+        f"missed {sorted(expected - got)[:5]}, spurious {sorted(got - expected)[:5]}"
+    )
+    assert all(r.hamming <= 7 for r in rows)
+
+
+def test_video_phash_drops_undecodable(spark):
+    """Fault isolation: non-video payloads yield no signature row."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        synthesize_mosaic_avi,
+        video_phash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=synthesize_mosaic_avi(1)),
+            Row(doc_id=2, payload=b"RIFF junk not avi at all"),
+            Row(doc_id=3, payload=b"definitely not video"),
+        ]
+    )
+    out = video_phash(df).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert len(out[0].vhash) == 64 and set(out[0].vhash) <= {"0", "1"}
