@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Any, Iterable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -509,4 +510,175 @@ def streaming_topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming near-duplicate dedup (banded Hamming state) ---------------
+
+_NEARDUP_OUTPUT_SCHEMA = "doc_id bigint, matched_id bigint, hamming int"
+_NEARDUP_STATE_SCHEMA = "ids array<bigint>, sigs array<string>"
+
+
+def streaming_near_dup_verdicts(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    ttl: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection — the stateful dual of the
+    batch ``llm/dedup.hamming_band_pairs`` banded join, closing the
+    gap between the two stacks: batch dedup covers four modalities'
+    signatures, but an ingest stream previously had only EXACT
+    fingerprint dedup (:func:`streaming_ingest_dedup`). Works over
+    ANY fixed-width '0'/'1' signature column (text SimHash, image
+    pHash, audio/video fingerprints — the same four families).
+
+    Shape: each arrival's signature is split into
+    ``n_bits/band_bits`` bands JVM-side and exploded to one row per
+    ``(band index, band value)`` bucket — the IDENTICAL key the
+    batch join buckets on — then ``applyInPandasWithState`` keyed on
+    the bucket holds the signatures seen in that bucket and emits,
+    per arrival per bucket, the earliest-seen stored doc within
+    ``max_hamming`` (or a null-match presence row). Per-doc verdicts
+    are a plain batch aggregation over the band rows
+    (:func:`reduce_near_dup_verdicts`) run per micro-batch in
+    ``foreachBatch`` — all of a doc's band rows travel in the same
+    micro-batch, so the reduction never needs its own state.
+
+    Semantics (first-SEEN canonical, matching the batch join under
+    id-ordered arrival): a doc is a near-dup iff some EARLIER-seen
+    doc shares >= 1 intact band AND sits within ``max_hamming`` —
+    with id-ordered arrival this reproduces ``hamming_band_pairs``
+    output exactly: ``dup_of(d) = min{a : (a, d) in pairs}``
+    (pytest-pinned). Every arrival's signature is stored (kept or
+    dup — transitive chaining, so a chain A~B~C dedups even when
+    A~C alone is out of range), bounded by two dials:
+
+    - ``max_bucket``: a saturated bucket stops STORING new
+      signatures (the stop-band argument: an over-popular band value
+      carries no discriminating power; a near-dup pair's distinctive
+      bands are the rare ones) — state per bucket is capped at
+      ``max_bucket`` (id, sig) rows.
+    - ``ttl``: event-time horizon — a bucket idle for ``ttl`` past
+      its last arrival is EVICTED whole (watermark-driven), the
+      sliding-horizon contract of :func:`streaming_ingest_dedup_ttl`;
+      state then tracks the dedup horizon, not all history. Requires
+      the input watermarked on ``ts_col``.
+
+    Redelivery of a stored doc id is swallowed (its verdict already
+    shipped); a doc dropped by a saturated bucket re-emits its
+    verdict on redelivery — at-least-once per horizon, like every
+    TTL dedup here."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_bands = n_bits // band_bits
+    ttl_ms = _interval_us(ttl) // 1000 if ttl is not None else None
+
+    def band(b: int):
+        return F.substring(sig_col, b * band_bits + 1, band_bits)
+
+    keys = [
+        F.concat_ws("|", F.lit(str(b)), band(b)) for b in range(n_bands)
+    ]
+    cols = [F.col(id_col), F.col(sig_col).alias("__sig"),
+            F.explode(F.array(*keys)).alias("band")]
+    if ttl is not None:
+        cols.append(F.col(ts_col))
+    banded = sigs.select(*cols)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # horizon passed: forget the bucket
+            return
+        ids, sgs = (
+            (list(state.get[0]), list(state.get[1]))
+            if state.exists
+            else ([], [])
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        if ttl_ms is not None:
+            last_ms = int(
+                batch[ts_col].to_numpy().astype("datetime64[ms]")
+                .astype("int64").max()
+            )
+        batch = batch.sort_values(id_col).drop_duplicates(subset=[id_col])
+        known = set(ids)
+        out_ids: list[int] = []
+        out_match: list[int | None] = []
+        out_ham: list[int | None] = []
+        for i, s in zip(batch[id_col], batch["__sig"]):
+            i = int(i)
+            if i in known:
+                continue  # redelivery of a stored doc: already judged
+            best_id = best_h = None
+            for eid, esig in zip(ids, sgs):
+                h = sum(a != b for a, b in zip(s, esig))
+                if h <= max_hamming and (best_id is None or eid < best_id):
+                    best_id, best_h = eid, h
+            out_ids.append(i)
+            out_match.append(best_id)
+            out_ham.append(best_h)
+            if max_bucket is None or len(ids) < max_bucket:
+                ids.append(i)
+                sgs.append(str(s))
+                known.add(i)
+        state.update((ids, sgs))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_ids, dtype="int64"),
+                    "matched_id": pd.array(out_match, dtype="Int64"),
+                    "hamming": pd.array(out_ham, dtype="Int32"),
+                }
+            )
+
+    return banded.groupBy("band").applyInPandasWithState(
+        update,
+        outputStructType=_NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def reduce_near_dup_verdicts(band_verdicts: DataFrame) -> DataFrame:
+    """Per-doc verdict from :func:`streaming_near_dup_verdicts` band
+    rows: ``(doc_id, dup_of, hamming, is_dup)`` with ``dup_of`` the
+    earliest-seen match across all bands (min id; its hamming rides
+    along via struct-min). A BATCH aggregation — run it inside
+    ``foreachBatch`` (all of a doc's band rows share a micro-batch)
+    or over any accumulated band-verdict sink."""
+    m = (
+        band_verdicts.where(F.col("matched_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("matched_id", "hamming")).alias("m"))
+    )
+    return (
+        band_verdicts.select("doc_id").distinct()
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m.matched_id").alias("dup_of"),
+            F.col("m.hamming").alias("hamming"),
+            F.col("m.matched_id").isNotNull().alias("is_dup"),
+        )
     )
