@@ -227,3 +227,133 @@ def html_corpus_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
     )
+
+
+# --- link-graph extraction -> PageRank (crawl-frontier composition) -----
+
+
+def _link_pagerank_oracle() -> str:
+    from prisma_migrator_spark.plans.graph import _DAMPING, _ITER_SCALE
+
+    d, s = _DAMPING, _ITER_SCALE
+    iters = ""
+    prev = "r0"
+    for k in (1, 2, 3):
+        iters += f""", r{k} AS (
+  SELECT nodes.node,
+         ROUND(CAST({1.0 - d!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({d!r} AS DOUBLE) * COALESCE(SUM({prev}.rank * w.w), 0.0),
+               {s}) AS rank
+  FROM nodes
+  LEFT JOIN w ON w.dst = nodes.node
+  LEFT JOIN {prev} ON {prev}.node = w.src
+  GROUP BY nodes.node
+)"""
+        prev = f"r{k}"
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents),
+cand AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  UNION ALL SELECT doc_id, doc_id - 1 FROM documents
+  UNION ALL SELECT doc_id, doc_id * 2 FROM documents
+  UNION ALL SELECT doc_id, doc_id // 2 FROM documents
+), edges AS (
+  SELECT DISTINCT c.src, c.dst
+  FROM cand c JOIN ids i ON i.doc_id = c.dst
+  WHERE c.src <> c.dst
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), w AS (
+  SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / o.outdeg AS w
+  FROM edges e JOIN outdeg o USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {s}) AS rank
+  FROM nodes
+){iters}
+SELECT node AS doc_id, ROUND(rank * 1000000.0, 4) AS pagerank_ppm
+FROM r3
+"""
+
+
+def synthesize_link_pages(docs: DataFrame) -> DataFrame:
+    """One page per document carrying a deterministic 'related
+    documents' link block mined from the row itself — the link
+    structure a crawler sees: four relative links (``d±1``, ``2d``,
+    ``d/2``), nav/footer boilerplate links the extractor must filter
+    out by href prefix, and a FEATURED decoy that matches the prefix
+    but points at a document that does not exist (a dangling link —
+    real crawls are full of them; it must die at the id semi-join,
+    not in the parser). Pure JVM string build, zero shuffle."""
+
+    def link(t):
+        return F.concat(
+            F.lit('<li><a class="rel" href="/doc/'), t.cast("string"),
+            F.lit('">related</a></li>'),
+        )
+
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">home</a>'
+              '<a href="/doc/900000000000">featured</a></nav>'
+              '<ul class="related">'),
+        link(F.col("doc_id") + 1),
+        link(F.col("doc_id") - 1),
+        link(F.col("doc_id") * 2),
+        link(F.floor(F.col("doc_id") / 2)),
+        F.lit('</ul><footer><a href="/about">about</a></footer>'
+              "</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query("html_link_pagerank", oracle=_link_pagerank_oracle())
+def html_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier composition end-to-end: synthesize pages
+    with a table-derived link structure, parse the hrefs back out
+    with the DOM extractor (attribute-prefix selector — nav/footer
+    links never match), drop dangling links with an id semi-join
+    (the featured decoy and edge-of-corpus targets), and run the
+    SAME fixed-iteration directed PageRank the co-purchase graph
+    uses (``plans/graph.pagerank`` — 3 iterations, d=0.85,
+    per-iteration rounding). This is how a real pipeline ranks a
+    crawl: fetch -> extract links -> build graph -> centrality as a
+    quality prior. The oracle rebuilds the edge set STRAIGHT from
+    the table (same four targets, same self/dangling filters) and
+    unrolls the identical iterations as chained CTEs, so a parser
+    miss, a leaked boilerplate link, or a surviving dangling edge
+    shifts ranks and fails the gate.
+
+    Scale shape: synthesis and extraction are map-side (JVM concat,
+    one Arrow-batched parse pass); the edge list is |docs|x4 rows
+    before DISTINCT; the semi-join broadcasts under AQE when ids fit
+    (and shuffles when not — correct either way); PageRank is the
+    audited implementation: checkpointed edges, |V|-row broadcast
+    rank frames, one groupBy(dst) shuffle per iteration."""
+    from prisma_migrator_spark.plans.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = synthesize_link_pages(docs)
+    links = extract_entities(
+        pages, "html", "a[href^=/doc/]", {"href": "@href"},
+        id_col="doc_id",
+    )
+    ids = docs.select("doc_id")
+    edges = (
+        links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("href", r"^/doc/(-?\d+)$", 1)
+            .cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .join(ids.select(F.col("doc_id").alias("dst")), "dst", "semi")
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * 1_000_000, 4).alias("pagerank_ppm"),
+    )

@@ -3452,3 +3452,46 @@ def test_streaming_near_dup_stop_band_cap(spark, tmp_path):
     assert not got[1].is_dup
     assert got[2].is_dup and got[2].dup_of == 1
     assert got[3].is_dup and got[3].dup_of == 1
+
+
+def test_html_link_graph_edges_exact(spark):
+    """The link-graph pipeline's edge set, pinned on a constructed
+    corpus: extraction recovers exactly the four relative targets per
+    page, the href-prefix selector skips nav/footer links, the
+    featured decoy (prefix-matching but nonexistent) dies at the id
+    semi-join, and self-loops are filtered."""
+    from prisma_migrator_spark.plans.html import synthesize_link_pages
+    from prisma_migrator_spark.sources.html_extract import extract_entities
+
+    n = 10
+    docs = spark.createDataFrame([Row(doc_id=i, text="t") for i in range(n)])
+    pages = synthesize_link_pages(docs)
+    links = extract_entities(
+        pages, "html", "a[href^=/doc/]", {"href": "@href"}, id_col="doc_id"
+    )
+    # raw extraction: 4 relative targets + the decoy per page, nothing else
+    raw = [(r.doc_id, r.href) for r in links.collect()]
+    assert len(raw) == n * 5
+    assert sum(h == "/doc/900000000000" for _, h in raw) == n
+    assert not any(h in ("/", "/about") for _, h in raw)
+
+    ids = docs.select("doc_id")
+    edges = (
+        links.select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract("href", r"^/doc/(-?\d+)$", 1)
+            .cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .join(ids.select(F.col("doc_id").alias("dst")), "dst", "semi")
+        .select("src", "dst")
+        .distinct()
+    )
+    got = {(r.src, r.dst) for r in edges.collect()}
+    expected = {
+        (d, t)
+        for d in range(n)
+        for t in {d + 1, d - 1, d * 2, d // 2}
+        if t != d and 0 <= t < n
+    }
+    assert got == expected
