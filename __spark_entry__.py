@@ -33,6 +33,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 --
+    "video_near_dup_pairs",
+    "html_link_pagerank",
     "html_main_content",
     "html_corpus_ingest",
     "image_near_dup_pairs",
@@ -83,8 +85,6 @@ WINDOW_R7 = [
     "label_centroids",
     "latest_per_key_lineitem",
     "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "pii_redaction",
 ]
 
 
