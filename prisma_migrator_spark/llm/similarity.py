@@ -53,26 +53,44 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per probe (self-matches excluded).
     Deterministic ranking: round(cosine, 6) desc, neighbor id asc.
+
+    ``exclude_label_col``: when set, pairs sharing that column's value
+    are excluded too — the HARD-NEGATIVE mining shape (nearest
+    neighbors of a different class), filtered BEFORE the rank so the
+    k survivors are all true negatives.
 
     Norms are precomputed per side BEFORE the cross join — otherwise
     each vector's norm is re-derived once per pair (|probes|× redundant
     work on the corpus side, which is the whole dataset)."""
     from prisma_migrator_spark.catalog import ensure_parallelism
 
-    p = probes.select(
+    p_cols = [
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("probe_vec"),
-    ).withColumn("probe_norm", _norm(F.col("probe_vec")))
-    c = ensure_parallelism(corpus).select(
+    ]
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("vec_norm", _norm(F.col("vec")))
+    ]
+    if exclude_label_col is not None:
+        p_cols.append(F.col(exclude_label_col).alias("__probe_label"))
+        c_cols.append(F.col(exclude_label_col).alias("__label"))
+    p = probes.select(*p_cols).withColumn(
+        "probe_norm", _norm(F.col("probe_vec"))
+    )
+    c = ensure_parallelism(corpus).select(*c_cols).withColumn(
+        "vec_norm", _norm(F.col("vec"))
+    )
+    keep = F.col("neighbor_id") != F.col("probe_id")
+    if exclude_label_col is not None:
+        keep = keep & (F.col("__label") != F.col("__probe_label"))
     scored = (
         c.crossJoin(F.broadcast(p))
-        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .where(keep)
         .select(
             "probe_id",
             "neighbor_id",

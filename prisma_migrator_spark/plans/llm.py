@@ -718,6 +718,52 @@ def topk_cosine_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARD_NEG_ORACLE = """
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+         ROUND(list_cosine_similarity(p.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c
+    ON p.vec_id <> c.vec_id AND p.label <> c.label
+  WHERE p.vec_id < 10
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("hard_negatives_topk", oracle=_HARD_NEG_ORACLE)
+def hard_negatives_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training — the quality
+    upgrade of `negative_samples`: random negatives are easy and
+    carry little gradient; the informative ones are the nearest
+    embeddings of a DIFFERENT label. Per anchor, exact top-5
+    other-label neighbors by cosine (``topk_bruteforce`` with the
+    label-mismatch filter applied BEFORE the rank, so all k
+    survivors are true negatives).
+
+    Scale shape: the probe side broadcasts (norms precomputed per
+    side), the rank is a per-probe window over the filtered pairs —
+    brute force is the ORACLE baseline here exactly as in
+    `topk_cosine_bruteforce`; at corpus scale compose the same
+    label filter into `topk_ivf`/`topk_lsh` with over-fetch
+    (fetch k', keep the first k other-label survivors) — the filter
+    commutes with any candidate generator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = topk_bruteforce(
+        emb, probes, k=5, exclude_label_col="label"
+    ).withColumn("rank", F.col("rank").cast("int"))
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    return out.join(lab, "neighbor_id").select(
+        "probe_id", "neighbor_id", "label", "cosine", "rank"
+    )
+
+
 @query("topk_cosine_lsh")  # rows-only: ANN recall checked in pytest
 def topk_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

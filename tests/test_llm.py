@@ -3495,3 +3495,37 @@ def test_html_link_graph_edges_exact(spark):
         if t != d and 0 <= t < n
     }
     assert got == expected
+
+
+def test_hard_negatives_are_other_label_and_informative(spark, sf_dir):
+    """Every mined hard negative carries a label different from its
+    anchor's, ranks descend by cosine, restricting the pool can never
+    IMPROVE the best cosine, and wherever the unrestricted top-5
+    contains a same-label neighbor the hard set demonstrably differs
+    (the filter binds exactly there)."""
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["hard_negatives_topk"](spark, sf_dir).collect()
+    emb_label = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r.label == emb_label[r.neighbor_id]
+        assert r.label != emb_label[r.probe_id]
+        by_probe.setdefault(r.probe_id, []).append(r)
+    plain: dict[int, list] = {}
+    for r in QUERIES["topk_cosine_bruteforce"](spark, sf_dir).collect():
+        plain.setdefault(r.probe_id, []).append(r)
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))
+        ps = sorted(plain[pid], key=lambda r: r.rank)
+        assert rs[0].cosine <= ps[0].cosine  # restriction never improves
+        if any(emb_label[p.neighbor_id] == emb_label[pid] for p in ps):
+            assert {p.neighbor_id for p in ps} != {
+                r.neighbor_id for r in rs
+            }, pid
