@@ -35,6 +35,8 @@ WINDOW_R7 = [
     # -- new in r7 --
     "video_near_dup_pairs",
     "html_link_pagerank",
+    "hard_negatives_topk",
+    "homoglyph_dedup_groups",
     "html_main_content",
     "html_corpus_ingest",
     "image_near_dup_pairs",
@@ -83,8 +85,6 @@ WINDOW_R7 = [
     "embedding_near_dup",
     "encode_token_ids",
     "label_centroids",
-    "latest_per_key_lineitem",
-    "near_dup_clusters",
 ]
 
 

@@ -1190,15 +1190,20 @@ def phash64(payload: bytes) -> str:
     gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     n = _PHASH_N
     # box-resample to n x n: mean over each source block (degenerates
-    # to nearest-neighbor replication when upscaling)
+    # to nearest-neighbor replication when upscaling). Vectorized via
+    # add.reduceat — a repeated boundary (upscale) yields the single
+    # row/col gray[yb[i]], exactly the [y0, y0+1) block the original
+    # per-block loop took (the loop measured 4.4 ms of the 7.2 ms
+    # hash and DNF'd the video family's sf1 run on resample alone).
     yb = np.linspace(0, h, n + 1).astype(int)
     xb = np.linspace(0, w, n + 1).astype(int)
-    grid = np.empty((n, n))
-    for i in range(n):
-        y0, y1 = yb[i], max(yb[i + 1], yb[i] + 1)
-        for j in range(n):
-            x0, x1 = xb[j], max(xb[j + 1], xb[j] + 1)
-            grid[i, j] = gray[y0:y1, x0:x1].mean()
+    sums = np.add.reduceat(
+        np.add.reduceat(gray, yb[:-1], axis=0), xb[:-1], axis=1
+    )
+    counts = (
+        np.maximum(np.diff(yb), 1)[:, None] * np.maximum(np.diff(xb), 1)
+    )
+    grid = sums / counts
     d = _PHASH_BASIS @ grid @ _PHASH_BASIS.T
     low = d[:8, :8].ravel()
     med = float(np.median(low))

@@ -296,3 +296,45 @@ def char_entropy(text: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return F.when(n > 0, ent)
+
+
+# --- confusable folding (adversarial / homoglyph dedup) ----------------
+#
+# SEO spam and adversarial re-posts evade exact dedup by swapping
+# Latin letters for visually-identical Unicode lookalikes (Cyrillic
+# а/е/о..., Greek omicron) and salting zero-width characters into the
+# text — byte- and even whitespace-normalized hashing both miss it.
+# The fold maps confusables to their ASCII skeleton and strips
+# zero-width code points BEFORE the canonical normalization, so the
+# fingerprint sees what a READER sees. (A subset of Unicode TR39
+# skeletons: the Latin-lookalike pairs that actually appear in crawl
+# spam; both halves are plain translate/regexp so the DuckDB oracle
+# reproduces the fold bit-for-bit.)
+
+#: Cyrillic + Greek lookalikes -> ASCII skeleton (same index pairs).
+CONFUSABLE_SRC = (
+    "аеіорсухѕј"
+    "АВЕКМНОРСТХ"
+    "ЅЈοα"
+)
+CONFUSABLE_DST = "aeiopcyxsjABEKMHOPCTXSJoa"
+
+#: Zero-width / invisible code points stripped by the fold.
+ZERO_WIDTH = "​‌‍﻿­"
+
+
+def confusable_fold(text: Column) -> Column:
+    """Strip zero-width code points, then map confusable lookalikes
+    to their ASCII skeleton — pure JVM ``translate``/``regexp``."""
+    return F.translate(
+        F.regexp_replace(text, f"[{ZERO_WIDTH}]", ""),
+        CONFUSABLE_SRC,
+        CONFUSABLE_DST,
+    )
+
+
+def homoglyph_fingerprint(text: Column) -> Column:
+    """Content fingerprint over the confusable-folded text — pairs an
+    adversarial homoglyph copy with its source where
+    :func:`content_fingerprint` cannot."""
+    return F.md5(normalized_text(confusable_fold(text)))

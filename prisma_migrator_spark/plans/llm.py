@@ -3929,3 +3929,86 @@ def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
         max_bucket=cap,
     )
+
+
+# --- homoglyph (confusable) dedup --------------------------------------
+
+_HG_TWIN_OFFSET = 10_000_000
+
+
+def _homoglyph_oracle() -> str:
+    from prisma_migrator_spark.llm.text import (
+        CONFUSABLE_DST,
+        CONFUSABLE_SRC,
+        ZERO_WIDTH,
+    )
+
+    cyr = CONFUSABLE_SRC[:10]
+    asc = CONFUSABLE_DST[:10]
+    zwsp = ZERO_WIDTH[0]
+    return f"""
+WITH twins AS (
+  SELECT doc_id + {_HG_TWIN_OFFSET} AS doc_id,
+         substr(tr, 1, 1) || '{zwsp}' || substr(tr, 2) AS text
+  FROM (SELECT doc_id, translate(text, '{asc}', '{cyr}') AS tr
+        FROM documents)
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM twins
+)
+SELECT md5(regexp_replace(lower(trim(
+         translate(regexp_replace(text, '[{ZERO_WIDTH}]', '', 'g'),
+                   '{CONFUSABLE_SRC}', '{CONFUSABLE_DST}'))),
+         '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS INT) AS group_size
+FROM corpus
+GROUP BY 1
+"""
+
+
+@query("homoglyph_dedup_groups", oracle=_homoglyph_oracle())
+def homoglyph_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial dedup: SEO spam and re-posts evade exact
+    fingerprinting by swapping Latin letters for Unicode lookalikes
+    (Cyrillic/Greek homoglyphs) and salting zero-width characters —
+    the bytes differ, the rendered text does not. The corpus gets a
+    deterministic adversarial TWIN per document (lookalike
+    substitution + a zero-width space after the first character —
+    the reverse of the fold, so the gate is non-vacuous at any scale
+    factor), then groups by the confusable-folded fingerprint
+    (``llm/text.homoglyph_fingerprint``): every twin lands in its
+    source's group even though ``content_fingerprint`` separates
+    them (pytest-pinned contrast).
+
+    Scale shape: the fold is pure JVM translate/regexp (zero Python,
+    zero extra shuffle — the groupBy IS exact dedup's aggregation);
+    the twin attach exists only to construct ground truth, exactly
+    like the image/audio/video variant corpora."""
+    from prisma_migrator_spark.llm.text import (
+        CONFUSABLE_DST,
+        CONFUSABLE_SRC,
+        ZERO_WIDTH,
+        homoglyph_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tr = F.translate(
+        F.col("text"), CONFUSABLE_DST[:10], CONFUSABLE_SRC[:10]
+    )
+    twin_text = F.concat(
+        F.substring(tr, 1, 1),
+        F.lit(ZERO_WIDTH[0]),
+        F.substring(tr, 2, 1_000_000_000),
+    )
+    twins = docs.select(
+        (F.col("doc_id") + _HG_TWIN_OFFSET).alias("doc_id"),
+        twin_text.alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    return corpus.groupBy(
+        homoglyph_fingerprint(F.col("text")).alias("fingerprint")
+    ).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).cast("int").alias("group_size"),
+    )

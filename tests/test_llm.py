@@ -3529,3 +3529,39 @@ def test_hard_negatives_are_other_label_and_informative(spark, sf_dir):
             assert {p.neighbor_id for p in ps} != {
                 r.neighbor_id for r in rs
             }, pid
+
+
+def test_homoglyph_fold_pairs_adversarial_twins(spark, sf_dir):
+    """The confusable fold catches what exact fingerprinting cannot:
+    a Cyrillic-lookalike + zero-width-salted twin hashes DIFFERENTLY
+    under content_fingerprint but IDENTICALLY under
+    homoglyph_fingerprint; at the registry level every group
+    therefore has its twin (no singletons), while the unfolded
+    fingerprint splits them."""
+    from prisma_migrator_spark.llm.text import (
+        content_fingerprint,
+        homoglyph_fingerprint,
+    )
+    from prisma_migrator_spark.plans import QUERIES
+
+    plain = "the quick brown fox jumps over the lazy dog"
+    adv = plain.translate(str.maketrans("ao", "\u0430\u043e"))
+    adv_zw = adv[:3] + "\u200b" + adv[3:]
+    row = spark.createDataFrame([Row(a=plain)]).select(
+        content_fingerprint(F.col("a")).alias("cf_plain"),
+        homoglyph_fingerprint(F.col("a")).alias("hf_plain"),
+        content_fingerprint(F.lit(adv)).alias("cf_adv"),
+        homoglyph_fingerprint(F.lit(adv_zw)).alias("hf_adv"),
+    ).first()
+    assert row.cf_plain != row.cf_adv      # exact dedup misses it
+    assert row.hf_plain == row.hf_adv      # the fold catches it
+
+    groups = QUERIES["homoglyph_dedup_groups"](spark, sf_dir).collect()
+    assert groups and all(g.group_size >= 2 for g in groups)
+    docs = load_table(spark, sf_dir, "documents")
+    n_plain = (
+        docs.select(content_fingerprint(F.col("text"))).distinct().count()
+    )
+    # folded groups <= plain fingerprints, and the twins would DOUBLE
+    # the plain fingerprint count if hashed unfolded
+    assert len(groups) <= n_plain
