@@ -1219,3 +1219,58 @@ def incremental_lsh_pairs(
             F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
         )
     )
+
+
+def simhash_expr(text_col: Column, n_bits: int = 16) -> Column:
+    """SimHash as a pure JVM COLUMN EXPRESSION — bit-identical to
+    :func:`simhash`'s explode+groupBy plan (pytest-pinned), but with
+    ZERO shuffle: the per-token ±1 projections fold inside one
+    ``aggregate`` higher-order function over the token array (one
+    md5 per token, nibble arithmetic per bit), so the signature is
+    computed row-local. Two places want exactly this shape:
+
+    - STREAMING: a stateful pipeline can't afford a per-doc
+      aggregation shuffle before the dedup operator;
+      ``withColumn("simhash", simhash_expr(col("text")))`` composes
+      directly with ``streaming_near_dup_verdicts``.
+    - map-side batch stages where the doc row must stay intact
+      (no explode/regroup round trip).
+
+    The explode+groupBy form remains the right plan when one
+    document's token stream outgrows a task (its partial aggregation
+    splits across partitions); for ordinary web-document lengths the
+    row-local form is strictly cheaper."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    toks = F.split(normalized_text(text_col), " ")
+
+    def bits(t: Column) -> Column:
+        h = F.md5(t)
+        if n_bits <= 32:
+            def one(j: Column) -> Column:
+                nib = F.conv(h.substr(j + 1, F.lit(1)), 16, 10).cast("int")
+                return F.when(nib.bitwiseAND(F.lit(8)) > 0, 1).otherwise(-1)
+        elif n_bits <= 64:
+            def one(j: Column) -> Column:
+                nib = F.conv(
+                    h.substr(F.floor(j / 2) + 1, F.lit(1)), 16, 10
+                ).cast("int")
+                mask = F.when(j % 2 == 0, 8).otherwise(4)
+                return F.when(nib.bitwiseAND(mask) > 0, 1).otherwise(-1)
+        else:
+            raise ValueError("simhash supports at most 64 bits")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits - 1)), one
+        )
+
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, t: F.zip_with(acc, bits(t), lambda a, b: a + b),
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )

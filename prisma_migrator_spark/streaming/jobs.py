@@ -274,3 +274,44 @@ def streaming_interval_join_left(
         "l_ts",
         "r_ts",
     )
+
+
+def streaming_ingest_near_dup(
+    docs: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """NEAR-dup streaming ingest — the fuzzy upgrade of
+    :func:`streaming_ingest_corpus`'s exact-fingerprint stage:
+    quality gate -> ROW-LOCAL SimHash (``llm/dedup.simhash_expr`` —
+    the signature folds inside one JVM higher-order aggregate, so no
+    per-doc aggregation shuffle precedes the stateful operator;
+    that shuffle-free form is what makes SimHash streamable at all)
+    -> banded stateful verdicts
+    (``streaming/stateful.streaming_near_dup_verdicts``). Returns
+    the band-verdict stream; reduce per micro-batch with
+    ``reduce_near_dup_verdicts`` in ``foreachBatch``. Extra kwargs
+    (``ttl``, ``max_bucket``, ``ts_col``) pass through to the
+    stateful stage."""
+    from prisma_migrator_spark.llm.dedup import simhash_expr
+    from prisma_migrator_spark.llm.text import quality_score
+    from prisma_migrator_spark.streaming.stateful import (
+        streaming_near_dup_verdicts,
+    )
+
+    kept = docs.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    carry = [c for c in ("ts",) if c in docs.columns]
+    sigs = kept.select(
+        "doc_id",
+        simhash_expr(F.col("text"), n_bits).alias("simhash"),
+        *carry,
+    )
+    return streaming_near_dup_verdicts(
+        sigs,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        **near_dup_kwargs,
+    )

@@ -3565,3 +3565,74 @@ def test_homoglyph_fold_pairs_adversarial_twins(spark, sf_dir):
     # folded groups <= plain fingerprints, and the twins would DOUBLE
     # the plain fingerprint count if hashed unfolded
     assert len(groups) <= n_plain
+
+
+def test_simhash_expr_matches_agg_plan(spark, sf_dir):
+    """simhash_expr (shuffle-free higher-order-function form) is
+    BIT-IDENTICAL to the explode+groupBy simhash at both widths —
+    same md5 nibbles, same ±1 sums, row-local."""
+    from prisma_migrator_spark.llm.dedup import simhash, simhash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    for nb in (16, 64):
+        a = {r.doc_id: r.simhash for r in simhash(docs, n_bits=nb).collect()}
+        b = {
+            r.doc_id: r.sh
+            for r in docs.select(
+                "doc_id", simhash_expr(F.col("text"), nb).alias("sh")
+            ).collect()
+        }
+        assert a == b
+
+
+def test_streaming_ingest_near_dup_matches_batch(spark, sf_dir, tmp_path):
+    """The composed fuzzy ingest (gate -> row-local simhash ->
+    stateful banded verdicts) reproduces the batch pipeline (gate ->
+    simhash -> hamming_band_pairs, first-seen verdicts) on an
+    id-ordered stream with the first half redelivered."""
+    from prisma_migrator_spark.llm.dedup import hamming_band_pairs, simhash
+    from prisma_migrator_spark.llm.text import quality_score
+    from prisma_migrator_spark.streaming.jobs import streaming_ingest_near_dup
+    from prisma_migrator_spark.streaming.stateful import (
+        reduce_near_dup_verdicts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    sigs = simhash(kept, n_bits=16).localCheckpoint()
+    pairs = hamming_band_pairs(
+        sigs, n_bits=16, band_bits=4, max_hamming=3
+    ).collect()
+    ref: dict[int, int] = {}
+    for r in pairs:
+        ref[r.id_b] = min(ref.get(r.id_b, r.id_a), r.id_a)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    half = sorted(kept_ids)[len(kept_ids) // 2]
+    verdicts = []
+
+    def sink(df, _epoch):
+        verdicts.extend(reduce_near_dup_verdicts(df).collect())
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            streaming_ingest_near_dup(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.where(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+    drain()
+    docs.coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {r.doc_id: r for r in verdicts}
+    assert set(got) == kept_ids  # gate applied, one verdict per kept doc
+    for d in kept_ids:
+        assert got[d].is_dup == (d in ref), d
+        assert got[d].dup_of == ref.get(d), d
