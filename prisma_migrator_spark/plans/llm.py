@@ -3931,6 +3931,40 @@ def video_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("video_near_dup_clusters")  # rows-only, like the pair stage;
+# pytest pins cluster == variant-group exactly
+def video_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup CLUSTERS — the pair stage fed through the same
+    min-label connected components every dedup family uses (see
+    `image_near_dup_clusters` for the rationale: clusters are what a
+    keep-one-per-group decision keys on). Returns (cluster,
+    n_members, member_ids sorted). Scale shape identical to the
+    image member: near-clique components converge in 2-3 rounds."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import (
+        connected_components,
+        hamming_band_pairs,
+    )
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_video_variant_payload,
+        video_phash,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham, cap = _sig_band_arity(docs)
+    sigs = video_phash(attach_video_variant_payload(docs))
+    pairs = hamming_band_pairs(
+        sigs, id_col="doc_id", sig_col="vhash",
+        n_bits=64, band_bits=8, max_hamming=maxham, band_arity=arity,
+        max_bucket=cap,
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        F.array_sort(F.collect_list("node")).alias("member_ids"),
+    ).select(F.col("component").alias("cluster"), "n_members", "member_ids")
+
+
 # --- homoglyph (confusable) dedup --------------------------------------
 
 _HG_TWIN_OFFSET = 10_000_000

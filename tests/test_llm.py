@@ -3636,3 +3636,23 @@ def test_streaming_ingest_near_dup_matches_batch(spark, sf_dir, tmp_path):
     for d in kept_ids:
         assert got[d].is_dup == (d in ref), d
         assert got[d].dup_of == ref.get(d), d
+
+
+def test_video_near_dup_clusters_equal_variant_groups(spark, sf_dir):
+    """Every connected component IS one variant group: 5 consecutive
+    ids, no merges across groups, no splits within."""
+    import duckdb
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    rows = QUERIES["video_near_dup_clusters"](spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    got = {tuple(r.member_ids) for r in rows}
+    expected = {
+        tuple(range(g * 5, min(g * 5 + 5, n_docs)))
+        for g in range((n_docs + 4) // 5)
+    }
+    assert got == expected
+    assert all(r.cluster == r.member_ids[0] for r in rows)
