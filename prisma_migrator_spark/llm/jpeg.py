@@ -1,4 +1,5 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / JFIF).
+"""Baseline JPEG codec (ITU-T T.81 / JFIF) — stdlib + numpy, no codec
+library.
 
 The third REAL image format for the multimodal column family
 (reference parity note: the reference pipeline fetches remote media
@@ -146,43 +147,46 @@ def scale_qt(qt: list[int], quality: int) -> list[int]:
     return [max(1, min(255, (q * s + 50) // 100)) for q in qt]
 
 
+def _np_dct_mats():
+    """(cos matrix [u,y], 0.25*C(u)C(v) prefactor, C-scaled basis) as
+    numpy arrays, built once — the matrix form of the T.81 definition
+    sums. The naive 8^4-iteration Python loops measured ~15 ms per
+    16x16 image (each of encode/decode) and dominated the image
+    dedup family's scale curve; the matmul form computes the same
+    definition (float64 throughout, np.rint = the same half-to-even
+    rounding as Python round)."""
+    import numpy as np
+
+    cos = np.array(_COS, dtype=np.float64)        # [u, x]
+    c = np.array(_C, dtype=np.float64)
+    return cos, 0.25 * np.outer(c, c), c[:, None] * cos  # N[u, y]
+
+
+_COS_M, _FDCT_PRE, _IDCT_N = _np_dct_mats()
+
+
 def _fdct_quant(block: list[float], qt: list[int]) -> list[int]:
-    """8x8 forward DCT (float, separable by definition sum) + quantize.
-    ``block`` is 64 level-shifted samples row-major; returns 64
-    quantized coefficients row-major."""
-    out = [0] * 64
-    for u in range(8):
-        cu = _C[u]
-        for v in range(8):
-            cv = _C[v]
-            acc = 0.0
-            for y in range(8):
-                cyu = _COS[u][y]
-                row = 8 * y
-                for x in range(8):
-                    acc += block[row + x] * cyu * _COS[v][x]
-            val = 0.25 * cu * cv * acc
-            q = qt[8 * u + v]
-            out[8 * u + v] = int(round(val / q))
-    return out
+    """8x8 forward DCT (float, matrix form of the definition sum) +
+    quantize. ``block`` is 64 level-shifted samples row-major;
+    returns 64 quantized coefficients row-major."""
+    import numpy as np
+
+    b = np.asarray(block, dtype=np.float64).reshape(8, 8)
+    val = _FDCT_PRE * (_COS_M @ b @ _COS_M.T)
+    q = np.asarray(qt, dtype=np.float64).reshape(8, 8)
+    return [int(v) for v in np.rint(val / q).astype(np.int64).ravel()]
 
 
 def _dequant_idct(coeffs: list[int], qt: list[int]) -> list[int]:
     """Dequantize + 8x8 inverse DCT + level shift; returns 64 clamped
     samples (0..255) row-major."""
-    deq = [coeffs[i] * qt[i] for i in range(64)]
-    out = [0] * 64
-    for y in range(8):
-        for x in range(8):
-            acc = 0.0
-            for u in range(8):
-                cu = _C[u] * _COS[u][y]
-                row = 8 * u
-                for v in range(8):
-                    acc += _C[v] * cu * _COS[v][x] * deq[row + v]
-            s = int(round(0.25 * acc)) + 128
-            out[8 * y + x] = 0 if s < 0 else (255 if s > 255 else s)
-    return out
+    import numpy as np
+
+    d = np.asarray(coeffs, dtype=np.float64).reshape(8, 8) * np.asarray(
+        qt, dtype=np.float64
+    ).reshape(8, 8)
+    s = np.rint(0.25 * (_IDCT_N.T @ d @ _IDCT_N)).astype(np.int64) + 128
+    return [int(v) for v in np.clip(s, 0, 255).ravel()]
 
 
 # --- Huffman ----------------------------------------------------------
