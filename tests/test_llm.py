@@ -3656,3 +3656,42 @@ def test_video_near_dup_clusters_equal_variant_groups(spark, sf_dir):
     }
     assert got == expected
     assert all(r.cluster == r.member_ids[0] for r in rows)
+
+
+def test_streaming_near_dup_out_of_order_first_seen(spark, tmp_path):
+    """Documented cross-batch semantics under adversarial arrival:
+    canonical is first-SEEN, not min-id. A high-id doc arriving in an
+    earlier batch becomes the anchor; its low-id near-dup arriving
+    later is the one flagged (dup_of = the high id). Within one
+    batch, id order still decides."""
+    from prisma_migrator_spark.streaming.stateful import (
+        reduce_near_dup_verdicts,
+        streaming_near_dup_verdicts,
+    )
+
+    sig = "0101010101010101"
+    near = sig[:-1] + "0"
+    src, ckpt = (str(tmp_path / d) for d in ("src", "ckpt"))
+    verdicts = []
+
+    def sink(df, _epoch):
+        verdicts.extend(reduce_near_dup_verdicts(df).collect())
+
+    def drain(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, simhash string").parquet(src)
+        q = (
+            streaming_near_dup_verdicts(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain([Row(doc_id=9, simhash=sig)])        # high id arrives FIRST
+    drain([Row(doc_id=1, simhash=near)])       # low id arrives later
+
+    got = {r.doc_id: r for r in verdicts}
+    assert not got[9].is_dup
+    assert got[1].is_dup and got[1].dup_of == 9 and got[1].hamming == 1
