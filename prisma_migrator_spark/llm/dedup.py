@@ -530,13 +530,29 @@ def hamming_band_pairs(
     drop ~256×, the guarantee drops from ≤7 to ≤6 (still above the
     measured ≤2 image / ≤4 audio intra-variant distances).
 
-    The signature frame is persisted: it feeds band explosion AND
-    the two re-join legs, and is signature-sized (one short string
-    per doc), not corpus-sized. Like the graph edge snapshots
-    (ADVICE r6 #1), the persist is NOT session-lifetime: each call
-    releases the previous call's signature cache (bounded residency
-    at one query's frame; a released frame recomputes, never fails),
-    and :func:`release_signature_caches` frees the last one.
+    COLLAPSE-EXACT-FIRST (r7, from the sf10 audio flag): near-dup
+    corpora carry the same signature many times over (measured at
+    500k docs: 3.3x audio / 3.7x image / 4.1x video docs per
+    distinct signature), and Σ bucket² is QUADRATIC in that
+    multiplicity — the same insight that keeps the text fuzzy join
+    vocabulary-sized in ``near_dup_clusters``. The banded self-join
+    therefore runs over DISTINCT signatures only (min-id
+    representative), and member pairs expand afterwards: identical-
+    signature groups emit their pairs directly at Hamming 0, and
+    cross-signature rep pairs fan out through the membership map —
+    both output-proportional. With ``max_bucket`` set, bucket counts
+    now count distinct SIGNATURES, not documents, so the stop-band
+    cap can only DROP FEWER pairs than before (recall is monotone
+    better; uncapped output is set-identical to the direct join).
+
+    The signature frame is persisted: it feeds the rep collapse, the
+    membership map, and the expansion legs, and is signature-sized
+    (one short string per doc), not corpus-sized. Like the graph
+    edge snapshots (ADVICE r6 #1), the persist is NOT
+    session-lifetime: each call releases the previous call's
+    signature cache (bounded residency at one query's frame; a
+    released frame recomputes, never fails), and
+    :func:`release_signature_caches` frees the last one.
     """
     from itertools import combinations
 
@@ -547,6 +563,9 @@ def hamming_band_pairs(
     if not 1 <= band_arity <= n_bands:
         raise ValueError(f"band_arity must be in [1, {n_bands}]")
 
+    reps = sigs.groupBy(sig_col).agg(F.min(id_col).alias("__rid")).persist()
+    _SIG_CACHES.append(reps)
+
     def band(b: int):
         return F.substring(sig_col, b * band_bits + 1, band_bits)
 
@@ -556,7 +575,7 @@ def hamming_band_pairs(
         )
         for combo in combinations(range(n_bands), band_arity)
     ]
-    banded = sigs.select(id_col, F.explode(F.array(*keys)).alias("band"))
+    banded = reps.select("__rid", F.explode(F.array(*keys)).alias("band"))
     if max_bucket is not None:
         ok = (
             banded.groupBy("band")
@@ -565,33 +584,63 @@ def hamming_band_pairs(
             .select("band")
         )
         banded = banded.join(ok, "band")
-    pairs = (
+    rep_pairs = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rid") < F.col("b.__rid")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__rid").alias("ra"), F.col("b.__rid").alias("rb")
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["ra", "rb"])
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b"))
+    sa = reps.select(F.col("__rid").alias("ra"), F.col(sig_col).alias("sh_a"))
+    sb = reps.select(F.col("__rid").alias("rb"), F.col(sig_col).alias("sh_b"))
     hamming = sum(
         F.when(
             F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
         ).otherwise(0)
         for j in range(n_bits)
     )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+    near_reps = (
+        rep_pairs.join(sa, "ra")
+        .join(sb, "rb")
+        .select("ra", "rb", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+    # membership map: every doc -> its signature's representative id
+    mem = sigs.join(reps, sig_col).select(
+        F.col(id_col).alias("__mid"), "__rid"
+    )
+    cross = (
+        near_reps.join(
+            mem.select(F.col("__rid").alias("ra"),
+                       F.col("__mid").alias("__ia")), "ra")
+        .join(
+            mem.select(F.col("__rid").alias("rb"),
+                       F.col("__mid").alias("__ib")), "rb")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        mem.alias("a")
+        .join(
+            mem.alias("b"),
+            (F.col("a.__rid") == F.col("b.__rid"))
+            & (F.col("a.__mid") < F.col("b.__mid")),
+        )
+        .select(
+            F.col("a.__mid").alias("id_a"),
+            F.col("b.__mid").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def embedding_near_dup_pairs(

@@ -3561,15 +3561,28 @@ def _sig_band_arity(docs: DataFrame) -> tuple[int, int, int | None]:
     """(band_arity, max_hamming, max_bucket) for hamming_band_pairs,
     sized from the corpus (see _MIH_ARITY_MIN_DOCS). The reduced
     guarantee stays above the measured intra-variant distances (<= 2
-    image, <= 4 audio), and the constructed-corpus tests pin arity-2
-    output == arity-1 output exactly. The stop-band cap engages with
-    arity 2: sparse signatures (the audio envelope carries ~17 ones
-    of 64) concentrate band values, and the biggest band-pair bucket
-    measured 3,708 members at 50k docs (sum bucket-sq 229M — DNF
-    trajectory at 500k); cap=500 cut the sf1 join to 57s at MEASURED
-    recall 1.0000 — a near-dup pair's distinctive band-pairs are
-    exactly the rare ones the cap keeps. Small corpora run uncapped
-    (buckets measured <= 76 at 5k docs; oracle/test parity exact)."""
+    image, <= 4 audio, <= 2 video), and the constructed-corpus tests
+    pin arity-2/arity-3 output == arity-1 output exactly. The
+    stop-band cap engages with arity 2: sparse signatures (the audio
+    envelope carries ~17 ones of 64) concentrate band values, and the
+    biggest band-pair bucket measured 3,708 members at 50k docs (sum
+    bucket-sq 229M — DNF trajectory at 500k); cap=500 cut the sf1
+    join to 57s at MEASURED recall 1.0000 — a near-dup pair's
+    distinctive band-pairs are exactly the rare ones the cap keeps.
+    Small corpora run uncapped (buckets measured <= 76 at 5k docs;
+    oracle/test parity exact).
+
+    r7 sf10 postscript: the 15.1x/decade audio flag at 500k docs was
+    first attributed to band-PAIR alphabet saturation and a third
+    tier (band triples, arity 3) was tried — measured INEFFECTIVE
+    (1169 s vs 1110 s; the machinery supports ``band_arity=3`` and
+    the equivalence test pins it, but the dial does not use it). The
+    real cost was signature MULTIPLICITY — Σ bucket² is quadratic in
+    docs-per-distinct-signature (measured 3.3x audio / 3.7x image /
+    4.1x video at sf10) — fixed in ``hamming_band_pairs`` itself by
+    collapsing identical signatures before the banded join
+    (PERF.md #83), after which the arity-2 tier's bucket population
+    is distinct signatures and stays in its measured-good range."""
     if docs.count() < _MIH_ARITY_MIN_DOCS:
         return 1, 7, None
     return 2, 6, 500

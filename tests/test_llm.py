@@ -3206,6 +3206,22 @@ def test_band_arity_two_finds_identical_pairs(spark, sf_dir):
             ).collect()
         }
         assert a1 == a2 and a1, (col, len(a1), len(a2))
+        # the >=200k-doc tier: band TRIPLES at their guarantee (<= 5)
+        a1_5 = {
+            (r.id_a, r.id_b)
+            for r in hamming_band_pairs(
+                sigs, sig_col=col, n_bits=64, band_bits=8,
+                max_hamming=5, band_arity=1,
+            ).collect()
+        }
+        a3 = {
+            (r.id_a, r.id_b)
+            for r in hamming_band_pairs(
+                sigs, sig_col=col, n_bits=64, band_bits=8,
+                max_hamming=5, band_arity=3,
+            ).collect()
+        }
+        assert a1_5 == a3 and a3, (col, len(a1_5), len(a3))
 
 
 # --- video fingerprint dedup (r7, fourth modality) -----------------------
