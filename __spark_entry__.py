@@ -37,6 +37,8 @@ WINDOW_R7 = [
     "html_link_pagerank",
     "hard_negatives_topk",
     "homoglyph_dedup_groups",
+    "video_near_dup_clusters",
+    "cc_pii_redaction",
     "html_main_content",
     "html_corpus_ingest",
     "image_near_dup_pairs",
@@ -83,8 +85,6 @@ WINDOW_R7 = [
     "doc_chunks_overlap",
     "domain_mixture_sample",
     "embedding_near_dup",
-    "encode_token_ids",
-    "label_centroids",
 ]
 
 

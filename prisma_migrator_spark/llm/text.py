@@ -338,3 +338,76 @@ def homoglyph_fingerprint(text: Column) -> Column:
     adversarial homoglyph copy with its source where
     :func:`content_fingerprint` cannot."""
     return F.md5(normalized_text(confusable_fold(text)))
+
+
+# --- Luhn-validated credit-card PII ------------------------------------
+#
+# A bare \d{13,19} regex flags order numbers, timestamps, and ids as
+# card numbers; real CC detection validates the Luhn checksum, which
+# cuts ~90% of random digit-run false positives. Both halves stay
+# JVM-side: candidates via regexp_extract_all, the checksum via an
+# aggregate higher-order function over the digit string — no UDF, and
+# the identical arithmetic is expressible in DuckDB list functions,
+# so the oracle genuinely recomputes the validation.
+
+#: 13-19 digit runs, optionally space/dash separated.
+CC_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_payload_sum(digits: Column) -> Column:
+    """Luhn sum of a PAYLOAD digit string (no check digit): doubled
+    at even 0-indexed-from-right positions, 9-folded. The check
+    digit is then ``(10 - sum % 10) % 10``."""
+    n = F.length(digits)
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            _luhn_fold(digits.substr(n - i, F.lit(1)).cast("int") * 2),
+        ).otherwise(digits.substr(n - i, F.lit(1)).cast("int")),
+    )
+
+
+def _luhn_fold(v: Column) -> Column:
+    return F.when(v > 9, v - 9).otherwise(v)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the FULL digit string (check digit included) passes
+    Luhn: doubled at odd 0-indexed-from-right positions."""
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 1,
+            _luhn_fold(digits.substr(n - i, F.lit(1)).cast("int") * 2),
+        ).otherwise(digits.substr(n - i, F.lit(1)).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def _cc_valid_candidates(text: Column) -> Column:
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(CC_CANDIDATE_RE), F.lit(0)),
+        lambda c: luhn_valid(F.regexp_replace(c, "[^0-9]", "")),
+    )
+
+
+def cc_count(text: Column) -> Column:
+    """Number of Luhn-VALID card candidates in the text."""
+    return F.size(_cc_valid_candidates(text))
+
+
+def redact_cc(text: Column) -> Column:
+    """Replace every Luhn-valid candidate with ``[CC]``; invalid
+    digit runs (the false positives a bare regex would hit) pass
+    through untouched."""
+    return F.aggregate(
+        _cc_valid_candidates(text),
+        text,
+        lambda acc, c: F.replace(acc, c, F.lit("[CC]")),
+    )

@@ -4059,3 +4059,135 @@ def homoglyph_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).cast("int").alias("group_size"),
     )
+
+
+# --- Luhn-validated credit-card PII ------------------------------------
+
+
+def _cc_oracle() -> str:
+    from prisma_migrator_spark.llm.text import CC_CANDIDATE_RE
+
+    def dig(src: str, length: str, i: str = "i") -> str:
+        return f"CAST(substr({src}, {length} - {i}, 1) AS INT)"
+
+    def fold(expr: str) -> str:
+        return f"CASE WHEN {expr} > 9 THEN {expr} - 9 ELSE {expr} END"
+
+    # payload sum: doubled at EVEN 0-indexed-from-right positions
+    pay_d = dig("payload", "15")
+    payload_sum = (
+        "list_sum(list_transform(range(15), i -> "
+        f"CASE WHEN i % 2 = 0 THEN {fold(pay_d + ' * 2')} "
+        f"ELSE {pay_d} END))"
+    )
+    # full-number check: doubled at ODD positions; digits = stripped c
+    strip = "regexp_replace(c, '[^0-9]', '', 'g')"
+    full_d = dig(strip, f"length({strip})")
+    luhn_ok = (
+        f"list_sum(list_transform(range(length({strip})), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {fold(full_d + ' * 2')} "
+        f"ELSE {full_d} END)) % 10 = 0"
+    )
+
+    def grouped(col: str, sep: str) -> str:
+        return (
+            f"substr({col},1,4) || '{sep}' || substr({col},5,4) || "
+            f"'{sep}' || substr({col},9,4) || '{sep}' || substr({col},13,4)"
+        )
+
+    return f"""
+WITH pay AS (
+  SELECT doc_id, text,
+         '522345' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+           AS payload
+  FROM documents
+), num AS (
+  SELECT doc_id, text,
+         payload || CAST((10 - {payload_sum} % 10) % 10 AS VARCHAR) AS goodnum,
+         payload || CAST(((10 - {payload_sum} % 10) % 10 + 1) % 10
+                         AS VARCHAR) AS bad
+  FROM pay
+), aug AS (
+  SELECT doc_id,
+         text || ' pay '
+          || (CASE WHEN doc_id % 3 = 0 THEN {grouped('goodnum', ' ')}
+                   WHEN doc_id % 3 = 1 THEN {grouped('goodnum', '-')}
+                   ELSE goodnum END)
+          || ' not '
+          || (CASE WHEN doc_id % 3 = 0 THEN {grouped('bad', ' ')}
+                   WHEN doc_id % 3 = 1 THEN {grouped('bad', '-')}
+                   ELSE bad END) AS t
+  FROM num
+), scanned AS (
+  SELECT doc_id, t,
+         list_filter(regexp_extract_all(t, '{CC_CANDIDATE_RE}'),
+                     c -> {luhn_ok}) AS valid
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(valid) AS INT) AS n_cc,
+       md5(list_reduce(list_prepend(t, valid),
+                       (acc, c) -> replace(acc, c, '[CC]')))
+         AS redacted_md5
+FROM scanned
+"""
+
+
+@query("cc_pii_redaction", oracle=_cc_oracle())
+def cc_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card PII with LUHN VALIDATION — the upgrade over
+    `pii_redaction`'s pattern set: a bare 13-19-digit regex flags
+    order ids and timestamps as cards; real detection validates the
+    checksum, cutting ~90% of random digit-run false positives. Both
+    halves are JVM higher-order expressions (`llm/text.luhn_valid`,
+    `redact_cc`) — candidates via regexp_extract_all, the checksum
+    via one `aggregate` over the digit string, the redaction a fold
+    of literal replaces — zero shuffle, zero Python.
+
+    The corpus carries no cards, so each doc gets a synthesized
+    VALID card (payload derived from doc_id, check digit computed by
+    the same Luhn arithmetic — so the oracle must recompute the
+    checksum, not string-match) and an off-by-one INVALID decoy,
+    formatted with doc-varying separators. The gate pins n_cc == 1
+    per doc (decoy rejected) and the md5 of the redacted text (valid
+    card scrubbed, decoy intact) — both engines running the full
+    candidate-extract -> Luhn -> fold-replace pipeline
+    independently."""
+    from prisma_migrator_spark.llm.text import (
+        cc_count,
+        luhn_payload_sum,
+        redact_cc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    payload = F.concat(
+        F.lit("522345"),
+        F.lpad((d % 1_000_000_000).cast("string"), 9, "0"),
+    )
+    check = (10 - luhn_payload_sum(payload) % 10) % 10
+    full = F.concat(payload, check.cast("string"))
+    bad = F.concat(payload, ((check + 1) % 10).cast("string"))
+
+    def grouped(c, sep):
+        return F.concat_ws(
+            sep, c.substr(1, 4), c.substr(5, 4), c.substr(9, 4),
+            c.substr(13, 4),
+        )
+
+    def fmt(c):
+        return (
+            F.when(d % 3 == 0, grouped(c, " "))
+            .when(d % 3 == 1, grouped(c, "-"))
+            .otherwise(c)
+        )
+
+    t = F.concat(
+        F.col("text"), F.lit(" pay "), fmt(full), F.lit(" not "), fmt(bad)
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        cc_count(F.col("t")).cast("int").alias("n_cc"),
+        F.md5(redact_cc(F.col("t")).cast("binary")).alias("redacted_md5"),
+    )

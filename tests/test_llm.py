@@ -3711,3 +3711,38 @@ def test_streaming_near_dup_out_of_order_first_seen(spark, tmp_path):
     got = {r.doc_id: r for r in verdicts}
     assert not got[9].is_dup
     assert got[1].is_dup and got[1].dup_of == 9 and got[1].hamming == 1
+
+
+def test_luhn_cc_detection_validates_checksum(spark, sf_dir):
+    """Luhn ground truth: known-valid test numbers pass, off-by-one
+    mutations fail, and the column expression agrees with a pure-
+    Python Luhn on every synthesized candidate; the registry query
+    finds EXACTLY one card per doc (the valid one), never the
+    decoy."""
+    from prisma_migrator_spark.llm.text import luhn_valid
+    from prisma_migrator_spark.plans import QUERIES
+
+    def luhn_py(digits: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    known = ["4111111111111111", "5500005555555559", "378282246310005",
+             "49927398716", "1234567812345670"]
+    cases = known + [k[:-1] + str((int(k[-1]) + 1) % 10) for k in known]
+    df = spark.createDataFrame([Row(d=c) for c in cases])
+    got = {r.d: r.ok for r in df.select(
+        "d", luhn_valid(F.col("d")).alias("ok")).collect()}
+    for c in cases:
+        assert got[c] == luhn_py(c), c
+    assert all(got[k] for k in known)
+    assert not any(got[c] for c in cases[len(known):])
+
+    rows = QUERIES["cc_pii_redaction"](spark, sf_dir).collect()
+    assert rows and all(r.n_cc == 1 for r in rows)
