@@ -4191,3 +4191,162 @@ def cc_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc_count(F.col("t")).cast("int").alias("n_cc"),
         F.md5(redact_cc(F.col("t")).cast("binary")).alias("redacted_md5"),
     )
+
+
+# --- corpus-level overlap sketches (one-permutation MinHash) ------------
+
+_OPH_BINS = 32
+
+_CORPUS_OVERLAP_ORACLE = r"""
+WITH words AS (
+  SELECT source, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+  FROM words, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), hv AS (
+  SELECT source, CAST(('0x' || substr(md5('oph:' || shingle), 1, 15)) AS BIGINT) AS hv
+  FROM sh
+), sk AS (
+  SELECT source, CAST(hv % 32 AS INT) AS bin, MIN(hv) AS mh
+  FROM hv GROUP BY source, CAST(hv % 32 AS INT)
+), srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), m AS (
+  SELECT sa.source AS src_a, sb.source AS src_b,
+         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM sk sa JOIN sk sb ON sa.bin = sb.bin AND sa.source < sb.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       COALESCE(m.n_match, 0) AS n_match,
+       ROUND(COALESCE(m.n_match, 0) / 32.0, 6) AS est_jaccard
+FROM pairs p LEFT JOIN m ON p.src_a = m.src_a AND p.src_b = m.src_b
+"""
+
+
+@query("corpus_overlap_oph", oracle=_CORPUS_OVERLAP_ORACLE)
+def corpus_overlap_oph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap report: estimated Jaccard between every
+    pair of sources from one-permutation MinHash sketches
+    (llm/sketches.py) — the "is this new dump worth ingesting"
+    pre-check that runs BEFORE any pair-level dedup. One map-side
+    hash + one (source, bin) HashAggregate builds all sketches in a
+    single corpus pass with sketch-sized shuffle output; the pairwise
+    stage touches only |sources| x 32 rows. The oracle reproduces the
+    md5-derived hash bit-for-bit, so the ESTIMATES (not just counts)
+    are verified exactly."""
+    from prisma_migrator_spark.llm.sketches import (
+        oph_pairwise_jaccard,
+        oph_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3, distinct=False, id_col="source")
+    return oph_pairwise_jaccard(
+        oph_sketch(sh, n_bins=_OPH_BINS), n_bins=_OPH_BINS
+    )
+
+
+# --- temperature-based domain mixture weights ---------------------------
+
+_TEMP_ALPHA = 0.3
+
+_TEMP_MIXTURE_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         LEN(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+         SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_w
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / tot_tokens, 6) AS p_raw,
+       ROUND(POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_w, 6) AS p_temp,
+       ROUND((POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_w)
+             / (n_tokens / tot_tokens), 6) AS boost
+FROM per_src, tot
+"""
+
+
+@query("temperature_mixture_weights", oracle=_TEMP_MIXTURE_ORACLE)
+def temperature_mixture_weights_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based domain sampling weights (the multilingual-LM
+    recipe of Conneau et al., XLM-R 2020: p_i proportional to
+    n_i^alpha with alpha = 0.3): per source, raw token share, the
+    temperature-flattened share, and the resulting up/down-weighting
+    boost a sampler applies. One (source) HashAggregate over a
+    map-side token count; the corpus totals ride in via a 1-row
+    broadcast crossJoin, so nothing is collected and the whole report
+    is |sources| rows."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(normalized_text(F.col("text")), " ")).alias(
+                "n_tok"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA))
+    tot = per_src.agg(
+        F.sum(F.col("n_tokens").cast("double")).alias("tot_tokens"),
+        F.sum(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA))
+        ).alias("tot_w"),
+    )
+    p_raw = F.col("n_tokens") / F.col("tot_tokens")
+    p_temp = w / F.col("tot_w")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("boost"),
+    )
+
+
+# --- distributed PCA over the embedding space ---------------------------
+
+
+@query("embedding_pca2")  # rows-only: no SQL eigensolver
+def embedding_pca2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the corpus's top-2 principal
+    components (llm/pca.py): the covariance comes from ONE distributed
+    pass (per-partition numpy Gram partials -> one tiny HashAggregate
+    -> a structurally d(d+3)/2 + 1-row collect), the 64x64 eigensolve
+    runs on the driver, and the projection is a map-side zip_with dot
+    product. Two scans total (stats, then projection) — inherent to
+    the fit-then-transform shape, same discipline as the k-means and
+    logistic-regression trainers. Deterministic across runs: the
+    covariance is rounded before the solve, component signs are
+    convention-fixed, projections round to 6 dp."""
+    from prisma_migrator_spark.llm.pca import (
+        covariance_stats,
+        fit_components,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov, mean, _ = covariance_stats(emb, dim=64)
+    comps, _ = fit_components(cov, k=2)
+    return project(emb, mean, comps).select("vec_id", "label", "pc1", "pc2")

@@ -3746,3 +3746,145 @@ def test_luhn_cc_detection_validates_checksum(spark, sf_dir):
 
     rows = QUERIES["cc_pii_redaction"](spark, sf_dir).collect()
     assert rows and all(r.n_cc == 1 for r in rows)
+
+
+# --- corpus-overlap sketches / temperature mixture / PCA (r7) -----------
+
+
+def test_oph_sketch_estimates_known_overlap(spark):
+    """Two constructed corpora sharing half their shingle vocabulary:
+    the OPH estimate must land near the exact Jaccard, and disjoint
+    corpora must estimate ~0."""
+    from prisma_migrator_spark.llm.sketches import (
+        oph_pairwise_jaccard,
+        oph_sketch,
+    )
+
+    # 400 distinct 3-shingles per corpus via 402-token streams of
+    # unique words; corpora A and B share the middle half.
+    def words(tag, lo, hi):
+        return " ".join(f"{tag}{i}" for i in range(lo, hi))
+
+    shared = words("s", 0, 202)  # ~200 shared shingles
+    rows = [
+        Row(doc_id=1, source="A", text=words("a", 0, 202) + " " + shared),
+        Row(doc_id=2, source="B", text=words("b", 0, 202) + " " + shared),
+        Row(doc_id=3, source="C", text=words("c", 0, 404)),
+    ]
+    docs = spark.createDataFrame(rows)
+    sh = shingles(docs, k=3, distinct=False, id_col="source")
+    est = {
+        (r.src_a, r.src_b): r.est_jaccard
+        for r in oph_pairwise_jaccard(
+            oph_sketch(sh, n_bins=32), n_bins=32
+        ).collect()
+    }
+    # exact Jaccard(A, B): shared block yields ~200 common shingles of
+    # ~400 each (boundary shingles straddle the concat seam), so the
+    # true value sits near 200/600 = 0.33
+    assert 0.15 < est[("A", "B")] < 0.55
+    assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1
+    # all unordered pairs present even when sketches share no bins
+    assert set(est) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_oph_sketch_is_mergeable(spark):
+    """Sketch algebra: the sketch of a union equals the elementwise
+    min of the parts' sketches — the property that makes per-day /
+    per-file sketches combinable without re-scanning."""
+    from prisma_migrator_spark.llm.sketches import oph_sketch
+
+    part1 = spark.createDataFrame(
+        [Row(source="u", shingle=f"x {i} y") for i in range(50)]
+    )
+    part2 = spark.createDataFrame(
+        [Row(source="u", shingle=f"z {i} w") for i in range(50)]
+    )
+    whole = part1.union(part2)
+    direct = {
+        r.bin: r.min_hash
+        for r in oph_sketch(whole, shingle_col="shingle", n_bins=16).collect()
+    }
+    merged: dict[int, int] = {}
+    for part in (part1, part2):
+        for r in oph_sketch(part, shingle_col="shingle", n_bins=16).collect():
+            merged[r.bin] = min(merged.get(r.bin, r.min_hash), r.min_hash)
+    assert direct == merged
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """alpha < 1 must up-weight small sources and down-weight large
+    ones while keeping a proper distribution."""
+    from prisma_migrator_spark.plans.llm import temperature_mixture_weights_q
+
+    rows = temperature_mixture_weights_q(spark, sf_dir).collect()
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.boost > 1.0 > largest.boost
+    # flattening: the temperature distribution is strictly less spread
+    assert max(r.p_temp for r in rows) < max(r.p_raw for r in rows)
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed covariance + projection vs a pure-numpy PCA with
+    the identical sign convention, on a constructed anisotropic
+    cloud."""
+    import numpy as np
+
+    from prisma_migrator_spark.llm.pca import (
+        covariance_stats,
+        fit_components,
+        project,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 300
+    # variance concentrated on a known direction
+    direction = np.zeros(d)
+    direction[2] = 1.0
+    x = rng.normal(0, 0.1, (n, d)) + np.outer(
+        rng.normal(0, 3.0, n), direction
+    )
+    rows = [
+        Row(vec_id=i, embedding=[float(v) for v in x[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows).repartition(5)
+    cov, mean, cnt = covariance_stats(df, dim=d)
+    assert cnt == n
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, ref_cov, atol=1e-6)
+    comps, explained = fit_components(cov, k=2)
+    # dominant component is the constructed direction (up to sign,
+    # which the convention fixes positive on the big coefficient)
+    assert abs(comps[0][2]) > 0.99 and comps[0][np.argmax(np.abs(comps[0]))] > 0
+    assert explained[0] > 0.9 > explained[1]
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in project(df, mean, comps, out_prefix="pc").collect()
+    }
+    ref_proj = (x - x.mean(axis=0)) @ comps.T
+    for i in range(n):
+        assert abs(got[i][0] - ref_proj[i, 0]) < 1e-4
+        assert abs(got[i][1] - ref_proj[i, 1]) < 1e-4
+
+
+def test_pca_stats_are_structurally_bounded(spark):
+    """The collected stats frame is d(d+3)/2 + 1 rows however many
+    vectors or partitions feed it — the driver-state contract."""
+    import numpy as np
+
+    from prisma_migrator_spark.llm.pca import covariance_stats
+
+    d = 4
+    rows = [
+        Row(vec_id=i, embedding=[float(i % 3), 1.0, -2.0, float(i)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows).repartition(13)
+    cov, mean, n = covariance_stats(df, dim=d)
+    assert n == 200 and cov.shape == (d, d)
+    x = np.array([[float(i % 3), 1.0, -2.0, float(i)] for i in range(200)])
+    assert np.allclose(mean, x.mean(axis=0))
+    assert np.allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-6)
