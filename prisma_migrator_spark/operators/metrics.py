@@ -1,0 +1,131 @@
+"""Distributed ranking-quality metrics (ROC-AUC, calibration).
+
+Every scoring stage in the pipeline (quality classifiers, fluency
+LMs, dedup thresholds) needs an evaluation answer — "does this score
+actually separate good from bad" — computed over the WHOLE corpus,
+not a sampled sliver. ROC-AUC is the standard answer, and its naive
+forms don't scale: the pairwise definition is O(P*N) pairs, and the
+rank-sum (Mann-Whitney) form hides a GLOBAL SORT in ``rank() OVER
+(ORDER BY score)``.
+
+The scalable identity used here groups by DISTINCT SCORE first
+(one hash shuffle), then needs only "how many negatives score
+strictly below s" per distinct score — an exclusive prefix sum in
+score order, computed with the same two-level scheme as
+``llm.packing.global_running_offset``: range-bucket the scores,
+aggregate per-bucket negative counts (tiny), exclusive-sum across
+buckets (window over ``n_buckets`` rows via ``bounded_global_window``),
+then a within-bucket window partitioned by bucket. No corpus-sized
+frame ever passes through one task. Ties get the standard midpoint
+credit (0.5 per tied positive-negative pair).
+
+Exactness: the AUC numerator is accumulated as ``2*pos*neg_below +
+pos*neg`` — integers — in ``decimal(38,0)``, so the metric is exact
+integer arithmetic until one final division, which both Spark and the
+DuckDB oracle perform on identical operands (no float-order
+sensitivity, byte-identical under the ``--twice`` gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prisma_migrator_spark.operators.ranking import bounded_global_window
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """1-row frame ``(n_pos, n_neg, auc)``: tie-aware ROC-AUC of
+    ``score_col`` against the 0/1 ``label_col``. ``auc`` is NULL when
+    either class is empty (undefined). Rounded to 6 dp."""
+    lab = F.col(label_col).cast("long")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lab).alias("n_pos"),
+        F.sum(1 - lab).alias("n_neg"),
+    )
+    lo, hi = g.agg(F.min("__s"), F.max("__s")).first()
+    if lo is None:
+        return g.sparkSession.createDataFrame(
+            [(0, 0, None)], "n_pos bigint, n_neg bigint, auc double"
+        )
+    span = (float(hi) - float(lo)) / n_buckets or 1.0
+    b = F.least(
+        F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(span)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    bucketed = g.withColumn("__b", b)
+
+    totals = bucketed.groupBy("__b").agg(F.sum("n_neg").alias("__t"))
+    w_b = bounded_global_window(
+        F.col("__b"), anchor="__b", bound=f"n_buckets={n_buckets} offset rows"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__base")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_score = bucketed.join(F.broadcast(offsets), "__b").withColumn(
+        "neg_below",
+        F.col("__base") + F.coalesce(F.sum("n_neg").over(w_in), F.lit(0)),
+    )
+    agg = per_score.agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum(
+            (
+                2 * F.col("n_pos") * F.col("neg_below")
+                + F.col("n_pos") * F.col("n_neg")
+            ).cast("decimal(38,0)")
+        ).alias("__num"),
+    )
+    pairs = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.when(
+            pairs > 0,
+            F.round(F.col("__num").cast("double") / pairs.cast("double"), 6),
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: equal-width bins over the observed
+    score range, per bin the row count, mean score, and positive
+    rate — the "is a 0.9 score actually right 90% of the time" report.
+    One scalar range agg + one (bin) HashAggregate."""
+    lo, hi = df.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "bin int, n bigint, mean_score double, pos_rate double",
+        )
+    span = (float(hi) - float(lo)) / n_bins or 1.0
+    lab = F.col(label_col).cast("long")
+    b = F.least(
+        F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(span)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(F.col(score_col).cast("double")), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.sum(lab) / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+    )

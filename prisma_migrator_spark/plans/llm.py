@@ -4350,3 +4350,165 @@ def embedding_pca2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov, mean, _ = covariance_stats(emb, dim=64)
     comps, _ = fit_components(cov, k=2)
     return project(emb, mean, comps).select("vec_id", "label", "pc1", "pc2")
+
+
+# --- ranking-metric evaluation of scoring stages -------------------------
+
+_FLUENCY_AUC_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(ts) AS t(t) GROUP BY 1
+), v AS (SELECT COUNT(*) AS vocab FROM uni),
+doc_bigrams AS (
+  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM doc_bigrams GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id,
+         ROUND(AVG(LOG10((b.c + 1.0) / (u.c + (SELECT vocab FROM v)))), 6)
+           AS score
+  FROM doc_bigrams d
+  JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN uni u ON d.w1 = u.w
+  GROUP BY d.doc_id
+), q AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','this','that'], t)))
+                / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents) t
+), med AS (SELECT quantile_cont(quality, 0.5) AS m FROM q),
+lab AS (
+  SELECT s.score,
+         CASE WHEN q.quality > (SELECT m FROM med) THEN 1 ELSE 0 END AS label
+  FROM scored s JOIN q ON s.doc_id = q.doc_id
+), g AS (
+  SELECT score, CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS n_neg
+  FROM lab GROUP BY score
+), p AS (
+  SELECT score, n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM g
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       ROUND(SUM(CAST(2 * n_pos * neg_below + n_pos * n_neg AS HUGEINT))
+             / (2.0 * SUM(n_pos) * SUM(n_neg)), 6) AS auc
+FROM p
+"""
+
+
+def _fluency_quality_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, label) pairs shared by the AUC and calibration queries:
+    score = bigram-LM fluency, label = above-median heuristic quality.
+    Correlated-but-different signals, so the metrics are non-trivial."""
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_logprob_score_q(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("score")
+    )
+    q = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    med = q.agg(F.expr("percentile(quality, 0.5)").alias("__med"))
+    labeled = q.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        (F.col("quality") > F.col("__med")).cast("int").alias("label"),
+    )
+    return scores.join(labeled, "doc_id").select("score", "label")
+
+
+@query("fluency_quality_auc", oracle=_FLUENCY_AUC_ORACLE)
+def fluency_quality_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the bigram-LM fluency score separate above-median-quality
+    documents from the rest? Tie-aware ROC-AUC via the distributed
+    rank-free identity (operators/metrics.py): group by distinct
+    score, two-level exclusive prefix sum of negatives (the
+    global_running_offset scheme — no global sort, no corpus-sized
+    single task), exact integer numerator in decimal(38,0). The
+    oracle reproduces score, label, AND the AUC arithmetic exactly —
+    the estimate itself is hash-verified, not just row counts."""
+    from prisma_migrator_spark.operators.metrics import roc_auc
+
+    return roc_auc(_fluency_quality_labeled(spark, sf_dir))
+
+
+_FLUENCY_CALIB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT t.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(ts) AS t(t) GROUP BY 1
+), v AS (SELECT COUNT(*) AS vocab FROM uni),
+doc_bigrams AS (
+  SELECT doc_id, u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM doc_bigrams GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id,
+         ROUND(AVG(LOG10((b.c + 1.0) / (u.c + (SELECT vocab FROM v)))), 6)
+           AS score
+  FROM doc_bigrams d
+  JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN uni u ON d.w1 = u.w
+  GROUP BY d.doc_id
+), q AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','this','that'], t)))
+                / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM (SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents) t
+), med AS (SELECT quantile_cont(quality, 0.5) AS m FROM q),
+lab AS (
+  SELECT s.score,
+         CASE WHEN q.quality > (SELECT m FROM med) THEN 1 ELSE 0 END AS label
+  FROM scored s JOIN q ON s.doc_id = q.doc_id
+), rng AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM lab)
+SELECT CAST(LEAST(FLOOR((score - (SELECT lo FROM rng))
+                        / (((SELECT hi FROM rng) - (SELECT lo FROM rng)) / 10.0)),
+                  9) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+FROM lab
+GROUP BY 1
+"""
+
+
+@query("fluency_calibration_bins", oracle=_FLUENCY_CALIB_ORACLE)
+def fluency_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram companion to fluency_quality_auc: ten
+    equal-width score bins, each with its count, mean score, and
+    observed positive rate — monotone pos_rate across bins is the
+    calibration signal threshold-pickers read. One scalar range agg +
+    one (bin) HashAggregate; nothing corpus-sized leaves the map
+    side."""
+    from prisma_migrator_spark.operators.metrics import calibration_bins
+
+    return calibration_bins(_fluency_quality_labeled(spark, sf_dir), n_bins=10)

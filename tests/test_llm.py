@@ -3888,3 +3888,66 @@ def test_pca_stats_are_structurally_bounded(spark):
     x = np.array([[float(i % 3), 1.0, -2.0, float(i)] for i in range(200)])
     assert np.allclose(mean, x.mean(axis=0))
     assert np.allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-6)
+
+
+def test_roc_auc_matches_pure_python_with_ties(spark):
+    """Distributed AUC vs the O(P*N) pairwise definition (with the
+    standard 0.5 tie credit) on a constructed score set containing
+    tied scores across classes."""
+    import itertools
+
+    data = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0), (0.5, 0),
+        (0.5, 1), (0.4, 0), (0.3, 0), (0.2, 1), (0.1, 0), (0.9, 0),
+    ]
+    from prisma_migrator_spark.operators.metrics import roc_auc
+
+    df = spark.createDataFrame(
+        [Row(score=s, label=l) for s, l in data]
+    ).repartition(4)
+    got = roc_auc(df).collect()[0]
+    pos = [s for s, l in data if l == 1]
+    neg = [s for s, l in data if l == 0]
+    ref = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p, n in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert abs(got.auc - round(ref, 6)) < 1e-9  # operator rounds to 6dp
+
+
+def test_roc_auc_edges(spark):
+    """Perfect separation -> 1.0; all scores tied -> 0.5; one class
+    empty -> NULL."""
+    from prisma_migrator_spark.operators.metrics import roc_auc
+
+    perfect = spark.createDataFrame(
+        [Row(score=float(i), label=1 if i >= 50 else 0) for i in range(100)]
+    )
+    assert roc_auc(perfect).collect()[0].auc == 1.0
+    tied = spark.createDataFrame(
+        [Row(score=0.5, label=i % 2) for i in range(10)]
+    )
+    assert abs(roc_auc(tied).collect()[0].auc - 0.5) < 1e-9
+    onecls = spark.createDataFrame([Row(score=0.1, label=1)] * 5)
+    assert roc_auc(onecls).collect()[0].auc is None
+
+
+def test_calibration_bins_monotone_on_separable_scores(spark):
+    """A score that IS the latent positive probability produces bins
+    whose pos_rate tracks mean_score."""
+    from prisma_migrator_spark.operators.metrics import calibration_bins
+
+    # deterministic pseudo-probability and threshold labels
+    rows = [
+        Row(score=(i % 100) / 100.0, label=1 if (i % 100) >= 60 else 0)
+        for i in range(1000)
+    ]
+    out = calibration_bins(
+        spark.createDataFrame(rows), n_bins=10
+    ).collect()
+    by_bin = {r.bin: r for r in out}
+    assert len(by_bin) == 10 and sum(r.n for r in out) == 1000
+    assert by_bin[0].pos_rate == 0.0 and by_bin[9].pos_rate == 1.0
+    rates = [by_bin[b].pos_rate for b in sorted(by_bin)]
+    assert rates == sorted(rates)
