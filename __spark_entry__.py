@@ -32,6 +32,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (tools/drive_driver.py, full registry; --twice adds the
 # determinism double-run).
 WINDOW_R7 = [
+    # -- new in r7 (continuation session, 2026-08-16) --
+    "corpus_overlap_oph",
+    "temperature_mixture_weights",
+    "fluency_quality_auc",
+    "fluency_calibration_bins",
+    "embedding_pca2",
     # -- new in r7 --
     "video_near_dup_pairs",
     "html_link_pagerank",
@@ -80,11 +86,6 @@ WINDOW_R7 = [
     "bigram_logprob_score",
     "busy_window_events",
     "clean_corpus",
-    "corpus_recipe",
-    "cross_corpus_dedup",
-    "doc_chunks_overlap",
-    "domain_mixture_sample",
-    "embedding_near_dup",
 ]
 
 
