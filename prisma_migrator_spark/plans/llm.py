@@ -4512,3 +4512,120 @@ def fluency_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prisma_migrator_spark.operators.metrics import calibration_bins
 
     return calibration_bins(_fluency_quality_labeled(spark, sf_dir), n_bins=10)
+
+
+# --- CCNet-style per-language perplexity bucketing ---------------------
+
+_PPL_BUCKETS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT lang, t.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(ts) AS t(t) GROUP BY 1, 2
+), v AS (SELECT lang, COUNT(*) AS vocab FROM uni GROUP BY 1),
+doc_bigrams AS (
+  SELECT doc_id, lang, u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), big AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM doc_bigrams GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         ROUND(AVG(LOG10((b.c + 1.0) / (u.c + v.vocab))), 6) AS avg_logprob
+  FROM doc_bigrams d
+  JOIN big b ON d.lang = b.lang AND d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN uni u ON d.lang = u.lang AND d.w1 = u.w
+  JOIN v ON d.lang = v.lang
+  GROUP BY d.doc_id, d.lang
+), cuts AS (
+  SELECT lang,
+         quantile_cont(avg_logprob,
+             [0.3333333333333333, 0.6666666666666666]) AS ts
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_logprob,
+       CASE WHEN s.avg_logprob > ts[2] THEN 'head'
+            WHEN s.avg_logprob > ts[1] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts USING (lang)
+"""
+
+
+@query("perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing, per language
+    (Wenzek et al. 2020): train an add-one-smoothed bigram LM PER
+    LANGUAGE on the corpus itself, score each document's mean log10
+    P(w2|w1), then split each language's score distribution into
+    thirds — 'head' (most fluent third) is what CCNet keeps for LM
+    pretraining, 'tail' is the discard pile. Language-relative cuts
+    matter because absolute LM scores aren't comparable across
+    languages (vocabulary size and corpus share differ).
+
+    Plan shape: ONE tokenized scan feeds per-lang unigram/bigram
+    counts and the per-doc bigram spine (lang folds into the existing
+    group/join keys at zero extra shuffle width); the per-lang vocab
+    sizes and tertile cuts are |langs|-row aggregates broadcast back;
+    bucket assignment is map-side. At 100 TB the count tables are
+    vocabulary-sized per language (broadcast when they fit, shuffle
+    join otherwise) and the cut frame is |langs| rows — nothing
+    corpus-sized moves more than the two aggregation shuffles the
+    plain bigram score already pays. Swap `percentile` for
+    `approx_percentile` for a t-digest sketch at unbounded corpus
+    size (identical plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    spine = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "if(size(ts) < 2, "
+                "array()::array<struct<w1:string,w2:string>>, "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    uni = (
+        toks.select("lang", F.explode("ts").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    big = spine.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    vocab = uni.groupBy("lang").agg(F.count(F.lit(1)).alias("__vocab"))
+    scored = (
+        spine.join(big, ["lang", "w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log10(
+                        (F.col("bc") + F.lit(1.0))
+                        / (F.col("uc") + F.col("__vocab"))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            "percentile(avg_logprob,"
+            " array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("ts")
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.element_at("ts", 2), "head")
+        .when(F.col("avg_logprob") > F.element_at("ts", 1), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )

@@ -3951,3 +3951,61 @@ def test_calibration_bins_monotone_on_separable_scores(spark):
     assert by_bin[0].pos_rate == 0.0 and by_bin[9].pos_rate == 1.0
     rates = [by_bin[b].pos_rate for b in sorted(by_bin)]
     assert rates == sorted(rates)
+
+
+def test_perplexity_buckets_per_lang_thirds_and_garble_lands_in_tail(spark, sf_dir):
+    from prisma_migrator_spark.plans.llm import perplexity_buckets_q
+
+    out = perplexity_buckets_q(spark, sf_dir).cache()
+    # every scored doc gets exactly one bucket, all langs present
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.where(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 2
+    ).count()
+    sizes = {
+        (r["lang"], r["bucket"]): r["c"]
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    langs = {lang for lang, _ in sizes}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    # per-lang tertiles: each bucket holds roughly a third of its lang
+    totals = {lang: sum(c for (lg, _), c in sizes.items() if lg == lang)
+              for lang in langs}
+    for (lang, _), c in sizes.items():
+        assert 0.15 * totals[lang] <= c <= 0.55 * totals[lang], (lang, sizes)
+    # bucket boundaries are monotone in avg_logprob within each lang
+    bounds = {
+        (r["lang"], r["bucket"]): (r["lo"], r["hi"])
+        for r in out.groupBy("lang", "bucket")
+        .agg(F.min("avg_logprob").alias("lo"), F.max("avg_logprob").alias("hi"))
+        .collect()
+    }
+    for lang in langs:
+        assert bounds[(lang, "tail")][1] <= bounds[(lang, "middle")][0] + 1e-12
+        assert bounds[(lang, "middle")][1] <= bounds[(lang, "head")][0] + 1e-12
+    out.unpersist()
+
+
+def test_perplexity_buckets_garbled_doc_scores_below_fluent(spark, tmp_path):
+    # constructed corpus: repeated fluent bigrams vs one garbled doc of
+    # unique tokens — the LM must score the garbled doc strictly lower
+    import os
+
+    from prisma_migrator_spark.plans.llm import perplexity_buckets_q
+
+    fluent = "the cat sat on the mat " * 5
+    rows = [(i, fluent.strip(), "en", "src0", len(fluent)) for i in range(9)]
+    garbled = " ".join(f"zq{i}x" for i in range(30))
+    rows.append((9, garbled, "en", "src0", len(garbled)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in perplexity_buckets_q(spark, d).collect()}
+    assert out[9]["bucket"] == "tail"
+    fluent_scores = [out[i]["avg_logprob"] for i in range(9)]
+    assert all(out[9]["avg_logprob"] < s for s in fluent_scores)
