@@ -15,7 +15,7 @@ computed doubles, sorted arrays, explicit tiebreakers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
@@ -685,4 +685,201 @@ def supplier_price_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("regr_r2(l_extendedprice, day)"), 6).alias("r2"),
         )
         .where(F.col("n_obs") >= 30)
+    )
+
+
+# --- retrieval-quality evaluation (MRR + nDCG@10) -----------------------
+
+#: Deterministic eval query set over the fixture vocabulary — five
+#: two-term queries; relevance is derived from the documents
+#: themselves (graded rel = number of distinct query terms present,
+#: full-match = relevant for MRR), so the benchmark needs no external
+#: judgment file and both engines can restate it exactly.
+_EVAL_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["vector", "hash"]),
+    (3, ["stream", "window"]),
+    (4, ["merge", "sort"]),
+    (5, ["customer", "filter"]),
+]
+_EVAL_K = 10
+
+_EVAL_QTERMS_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS term"
+    for qid, terms in _EVAL_QUERIES
+    for t in terms
+)
+
+_BM25_EVAL_ORACLE = f"""
+WITH qterms AS ({_EVAL_QTERMS_SQL}),
+nterms AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM qterms GROUP BY query_id
+), toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   ' ')) AS term
+  FROM documents
+), tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT q.query_id, t.doc_id, t.term, COUNT(*) AS tf
+  FROM tok2 t JOIN qterms q USING (term)
+  GROUP BY q.query_id, t.doc_id, t.term
+), df AS (
+  SELECT query_id, term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf GROUP BY query_id, term
+), sc AS (
+  SELECT tf.query_id, tf.doc_id,
+         ROUND(SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN df USING (query_id, term) JOIN dl USING (doc_id)
+       CROSS JOIN stats
+  GROUP BY tf.query_id, tf.doc_id
+), rel AS (
+  SELECT query_id, doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS rel
+  FROM tf GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM sc
+), top AS (
+  SELECT r.query_id, r.rnk, rel.rel
+  FROM ranked r JOIN rel USING (query_id, doc_id)
+  WHERE r.rnk <= {_EVAL_K}
+), dcg AS (
+  SELECT query_id,
+         SUM((POWER(2.0, rel) - 1) / LOG2(rnk + 1.0)) AS dcg
+  FROM top GROUP BY query_id
+), mrr AS (
+  SELECT t.query_id, MIN(t.rnk) AS first_full
+  FROM top t JOIN nterms n USING (query_id)
+  WHERE t.rel = n.n_terms
+  GROUP BY t.query_id
+), ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS pos
+  FROM rel
+), idcg AS (
+  SELECT query_id,
+         SUM((POWER(2.0, rel) - 1) / LOG2(pos + 1.0)) AS idcg
+  FROM ideal WHERE pos <= {_EVAL_K} GROUP BY query_id
+)
+SELECT d.query_id,
+       ROUND(COALESCE(1.0 / m.first_full, 0.0), 6) AS mrr,
+       ROUND(d.dcg / i.idcg, 6) AS ndcg10
+FROM dcg d
+JOIN idcg i USING (query_id)
+LEFT JOIN mrr m USING (query_id)
+"""
+
+
+@query("bm25_eval_metrics", oracle=_BM25_EVAL_ORACLE)
+def bm25_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranker: MRR and
+    nDCG@10 per eval query — the measurement loop a retrieval-based
+    curation stage (contamination lookup, RAG data selection) runs
+    after every index or scorer change. Relevance is self-labeled
+    from term coverage (graded rel = distinct query terms present;
+    MRR counts only full matches), making the benchmark deterministic
+    and engine-restatable.
+
+    Plan shape: ONE token scan feeds doc lengths and the
+    query-postings-sized tf table (the broadcast qterms join runs
+    before any aggregate, so everything after the scan is
+    postings-sized, not corpus-sized); BM25 scores per (query, doc)
+    reuse the bm25_topk discipline (6dp round BEFORE the rank cut,
+    doc_id tiebreak); ranking windows partition BY QUERY — state is
+    one query's candidate list, never the corpus; DCG/IDCG/MRR are
+    |queries|-row aggregates. At 100 TB with Q queries the shuffled
+    mass is Σ_q postings(q), the same as Q separate searches, in one
+    plan."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _EVAL_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    nterms = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in _EVAL_QUERIES],
+        "query_id int, n_terms long",
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_norm = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (F.col("tf")
+           + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    sc = (
+        tf.join(F.broadcast(df), ["query_id", "term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+    )
+    rel = tf.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("term").alias("rel")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    top = (
+        sc.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= _EVAL_K)
+        .join(rel, ["query_id", "doc_id"])
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = top.groupBy("query_id").agg(
+        F.sum(gain / F.log2(F.col("rnk") + 1.0)).alias("dcg")
+    )
+    mrr = (
+        top.join(F.broadcast(nterms), "query_id")
+        .where(F.col("rel") == F.col("n_terms"))
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_full"))
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    idcg = (
+        rel.withColumn("pos", F.row_number().over(w_ideal))
+        .where(F.col("pos") <= _EVAL_K)
+        .groupBy("query_id")
+        .agg(F.sum(gain / F.log2(F.col("pos") + 1.0)).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(mrr, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(1.0 / F.col("first_full"), F.lit(0.0)), 6)
+            .alias("mrr"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
+        )
     )

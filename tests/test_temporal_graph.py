@@ -616,3 +616,79 @@ def test_label_propagation_converged_reaches_fixed_point(spark):
     )
     _, r2 = label_propagation_converged(cyc, max_iter=6)
     assert r2 == 6
+
+
+def test_bm25_eval_metrics_match_pure_python_reference(spark, tmp_path):
+    """MRR and nDCG@10 on a constructed corpus must match an
+    independent pure-Python implementation of the whole metric
+    pipeline (BM25 ranking, graded term-coverage relevance, DCG/IDCG,
+    full-match reciprocal rank)."""
+    import math
+
+    from prisma_migrator_spark.plans.profiling import (
+        _EVAL_K,
+        _EVAL_QUERIES,
+        bm25_eval_metrics_q,
+    )
+
+    corpus = {
+        1: "spark join spark join",
+        2: "spark spark spark",
+        3: "join vector hash",
+        4: "stream window stream",
+        5: "merge merge",
+        6: "customer filter customer filter",
+        7: "sort sort merge",
+        8: "the a an stream",
+    }
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    expected = {}
+    for qid, terms in _EVAL_QUERIES:
+        df = {q: sum(q in t for t in toks.values()) for q in terms}
+        scored = {}
+        rel = {}
+        for d, t in toks.items():
+            s = 0.0
+            r = 0
+            for q in terms:
+                tf = t.count(q)
+                if not tf:
+                    continue
+                r += 1
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1)
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl))
+            if r:
+                scored[d] = round(s, 6)
+                rel[d] = r
+        if not scored:
+            continue
+        ranked = sorted(scored, key=lambda d: (-scored[d], d))[:_EVAL_K]
+        dcg = sum((2.0 ** rel[d] - 1) / math.log2(i + 2)
+                  for i, d in enumerate(ranked))
+        ideal = sorted(rel, key=lambda d: (-rel[d], d))[:_EVAL_K]
+        idcg = sum((2.0 ** rel[d] - 1) / math.log2(i + 2)
+                   for i, d in enumerate(ideal))
+        full = [i + 1 for i, d in enumerate(ranked) if rel[d] == len(terms)]
+        expected[qid] = (
+            round(1.0 / full[0], 6) if full else 0.0,
+            round(dcg / idcg, 6),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in corpus.items()]
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {r.query_id: (r.mrr, r.ndcg10)
+           for r in bm25_eval_metrics_q(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for qid in expected:
+        assert got[qid] == pytest.approx(expected[qid], abs=1e-6), qid
+    # the full-match doc for q1 ("spark join") tops its ranking: mrr=1
+    assert got[1][0] == pytest.approx(1.0)
