@@ -4629,3 +4629,87 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(cuts), "lang").select(
         "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
     )
+
+
+# --- lexical diversity (distinct-n) per source --------------------------
+
+_LEXDIV_ORACLE = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), uni AS (
+  SELECT source, t.t AS w FROM toks, UNNEST(ts) AS t(t)
+), big AS (
+  SELECT source, u.b AS bg
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS u(b)
+), u2 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_unigrams
+  FROM uni GROUP BY source
+), b2 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT bg) AS BIGINT) AS distinct_bigrams
+  FROM big GROUP BY source
+)
+SELECT u2.source, n_tokens, distinct_unigrams,
+       ROUND(distinct_unigrams / CAST(n_tokens AS DOUBLE), 6) AS distinct_1,
+       n_bigrams, distinct_bigrams,
+       ROUND(distinct_bigrams / CAST(n_bigrams AS DOUBLE), 6) AS distinct_2
+FROM u2 JOIN b2 USING (source)
+"""
+
+
+@query("lexical_diversity", oracle=_LEXDIV_ORACLE)
+def lexical_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (Li et al. 2016's
+    distinct-1/distinct-2, corpus-level): the type/token ratio over
+    unigrams and bigrams — the standard screen for template farms and
+    low-diversity synthetic sources before they enter a training mix
+    (a source whose distinct-2 collapses is repeating itself no
+    matter how many bytes it contributes).
+
+    Plan shape: one tokenized scan explodes unigrams and one explodes
+    bigram strings (map-side transform, no self-join); each feeds a
+    (source)-keyed aggregate whose count_distinct expands to
+    (source, gram) partial dedup before the final |sources|-row
+    frame. At 100 TB the exact count_distinct's expansion is the
+    dominant shuffle — swap both for approx_count_distinct(rsd=0.01)
+    (HLL++ sketches, mergeable, fixed memory) for an identical plan
+    shape with bounded state; the exact form stays the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    uni = toks.select("source", F.explode("ts").alias("w"))
+    big = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "if(size(ts) < 2, array()::array<string>, "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"
+            )
+        ).alias("bg"),
+    )
+    u2 = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("distinct_unigrams"),
+    )
+    b2 = big.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("bg").alias("distinct_bigrams"),
+    )
+    return u2.join(b2, "source").select(
+        "source",
+        "n_tokens",
+        "distinct_unigrams",
+        F.round(
+            F.col("distinct_unigrams") / F.col("n_tokens").cast("double"), 6
+        ).alias("distinct_1"),
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round(
+            F.col("distinct_bigrams") / F.col("n_bigrams").cast("double"), 6
+        ).alias("distinct_2"),
+    )

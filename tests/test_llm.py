@@ -4009,3 +4009,33 @@ def test_perplexity_buckets_garbled_doc_scores_below_fluent(spark, tmp_path):
     assert out[9]["bucket"] == "tail"
     fluent_scores = [out[i]["avg_logprob"] for i in range(9)]
     assert all(out[9]["avg_logprob"] < s for s in fluent_scores)
+
+
+def test_lexical_diversity_flags_template_source(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import lexical_diversity_q
+
+    # srcA: the same sentence over and over (template farm);
+    # srcB: all-unique tokens (maximal diversity)
+    rows = []
+    for i in range(5):
+        rows.append((i, "buy cheap widgets online now", "en", "srcA", 30))
+    for i in range(5, 10):
+        t = " ".join(f"w{i}_{j}" for j in range(5))
+        rows.append((i, t, "en", "srcB", len(t)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in lexical_diversity_q(spark, d).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert a["n_tokens"] == b["n_tokens"] == 25
+    assert a["distinct_unigrams"] == 5 and b["distinct_unigrams"] == 25
+    assert a["distinct_1"] == pytest.approx(0.2)
+    assert b["distinct_1"] == pytest.approx(1.0)
+    # bigrams collapse even harder for the template source
+    assert a["distinct_2"] == pytest.approx(4 / 20)
+    assert b["distinct_2"] == pytest.approx(1.0)
