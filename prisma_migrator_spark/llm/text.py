@@ -411,3 +411,41 @@ def redact_cc(text: Column) -> Column:
         text,
         lambda acc, c: F.replace(acc, c, F.lit("[CC]")),
     )
+
+
+def zlib_ratio_df(df: DataFrame, text_col: str = "text",
+                  level: int = 6) -> DataFrame:
+    """Append ``n_bytes`` and ``zlib_ratio`` (deflate-compressed size /
+    raw UTF-8 size) — the compressibility quality signal web-scale
+    pipelines use to drop machine-generated and template text (highly
+    repetitive pages compress far below prose; see the Gopher /
+    RefinedWeb repetition filters). zlib level is pinned so the ratio
+    is deterministic across runs and machines.
+
+    This is the one text signal that genuinely needs Python (no JVM
+    deflate exposed as a SQL function), so it runs as an Arrow-batched
+    pandas UDF — each batch crosses the language boundary once; the
+    stage stays embarrassingly parallel, zero shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type hints: ``pd`` is function-local (see multimodal.py note)
+    @pandas_udf("struct<n_bytes: long, zlib_ratio: double>",
+                PandasUDFType.SCALAR)
+    def _ratio(texts):
+        import zlib
+
+        def one(s):
+            if s is None:
+                return (None, None)
+            raw = s.encode("utf-8")
+            if not raw:
+                return (0, None)
+            return (len(raw),
+                    round(len(zlib.compress(raw, level)) / len(raw), 6))
+
+        vals = [one(s) for s in texts]
+        return pd.DataFrame(vals, columns=["n_bytes", "zlib_ratio"])
+
+    out = df.withColumn("__z", _ratio(F.col(text_col)))
+    return out.select(*df.columns, "__z.n_bytes", "__z.zlib_ratio").drop("__z")

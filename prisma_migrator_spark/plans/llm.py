@@ -4713,3 +4713,43 @@ def lexical_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_bigrams") / F.col("n_bigrams").cast("double"), 6
         ).alias("distinct_2"),
     )
+
+
+# --- compressibility quality signal (rows-only: zlib has no SQL dual) ---
+
+
+@query("compression_ratio_quality")  # rows-only: DuckDB has no deflate;
+# pytest pins the ratio against direct zlib and the repetitive<prose
+# ordering on constructed docs
+def compression_ratio_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio with a corpus-relative
+    low-complexity flag: docs whose deflate ratio lands in the bottom
+    5% of the corpus are boilerplate/template suspects (repetitive
+    text compresses dramatically better than prose — the signal the
+    Gopher and RefinedWeb repetition filters approximate with n-gram
+    fractions, here measured directly).
+
+    Plan shape: one Arrow-batched pandas-UDF map pass (the sanctioned
+    Python shape — zlib per batch, zero shuffle), then a 1-row exact
+    percentile aggregate broadcast back for the flag (the
+    quality_gate_p10 pattern; approx_percentile at unbounded scale).
+    """
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import zlib_ratio_df
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = zlib_ratio_df(docs.select("doc_id", "text")).where(
+        F.col("zlib_ratio").isNotNull()
+    )
+    thr = scored.agg(
+        F.expr("percentile(zlib_ratio, 0.05)").alias("__thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bytes",
+            "zlib_ratio",
+            (F.col("zlib_ratio") < F.col("__thr")).alias("is_low_complexity"),
+        )
+    )

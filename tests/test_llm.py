@@ -4039,3 +4039,39 @@ def test_lexical_diversity_flags_template_source(spark, tmp_path):
     # bigrams collapse even harder for the template source
     assert a["distinct_2"] == pytest.approx(4 / 20)
     assert b["distinct_2"] == pytest.approx(1.0)
+
+
+def test_zlib_ratio_matches_direct_zlib_and_orders_repetitive_below_prose(
+    spark, tmp_path
+):
+    import os
+    import zlib
+
+    from prisma_migrator_spark.plans.llm import compression_ratio_quality_q
+
+    repetitive = "buy now " * 50
+    prose = ("the quick brown fox jumps over the lazy dog while seventeen "
+             "astronomers catalogued unusual quasar spectra last autumn")
+    rows = [(0, repetitive, "en", "s", len(repetitive)),
+            (1, prose, "en", "s", len(prose))]
+    # pad the corpus so the p5 threshold isolates the repetitive doc
+    for i in range(2, 22):
+        t = " ".join(f"tok{i}_{j}" for j in range(20))
+        rows.append((i, t, "en", "s", len(t)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           compression_ratio_quality_q(spark, d).collect()}
+    # exact parity with direct zlib at the pinned level
+    for i, t, *_ in rows:
+        raw = t.encode("utf-8")
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["zlib_ratio"] == pytest.approx(
+            round(len(zlib.compress(raw, 6)) / len(raw), 6), abs=1e-9)
+    assert out[0]["zlib_ratio"] < out[1]["zlib_ratio"]
+    assert out[0]["is_low_complexity"] is True
+    assert out[1]["is_low_complexity"] is False
