@@ -4753,3 +4753,111 @@ def compression_ratio_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("zlib_ratio") < F.col("__thr")).alias("is_low_complexity"),
         )
     )
+
+
+# --- ensemble quality score (heuristic + entropy + LM fluency) ----------
+
+_ENSEMBLE_ORACLE = rf"""{_QUALITY_CTE},
+chars AS (
+  SELECT doc_id, u.c AS c
+  FROM (SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) > 0),
+       UNNEST(list_transform(range(1, length(s) + 1), i -> s[i])) AS u(c)
+), hist AS (
+  SELECT doc_id, c, COUNT(*)::DOUBLE AS n FROM chars GROUP BY 1, 2
+), ctot AS (
+  SELECT doc_id, SUM(n) AS tot FROM hist GROUP BY 1
+), ent AS (
+  SELECT h.doc_id, ROUND(-SUM((n / tot) * LOG2(n / tot)), 6) AS entropy_bits
+  FROM hist h JOIN ctot USING (doc_id) GROUP BY h.doc_id
+), toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'), ' '))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+), ttot AS (SELECT SUM(n) AS t FROM tf),
+lm AS (
+  SELECT doc_id, ROUND(AVG(LN(n / CAST(t AS DOUBLE))), 6) AS avg_logprob
+  FROM toks JOIN tf USING (term), ttot GROUP BY doc_id
+), j AS (
+  SELECT q.doc_id, q.quality, e.entropy_bits, lm.avg_logprob
+  FROM q JOIN ent e USING (doc_id) JOIN lm USING (doc_id)
+), st AS (
+  SELECT MIN(quality) AS qlo, MAX(quality) AS qhi,
+         MIN(entropy_bits) AS elo, MAX(entropy_bits) AS ehi,
+         MIN(avg_logprob) AS llo, MAX(avg_logprob) AS lhi
+  FROM j
+)
+SELECT doc_id,
+       ROUND(((quality - qlo) / (qhi - qlo)
+            + (entropy_bits - elo) / (ehi - elo)
+            + (avg_logprob - llo) / (lhi - llo)) / 3.0, 6) AS ensemble
+FROM j, st
+"""
+
+
+@query("quality_ensemble_score", oracle=_ENSEMBLE_ORACLE)
+def quality_ensemble_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused quality score: the heuristic gate signal, character
+    entropy, and unigram-LM fluency min-max-normalized onto [0, 1]
+    and averaged — the signal-fusion step real curation pipelines run
+    so no single detector's blind spot (entropy misses fluent spam,
+    the LM misses rare-but-real jargon, the heuristic misses
+    repetition) decides a document's fate alone. Min-max over
+    6dp-rounded signals (not z-scores) keeps the arithmetic
+    bit-identical across engines: min/max of identical inputs are
+    exact where mean/stddev accumulate in engine-specific order.
+
+    Plan shape: the two map-side signals (heuristic, entropy) are
+    free columns on the corpus scan; the LM signal pays the two
+    vocabulary aggregates it always pays; the normalization stats are
+    ONE 1-row aggregate broadcast back; fusion is map-side. Adding a
+    fourth signal costs its own plan plus one join — the fusion
+    itself never grows a shuffle."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import (
+        char_entropy,
+        normalized_text,
+        quality_score,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.round(char_entropy(F.col("text")), 6).alias("entropy_bits"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n").alias("t"))
+    lm = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("n") / F.col("t").cast("double"))), 6
+            ).alias("avg_logprob")
+        )
+    )
+    j = base.join(lm, "doc_id")
+    st = j.agg(
+        F.min("quality").alias("qlo"), F.max("quality").alias("qhi"),
+        F.min("entropy_bits").alias("elo"), F.max("entropy_bits").alias("ehi"),
+        F.min("avg_logprob").alias("llo"), F.max("avg_logprob").alias("lhi"),
+    )
+    ensemble = (
+        (F.col("quality") - F.col("qlo")) / (F.col("qhi") - F.col("qlo"))
+        + (F.col("entropy_bits") - F.col("elo"))
+          / (F.col("ehi") - F.col("elo"))
+        + (F.col("avg_logprob") - F.col("llo"))
+          / (F.col("lhi") - F.col("llo"))
+    ) / 3.0
+    return j.crossJoin(F.broadcast(st)).select(
+        "doc_id", F.round(ensemble, 6).alias("ensemble")
+    )

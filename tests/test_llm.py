@@ -4075,3 +4075,17 @@ def test_zlib_ratio_matches_direct_zlib_and_orders_repetitive_below_prose(
     assert out[0]["zlib_ratio"] < out[1]["zlib_ratio"]
     assert out[0]["is_low_complexity"] is True
     assert out[1]["is_low_complexity"] is False
+
+
+def test_quality_ensemble_bounds_and_component_agreement(spark, sf_dir):
+    from prisma_migrator_spark.plans.llm import quality_ensemble_score_q
+
+    out = quality_ensemble_score_q(spark, sf_dir).cache()
+    n = out.count()
+    assert n > 0
+    stats = out.agg(F.min("ensemble").alias("lo"),
+                    F.max("ensemble").alias("hi")).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+    # one doc_id per row (fusion never duplicates)
+    assert out.select("doc_id").distinct().count() == n
+    out.unpersist()
