@@ -4861,3 +4861,86 @@ def quality_ensemble_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.crossJoin(F.broadcast(st)).select(
         "doc_id", F.round(ensemble, 6).alias("ensemble")
     )
+
+
+# --- corpus map: k-means clusters labeled by their TF-IDF terms ---------
+
+
+@query("corpus_clusters_labeled")  # rows-only: distributed k-means is
+# iterative (not SQL-expressible); pytest pins cluster separation and
+# label recovery on planted clusters
+def corpus_clusters_labeled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus map: cluster the embedding space with deterministic
+    distributed k-means, then label each cluster with the terms that
+    distinguish its member documents (cluster-level TF-IDF) — the
+    operator behind embedding-atlas corpus exploration and
+    cluster-based curation (inspect a cluster's label, keep or drop
+    the whole cluster).
+
+    Plan shape: codebook training is the audited IVF k-means (md5-
+    seeded, one HashAggregate per refinement; only C·dim doubles ever
+    reach the driver); assignment is a map-only argmax against the
+    literal codebook; member texts join their cluster id on the
+    embedding id (doc-keyed equi join); labeling is one
+    (cluster, term) aggregate + a per-cluster top-k window whose
+    partitions are cluster-vocabulary-sized. Nothing here scales
+    worse than the token explode every text query already pays."""
+    from prisma_migrator_spark.llm.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    n_clusters, top_k = 8, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = train_ivf_centroids(emb, n_centroids=n_clusters, iters=2)
+    assigned = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .join(assigned, "doc_id")
+    )
+    ct = terms.groupBy("cluster_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    df_ = ct.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = ct.join(F.broadcast(df_), "term").select(
+        "cluster_id",
+        "term",
+        F.round(
+            F.col("cnt") * F.log(F.lit(float(n_clusters)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    labels = (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= top_k)
+        .groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "term"))
+            ).alias("__ps")
+        )
+        .select(
+            "cluster_id",
+            F.transform("__ps", lambda s: s["term"]).alias("top_terms"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.join(labels, "cluster_id", "left").select(
+        "cluster_id", "n_members", "top_terms"
+    )

@@ -4089,3 +4089,46 @@ def test_quality_ensemble_bounds_and_component_agreement(spark, sf_dir):
     # one doc_id per row (fusion never duplicates)
     assert out.select("doc_id").distinct().count() == n
     out.unpersist()
+
+
+def test_corpus_clusters_recover_planted_clusters_and_labels(spark, tmp_path):
+    """Two well-separated embedding clusters whose docs use disjoint
+    vocabularies: the corpus map must put each group in one cluster
+    and label it with that group's vocabulary."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import corpus_clusters_labeled_q
+
+    dim = 8
+    rows_e, rows_d = [], []
+    for i in range(12):
+        hot = 0 if i < 6 else 4
+        vec = [0.05 * ((i * 7 + d) % 3) for d in range(dim)]
+        vec[hot] = 5.0
+        vec[hot + 1] = 3.0
+        rows_e.append((i, [float(x) for x in vec], hot))
+        words = ("alpha beta gamma" if i < 6 else "delta epsilon zeta")
+        rows_d.append((i, (words + " ") * 4, "en", "s", 40))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows_e, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        rows_d, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = corpus_clusters_labeled_q(spark, d).collect()
+    # nonempty clusters cover all 12 docs
+    assert sum(r["n_members"] for r in out) == 12
+    big = [r for r in out if r["n_members"] > 0 and r["top_terms"]]
+    # the two planted groups never share a cluster: no cluster's label
+    # set mixes the two vocabularies
+    va, vb = {"alpha", "beta", "gamma"}, {"delta", "epsilon", "zeta"}
+    seen_a = seen_b = False
+    for r in big:
+        terms = set(r["top_terms"])
+        assert not (terms & va and terms & vb), out
+        seen_a = seen_a or bool(terms & va)
+        seen_b = seen_b or bool(terms & vb)
+    assert seen_a and seen_b, out
