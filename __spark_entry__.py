@@ -32,6 +32,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (tools/drive_driver.py, full registry; --twice adds the
 # determinism double-run).
 WINDOW_R7 = [
+    # -- new in r7 (third session, 2026-08-16) --
+    "perplexity_buckets",
+    "bm25_eval_metrics",
+    "lexical_diversity",
+    "quality_ensemble_score",
+    "compression_ratio_quality",
+    "corpus_clusters_labeled",
     # -- new in r7 (continuation session, 2026-08-16) --
     "corpus_overlap_oph",
     "temperature_mixture_weights",

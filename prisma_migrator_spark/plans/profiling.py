@@ -849,11 +849,12 @@ def bm25_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id")
     )
-    top = (
+    # the ranked cut is ≤ Q·k rows — broadcast IT against the
+    # postings-sized rel table, never shuffle rel to meet it
+    top = F.broadcast(
         sc.withColumn("rnk", F.row_number().over(w_rank))
         .where(F.col("rnk") <= _EVAL_K)
-        .join(rel, ["query_id", "doc_id"])
-    )
+    ).join(rel, ["query_id", "doc_id"])
     gain = F.pow(F.lit(2.0), F.col("rel")) - 1
     dcg = top.groupBy("query_id").agg(
         F.sum(gain / F.log2(F.col("rnk") + 1.0)).alias("dcg")
@@ -873,9 +874,10 @@ def bm25_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.sum(gain / F.log2(F.col("pos") + 1.0)).alias("idcg"))
     )
+    # dcg/idcg/mrr are |queries|-row frames: broadcast the tails
     return (
-        dcg.join(idcg, "query_id")
-        .join(mrr, "query_id", "left")
+        dcg.join(F.broadcast(idcg), "query_id")
+        .join(F.broadcast(mrr), "query_id", "left")
         .select(
             "query_id",
             F.round(F.coalesce(1.0 / F.col("first_full"), F.lit(0.0)), 6)
