@@ -449,3 +449,58 @@ def zlib_ratio_df(df: DataFrame, text_col: str = "text",
 
     out = df.withColumn("__z", _ratio(F.col(text_col)))
     return out.select(*df.columns, "__z.n_bytes", "__z.zlib_ratio").drop("__z")
+
+
+def hashed_doc_vector_arrays(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Dense-array form of the feature-hashed BoW vectors (see
+    ``plans/llm.hashed_doc_vectors_q`` for the hashing-trick design
+    and the oracle-gated sparse form): returns ``(id_col, embedding:
+    array<double>)``, L2-normalized, ready for the ANN / near-dup /
+    k-means stack. Assembly is one (id, dim) aggregate followed by a
+    map-side map_from_entries + transform — no per-dim join."""
+    toks = (
+        df.where(F.length(F.trim(text_col)) > 0)
+        .select(
+            id_col,
+            F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dim_col = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("term"))), 1, 15),
+               16, 10).cast("long") % dim
+    ).cast("int")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("term"))), 1, 15),
+               16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    summed = (
+        tf.select(id_col, dim_col.alias("dim"), (sgn * F.col("tf")).alias("sv"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("sv").alias("v"))
+    )
+    assembled = summed.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim", "v"))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return assembled.select(
+        id_col,
+        F.transform(dense, lambda x: x / norm).alias("embedding"),
+    )

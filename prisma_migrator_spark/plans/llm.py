@@ -4944,3 +4944,94 @@ def corpus_clusters_labeled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(labels, "cluster_id", "left").select(
         "cluster_id", "n_members", "top_terms"
     )
+
+
+# --- feature-hashed document vectors (the hashing trick) -----------------
+
+_HASHED_BOW_DIM = 64
+
+_HASHED_BOW_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), hashed AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('fh:' || term), 1, 15)) AS BIGINT)
+              % {_HASHED_BOW_DIM} AS INT) AS dim,
+         CASE WHEN CAST(('0x' || substr(md5('fhs:' || term), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn,
+         tf
+  FROM tf
+), summed AS (
+  SELECT doc_id, dim, SUM(sgn * tf) AS v
+  FROM hashed GROUP BY doc_id, dim
+), norms AS (
+  SELECT doc_id, SQRT(SUM(v * v)) AS nrm FROM summed GROUP BY doc_id
+)
+SELECT s.doc_id, s.dim, ROUND(s.v / n.nrm, 6) AS weight
+FROM summed s JOIN norms n USING (doc_id)
+WHERE s.v <> 0
+"""
+
+
+@query("hashed_doc_vectors", oracle=_HASHED_BOW_ORACLE)
+def hashed_doc_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors (the hashing
+    trick, Weinberger et al. 2009): every term maps to one of D=64
+    dimensions by md5, with an md5-derived ±1 sign so colliding terms
+    cancel in expectation rather than bias upward; per-doc vectors
+    are L2-normalized. This is the model-free featurization bridge —
+    it turns raw text into vectors the existing ANN / embedding
+    near-dup / k-means stack can consume with no external encoder,
+    and its fixed D means vocabulary growth never changes the schema.
+
+    Output is the sparse (doc_id, dim, weight) form — exploded rows,
+    not arrays — so the oracle restates it exactly and downstream
+    joins can stay dim-keyed. `hashed_doc_vector_arrays` (library
+    form, llm/text.py) assembles the dense array for the vector
+    stack.
+
+    Plan shape: one token scan → (doc, term) tf aggregate → md5 dim
+    map-side → (doc, dim) aggregate (≤ D rows per doc) → norm join
+    back. All keys are doc-prefixed, so every shuffle is
+    co-partitioned on doc_id after the tf aggregate; at 100 TB the
+    output is ≤ D rows per document regardless of vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dim = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("term"))), 1, 15),
+               16, 10).cast("long") % _HASHED_BOW_DIM
+    ).cast("int")
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("term"))), 1, 15),
+               16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    summed = (
+        tf.select("doc_id", dim.alias("dim"), (sgn * F.col("tf")).alias("sv"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sv").alias("v"))
+        .where(F.col("v") != 0)
+    )
+    norms = summed.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    return summed.join(norms, "doc_id").select(
+        "doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("weight")
+    )

@@ -4132,3 +4132,46 @@ def test_corpus_clusters_recover_planted_clusters_and_labels(spark, tmp_path):
         seen_a = seen_a or bool(terms & va)
         seen_b = seen_b or bool(terms & vb)
     assert seen_a and seen_b, out
+
+
+def test_hashed_doc_vectors_array_form_matches_sparse_and_separates_topics(
+    spark, tmp_path
+):
+    import math
+    import os
+
+    from prisma_migrator_spark.llm.text import hashed_doc_vector_arrays
+    from prisma_migrator_spark.plans.llm import hashed_doc_vectors_q
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "football goal striker penalty keeper " * 3,
+                     "en", "s", 40))
+    for i in range(6, 12):
+        rows.append((i, "interest bond yield inflation market " * 3,
+                     "en", "s", 40))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{d}/documents.parquet")
+
+    sparse = {(r["doc_id"], r["dim"]): r["weight"]
+              for r in hashed_doc_vectors_q(spark, d).collect()}
+    dense = {r["doc_id"]: list(r["embedding"])
+             for r in hashed_doc_vector_arrays(df).collect()}
+    # array form agrees with the oracle-gated sparse form
+    for (doc, dim), w in sparse.items():
+        assert dense[doc][dim] == pytest.approx(w, abs=1e-6)
+    for doc, vec in dense.items():
+        assert sum(x * x for x in vec) == pytest.approx(1.0, abs=1e-9)
+        for dim, x in enumerate(vec):
+            if abs(x) > 1e-12:
+                assert (doc, dim) in sparse
+    # same-topic cosine is ~1, cross-topic is lower (vectors are unit)
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    assert cos(dense[0], dense[1]) == pytest.approx(1.0, abs=1e-9)
+    assert cos(dense[6], dense[7]) == pytest.approx(1.0, abs=1e-9)
+    assert cos(dense[0], dense[6]) < 0.8
