@@ -5035,3 +5035,92 @@ def hashed_doc_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summed.join(norms, "doc_id").select(
         "doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("weight")
     )
+
+
+# --- dataset card: per-source corpus summary -----------------------------
+
+_DATASET_CARD_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS w,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         text
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(LEN(w) / 100.0, 1.0)
+             + 0.4 * (LEN(LIST_FILTER(w, t -> LIST_CONTAINS(
+                  ['the','a','an','and','or','of','to','in','is','it',
+                   'for','on','with','as','at','by','this','that'], t)))
+                / GREATEST(CAST(LEN(w) AS DOUBLE), 1.0))
+             + 0.1 * (CASE WHEN LEN(regexp_extract_all(text, '[.,;:!?]')) > 0
+                           THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM base
+), grp AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM base GROUP BY fp
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(w)) AS BIGINT) AS n_tokens,
+       ROUND(quantile_cont(LEN(w), 0.5), 6) AS p50_tokens,
+       ROUND(AVG(q.quality), 6) AS mean_quality,
+       ROUND(AVG(CASE WHEN b.doc_id <> g.keeper THEN 1.0 ELSE 0.0 END), 6)
+         AS dup_rate,
+       CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs
+FROM base b
+JOIN q USING (doc_id)
+JOIN grp g ON b.fp = g.fp
+GROUP BY b.source
+"""
+
+
+@query("dataset_card_report", oracle=_DATASET_CARD_ORACLE)
+def dataset_card_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary a curation pipeline publishes per
+    source: document and token counts, median document length, mean
+    heuristic quality, exact-duplicate rate (share of docs that are
+    not the canonical copy of their normalized-content fingerprint
+    group), and language spread — the one-glance table that decides
+    which sources earn a bigger mixture weight and which need a dedup
+    or quality pass before inclusion.
+
+    Plan shape: one corpus scan computes tokens/fingerprint/quality
+    map-side; duplicate attribution is a fingerprint-keyed aggregate
+    joined back on the fingerprint (co-partitioned); everything else
+    folds into ONE |sources|-row aggregate. The exact median uses the
+    same percentile aggregate the deciles family accepts —
+    approx_percentile is the unbounded-scale swap."""
+    from prisma_migrator_spark.llm.text import (
+        content_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_toks"),
+        content_fingerprint(F.col("text")).alias("fp"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    grp = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    return (
+        base.join(grp, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(
+                F.avg(
+                    F.when(F.col("doc_id") != F.col("keeper"), 1.0)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("dup_rate"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )

@@ -4175,3 +4175,29 @@ def test_hashed_doc_vectors_array_form_matches_sparse_and_separates_topics(
     assert cos(dense[0], dense[1]) == pytest.approx(1.0, abs=1e-9)
     assert cos(dense[6], dense[7]) == pytest.approx(1.0, abs=1e-9)
     assert cos(dense[0], dense[6]) < 0.8
+
+
+def test_dataset_card_report_counts_and_dup_rate(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import dataset_card_report_q
+
+    rows = [
+        (0, "alpha beta gamma", "en", "sA", 17),
+        (1, "alpha beta gamma", "en", "sA", 17),   # exact dup of 0
+        (2, "ALPHA  beta GAMMA", "de", "sA", 17),  # normalized dup of 0
+        (3, "unique text here", "en", "sA", 16),
+        (4, "other source text", "fr", "sB", 17),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["source"]: r for r in dataset_card_report_q(spark, d).collect()}
+    a = out["sA"]
+    assert a["n_docs"] == 4 and a["n_tokens"] == 12
+    assert a["dup_rate"] == pytest.approx(0.5)  # docs 1 and 2 of 4
+    assert a["n_langs"] == 2
+    assert out["sB"]["dup_rate"] == pytest.approx(0.0)
+    assert out["sB"]["p50_tokens"] == pytest.approx(3.0)
