@@ -5124,3 +5124,81 @@ def dataset_card_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+# --- language verification (labeled vs detected) -------------------------
+
+_LANG_VERIFY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, lang, LEN(w) AS n_tokens,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['the','and','of','to','is'], t))) AS c_en,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['der','die','und','das','ist'], t))) AS c_de,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['el','la','los','que','es'], t))) AS c_es,
+         LEN(LIST_FILTER(w, t -> LIST_CONTAINS(['le','les','des','est','une'], t))) AS c_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(c_en, c_de, c_es, c_fr) < 1 THEN 'und'
+            WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr) THEN 'en'
+            WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr) THEN 'de'
+            WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       ROUND(CASE lang
+               WHEN 'en' THEN c_en WHEN 'de' THEN c_de
+               WHEN 'es' THEN c_es WHEN 'fr' THEN c_fr
+             END / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 6)
+         AS marker_ratio,
+       (CASE WHEN GREATEST(c_en, c_de, c_es, c_fr) < 1 THEN 'und'
+             WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr) THEN 'en'
+             WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr) THEN 'de'
+             WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr) THEN 'es'
+             ELSE 'fr' END) = lang AS lang_match
+FROM base
+"""
+
+
+@query("lang_verification", oracle=_LANG_VERIFY_ORACLE)
+def lang_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language verification: re-detect each document's language from
+    its own text (the stopword-marker argmax detector) and compare it
+    to the table's ``lang`` label — the mislabel screen multilingual
+    pipelines run before per-language routing, because an upstream
+    label error sends a document through the wrong tokenizer, LM, and
+    quality cuts. ``marker_ratio`` is the evidence strength for the
+    LABELED language (NULL where no marker list exists, e.g. zh —
+    honest 'cannot verify' rather than a fake 0).
+
+    Zero-shuffle map pass: the marker counts are array filters inside
+    whole-stage codegen; at 100 TB this is a free column on the scan,
+    like the rest of the text-signal family."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import (
+        LANG_MARKERS,
+        lang_id,
+        marker_count,
+        token_count,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    ratio = None
+    for lg, markers in LANG_MARKERS.items():
+        branch = marker_count(t, markers) / F.greatest(
+            token_count(t).cast("double"), F.lit(1.0)
+        )
+        ratio = (
+            F.when(F.col("lang") == lg, branch)
+            if ratio is None
+            else ratio.when(F.col("lang") == lg, branch)
+        )
+    pred = lang_id(t)
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        F.round(ratio, 6).alias("marker_ratio"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )

@@ -4201,3 +4201,29 @@ def test_dataset_card_report_counts_and_dup_rate(spark, tmp_path):
     assert a["n_langs"] == 2
     assert out["sB"]["dup_rate"] == pytest.approx(0.0)
     assert out["sB"]["p50_tokens"] == pytest.approx(3.0)
+
+
+def test_lang_verification_flags_mislabels_and_nulls_unverifiable(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import lang_verification_q
+
+    rows = [
+        (0, "the cat and the dog is of no use to anyone", "en", "s", 40),
+        (1, "der hund und die katze das ist gut", "en", "s", 35),  # mislabeled de
+        (2, "el perro y la casa que es los gatos", "es", "s", 35),
+        (3, "什么 都 没有", "zh", "s", 10),  # no marker list: unverifiable
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in lang_verification_q(spark, d).collect()}
+    assert out[0]["lang_match"] is True and out[0]["lang_pred"] == "en"
+    assert out[1]["lang_match"] is False and out[1]["lang_pred"] == "de"
+    assert out[2]["lang_match"] is True
+    assert out[3]["marker_ratio"] is None
+    assert out[3]["lang_pred"] == "und"
+    # markers in doc 0: the×2, and, is, of, to = 6 of 11 tokens
+    assert out[0]["marker_ratio"] == pytest.approx(6 / 11, abs=1e-6)
