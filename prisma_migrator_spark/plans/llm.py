@@ -5202,3 +5202,69 @@ def lang_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("marker_ratio"),
         (pred == F.col("lang")).alias("lang_match"),
     )
+
+
+# --- BPE tokenizer fertility per language --------------------------------
+
+
+@query("bpe_fertility_by_lang")  # rows-only: BPE training is iterative
+# (not SQL-expressible); pytest pins fertility bounds and monotonicity
+# under more merges
+def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality evaluation: train the distributed BPE
+    tokenizer on the whole corpus, then measure its FERTILITY
+    (subword tokens per whitespace word) and compression (characters
+    per subword token) per language — the metric multilingual
+    tokenizer work reports, because a tokenizer trained on a skewed
+    mixture over-fragments the under-represented languages (high
+    fertility = more sequence positions per word = that language pays
+    more compute per sentence).
+
+    Plan shape: training is the audited fastBPE trainer (vocabulary-
+    sized pair counts per merge, 1-row TakeOrdered each); the learned
+    rule list is a driver-side literal folded into a map-side
+    tokenize (zero shuffle); the report is ONE |langs|-row aggregate
+    over per-doc token counts."""
+    from prisma_migrator_spark.llm.bpe import apply_bpe_merges, learn_bpe_merges
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    n_merges = 16
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bounded_collect(
+        learn_bpe_merges(docs, n_merges=n_merges).orderBy("rank"),
+        n_merges,
+        "one row per learned merge rule",
+    )
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    toks = apply_bpe_merges(docs, merges).join(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("n_words"),
+        ),
+        "doc_id",
+    )
+    return (
+        toks.select(
+            "lang",
+            "n_words",
+            F.size("bpe_tokens").alias("n_bpe"),
+            F.aggregate(
+                "bpe_tokens", F.lit(0), lambda acc, t: acc + F.length(t)
+            ).alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_words").cast("double"), 6)
+            .alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe").cast("double"), 6)
+            .alias("chars_per_token"),
+        )
+    )

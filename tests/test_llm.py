@@ -4227,3 +4227,35 @@ def test_lang_verification_flags_mislabels_and_nulls_unverifiable(spark, tmp_pat
     assert out[3]["lang_pred"] == "und"
     # markers in doc 0: the×2, and, is, of, to = 6 of 11 tokens
     assert out[0]["marker_ratio"] == pytest.approx(6 / 11, abs=1e-6)
+
+
+def test_bpe_fertility_bounds_and_merge_monotonicity(spark, tmp_path):
+    """Fertility is chars/word with zero learned structure and can
+    only DECREASE as merges apply; it never drops below 1 token/word.
+    The under-represented language ends up with higher fertility than
+    the dominant one (the skewed-mixture effect the metric exists to
+    expose)."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import bpe_fertility_by_lang_q
+
+    rows = []
+    # dominant lang: one repeated word the trainer will fully merge
+    for i in range(20):
+        rows.append((i, "banana banana banana banana", "en", "s", 27))
+    # rare lang: words the trainer never sees often enough to merge
+    rows.append((20, "zq xv pw", "de", "s", 8))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["lang"]: r for r in bpe_fertility_by_lang_q(spark, d).collect()}
+    en, de = out["en"], out["de"]
+    assert en["n_words"] == 80 and de["n_words"] == 3
+    # 'banana' fully merged -> 1 token/word; 2-char rare words stay
+    # character-fragmented -> fertility 2
+    assert en["fertility"] == pytest.approx(1.0)
+    assert de["fertility"] == pytest.approx(2.0)
+    assert en["chars_per_token"] == pytest.approx(6.0)
+    assert de["chars_per_token"] == pytest.approx(1.0)
