@@ -33,6 +33,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "hashed_doc_vectors",
+    "dataset_card_report",
+    "lang_verification",
+    "bpe_fertility_by_lang",
     "perplexity_buckets",
     "bm25_eval_metrics",
     "lexical_diversity",
