@@ -54,6 +54,7 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_label_col: str | None = None,
+    match_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per probe (self-matches excluded).
     Deterministic ranking: round(cosine, 6) desc, neighbor id asc.
@@ -62,6 +63,10 @@ def topk_bruteforce(
     are excluded too — the HARD-NEGATIVE mining shape (nearest
     neighbors of a different class), filtered BEFORE the rank so the
     k survivors are all true negatives.
+
+    ``match_label_col``: the dual — keep only pairs SHARING the
+    column's value (POSITIVE mining: nearest same-class neighbor).
+    Mutually exclusive with ``exclude_label_col``.
 
     Norms are precomputed per side BEFORE the cross join — otherwise
     each vector's norm is re-derived once per pair (|probes|× redundant
@@ -76,9 +81,14 @@ def topk_bruteforce(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ]
-    if exclude_label_col is not None:
-        p_cols.append(F.col(exclude_label_col).alias("__probe_label"))
-        c_cols.append(F.col(exclude_label_col).alias("__label"))
+    if exclude_label_col is not None and match_label_col is not None:
+        raise ValueError(
+            "exclude_label_col and match_label_col are mutually exclusive"
+        )
+    label_col = exclude_label_col or match_label_col
+    if label_col is not None:
+        p_cols.append(F.col(label_col).alias("__probe_label"))
+        c_cols.append(F.col(label_col).alias("__label"))
     p = probes.select(*p_cols).withColumn(
         "probe_norm", _norm(F.col("probe_vec"))
     )
@@ -88,6 +98,8 @@ def topk_bruteforce(
     keep = F.col("neighbor_id") != F.col("probe_id")
     if exclude_label_col is not None:
         keep = keep & (F.col("__label") != F.col("__probe_label"))
+    elif match_label_col is not None:
+        keep = keep & (F.col("__label") == F.col("__probe_label"))
     scored = (
         c.crossJoin(F.broadcast(p))
         .where(keep)

@@ -5268,3 +5268,79 @@ def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token"),
         )
     )
+
+
+# --- contrastive training triples (anchor, positive, hard negatives) -----
+
+_TRIPLES_ORACLE = """
+WITH pos_scored AS (
+  SELECT p.vec_id AS anchor_id, c.vec_id AS cand_id,
+         ROUND(list_cosine_similarity(p.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c
+    ON p.vec_id <> c.vec_id AND p.label = c.label
+  WHERE p.vec_id < 10
+), pos AS (
+  SELECT anchor_id, cand_id AS positive_id, cosine AS pos_cosine
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY cosine DESC, cand_id) AS r FROM pos_scored)
+  WHERE r = 1
+), neg_scored AS (
+  SELECT p.vec_id AS anchor_id, c.vec_id AS cand_id,
+         ROUND(list_cosine_similarity(p.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings p JOIN embeddings c
+    ON p.vec_id <> c.vec_id AND p.label <> c.label
+  WHERE p.vec_id < 10
+), neg AS (
+  SELECT anchor_id, cand_id AS negative_id, cosine AS neg_cosine,
+         CAST(r AS INT) AS neg_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+            ORDER BY cosine DESC, cand_id) AS r FROM neg_scored)
+  WHERE r <= 3
+)
+SELECT p.anchor_id, p.positive_id, p.pos_cosine,
+       n.negative_id, n.neg_cosine, n.neg_rank
+FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+
+@query("contrastive_triples", oracle=_TRIPLES_ORACLE)
+def contrastive_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triple mining: per anchor, the nearest
+    SAME-label embedding as the positive and the top-3 nearest
+    OTHER-label embeddings as hard negatives — the (anchor, positive,
+    negative) rows an embedding-model trainer consumes directly
+    (InfoNCE / triplet loss). Both sides of `hard_negatives_topk`'s
+    trade in one exported dataset.
+
+    Scale shape: one scored pass per role with the label predicate
+    applied BEFORE the per-anchor rank window (every survivor is
+    usable — no post-hoc filtering that would under-fill k); the two
+    k-bounded results join on the anchor id (≤ k rows per anchor per
+    side). Brute-force scoring is the oracle baseline exactly as in
+    `topk_cosine_bruteforce`; at corpus scale both roles compose with
+    the IVF/LSH candidate generators + over-fetch since the label
+    filter commutes with any candidate source."""
+    from prisma_migrator_spark.llm.similarity import topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    pos = (
+        topk_bruteforce(emb, probes, k=1, match_label_col="label")
+        .select(
+            F.col("probe_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = topk_bruteforce(emb, probes, k=3, exclude_label_col="label").select(
+        F.col("probe_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+        F.col("rank").cast("int").alias("neg_rank"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "positive_id", "pos_cosine",
+        "negative_id", "neg_cosine", "neg_rank",
+    )

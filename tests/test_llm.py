@@ -4259,3 +4259,21 @@ def test_bpe_fertility_bounds_and_merge_monotonicity(spark, tmp_path):
     assert de["fertility"] == pytest.approx(2.0)
     assert en["chars_per_token"] == pytest.approx(6.0)
     assert de["chars_per_token"] == pytest.approx(1.0)
+
+
+def test_contrastive_triples_roles_and_margin(spark, sf_dir):
+    from prisma_migrator_spark.plans.llm import contrastive_triples_q
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = contrastive_triples_q(spark, sf_dir).collect()
+    assert rows
+    per_anchor = {}
+    for r in rows:
+        # positive shares the anchor's label, negatives never do
+        assert labels[r["positive_id"]] == labels[r["anchor_id"]]
+        assert labels[r["negative_id"]] != labels[r["anchor_id"]]
+        assert r["anchor_id"] not in (r["positive_id"], r["negative_id"])
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    # every anchor carries exactly negatives ranked 1..3
+    assert all(v == {1, 2, 3} for v in per_anchor.values())
