@@ -5344,3 +5344,56 @@ def contrastive_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", "positive_id", "pos_cosine",
         "negative_id", "neg_cosine", "neg_rank",
     )
+
+
+# --- per-source quality calibration (group-relative deciles) -------------
+
+_SRC_DECILES_ORACLE = rf"""{_QUALITY_CTE},
+src AS (
+  SELECT q.doc_id, d.source, q.quality
+  FROM q JOIN documents d USING (doc_id)
+), th AS (
+  SELECT source, quantile_cont(quality,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+  FROM src GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality,
+       CAST(1 + LEN(LIST_FILTER(ts, t -> s.quality > t)) AS INT)
+         AS source_decile
+FROM src s JOIN th USING (source)
+"""
+
+
+@query("quality_per_source_deciles", oracle=_SRC_DECILES_ORACLE)
+def quality_per_source_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality calibration: each document's decile within
+    its own source's quality distribution — the RefinedWeb-style
+    per-domain threshold discipline. A global cut silently empties
+    clean domains and keeps the best of garbage domains; calibrating
+    per source means 'keep the top 30%' takes the top 30% of EVERY
+    domain, so mixture composition survives the quality gate.
+
+    Scale shape: the corpus-relative `quality_deciles` pattern with
+    the cut aggregate grouped by source — nine exact percentile cuts
+    per source in ONE |sources|-row aggregate, broadcast back, decile
+    assignment map-side. No per-source window ever materializes (the
+    percent_rank alternative makes one task per source and dies on a
+    dominant domain); approx_percentile is the unbounded swap."""
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    qs = ", ".join(str(x / 10) for x in range(1, 10))
+    th = stats.groupBy("source").agg(
+        F.expr(f"percentile(quality, array({qs}))").alias("ts")
+    )
+    decile = (
+        F.lit(1) + F.size(F.filter("ts", lambda t: F.col("quality") > t))
+    ).cast("int")
+    return stats.join(F.broadcast(th), "source").select(
+        "doc_id", "source", "quality", decile.alias("source_decile")
+    )

@@ -4277,3 +4277,40 @@ def test_contrastive_triples_roles_and_margin(spark, sf_dir):
         per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
     # every anchor carries exactly negatives ranked 1..3
     assert all(v == {1, 2, 3} for v in per_anchor.values())
+
+
+def test_per_source_deciles_calibrate_within_each_source(spark, tmp_path):
+    """A uniformly low-quality source still spreads over all deciles
+    within itself — per-source calibration never lets a clean source
+    crowd out a weak one (the failure mode of a global cut)."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import quality_per_source_deciles_q
+
+    rows = []
+    for i in range(40):  # strong source: long, stopword-rich docs
+        t = ("the and of to in is it for on with " * (3 + i % 5)).strip() + "."
+        rows.append((i, t, "en", "good", len(t)))
+    for i in range(40, 80):  # weak source: short token-salad docs
+        t = " ".join(f"x{i}_{j}" for j in range(2 + i % 5))
+        rows.append((i, t, "en", "bad", len(t)))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = quality_per_source_deciles_q(spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # both sources span low AND high deciles despite disjoint quality
+    # (each fixture source has 5 distinct quality values, so ties
+    # collapse adjacent deciles — bottom anchored at 1, top >= 9)
+    for src, rs in by_src.items():
+        deciles = {r["source_decile"] for r in rs}
+        assert min(deciles) == 1 and max(deciles) >= 9, (src, sorted(deciles))
+        assert len(deciles) >= 5
+    # yet every 'good' doc outscores every 'bad' doc globally
+    worst_good = min(r["quality"] for r in by_src["good"])
+    best_bad = max(r["quality"] for r in by_src["bad"])
+    assert worst_good > best_bad
