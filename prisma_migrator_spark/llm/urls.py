@@ -86,3 +86,48 @@ def domain_quota_sample(
         .where(F.col("__rank") <= quota)
         .drop("__rank")
     )
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """All dot-suffix chains of a host with >= 2 labels:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com]``. Map-side array algebra — the trick that turns
+    subdomain-aware blocklist matching into a plain equi join."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "canonical_url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows whose URL host matches a blocked domain EXACTLY or
+    as a SUBDOMAIN (``cdn.bad.com`` is blocked by ``bad.com``).
+    ``blocklist`` is a 1-column ``domain`` DataFrame.
+
+    Scale shape: each host expands map-side into its <= #labels
+    dot-suffixes, the suffixes semi-join the (broadcast) blocklist to
+    name doomed ids, and a left-anti join keeps the rest — two hash
+    joins on bounded keys, never a LIKE-suffix theta join (which
+    plans as a nested loop and dies at corpus scale)."""
+    doomed = (
+        df.select(
+            id_col,
+            F.explode(domain_suffixes(url_domain(F.col(url_col)))).alias(
+                "__sfx"
+            ),
+        )
+        .join(
+            F.broadcast(blocklist.select(F.col("domain").alias("__sfx"))),
+            "__sfx",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(doomed, id_col, "left_anti")

@@ -5397,3 +5397,58 @@ def quality_per_source_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(th), "source").select(
         "doc_id", "source", "quality", decile.alias("source_decile")
     )
+
+
+# --- domain blocklist filtering ------------------------------------------
+
+_BLOCKED_DOMAINS = ["src1.example.com", "src7.example.com",
+                    "src13.example.com"]
+
+_BLOCKLIST_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'cdn.' || lower(source) || '.example.com'
+            ELSE lower(source) || '.example.com' END AS domain
+FROM documents
+WHERE source NOT IN ('src1', 'src7', 'src13')
+"""
+
+
+@query("url_blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def url_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering with subdomain semantics — the
+    other half of URL curation (after canonicalization, before
+    quotas): a blocklisted domain must also block every host UNDER it
+    (``cdn.bad.com`` dies with ``bad.com``), which naive equality
+    misses and a LIKE-suffix join cannot do at scale. The fixture
+    schedule routes every third doc through a ``cdn.`` subdomain, so
+    the oracle (which restates the kept set analytically from the
+    recipe) fails if suffix matching ever regresses.
+
+    Scale shape: hosts expand map-side into their dot-suffix chains
+    (<= #labels entries), one broadcast semi join names doomed ids,
+    one anti join keeps survivors — all equi joins
+    (llm/urls.blocklist_filter)."""
+    from prisma_migrator_spark.llm.urls import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lower("source"),
+        F.lit(".example.com"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/page")).alias(
+            "canonical_url"
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = blocklist_filter(urls, blocked)
+    from prisma_migrator_spark.llm.urls import url_domain
+
+    return kept.select(
+        "doc_id", url_domain(F.col("canonical_url")).alias("domain")
+    )

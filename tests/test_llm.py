@@ -4314,3 +4314,22 @@ def test_per_source_deciles_calibrate_within_each_source(spark, tmp_path):
     worst_good = min(r["quality"] for r in by_src["good"])
     best_bad = max(r["quality"] for r in by_src["bad"])
     assert worst_good > best_bad
+
+
+def test_blocklist_filter_blocks_subdomains_not_lookalikes(spark):
+    from prisma_migrator_spark.llm.urls import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://bad.com/x"),
+            (1, "https://cdn.bad.com/x"),          # subdomain: blocked
+            (2, "https://a.b.cdn.bad.com/x"),      # deep subdomain: blocked
+            (3, "https://notbad.com/x"),           # lookalike: kept
+            (4, "https://bad.com.evil.org/x"),     # suffix spoof: kept
+            (5, "https://good.com/x"),
+        ],
+        "doc_id long, canonical_url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r["doc_id"] for r in blocklist_filter(urls, blocked).collect()}
+    assert kept == {3, 4, 5}
