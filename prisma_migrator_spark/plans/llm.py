@@ -5452,3 +5452,104 @@ def url_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", url_domain(F.col("canonical_url")).alias("domain")
     )
+
+
+# --- dedup savings report (what dedup would reclaim, per source) ---------
+
+_DEDUP_SAVINGS_ORACLE = rf"""{_CLUSTERS_CTES},
+clus AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+), base AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(lower(trim(text)), '\s+')) AS n_toks,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), keepx AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM base GROUP BY fp
+), cl AS (
+  SELECT b.doc_id, COALESCE(c.cluster_id, b.doc_id) AS cid
+  FROM base b LEFT JOIN clus c USING (doc_id)
+), canon AS (
+  SELECT cid, MIN(doc_id) AS canonical FROM cl GROUP BY cid
+)
+SELECT b.source,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN b.doc_id <> k.keeper THEN n_toks ELSE 0 END)
+            AS BIGINT) AS exact_dup_tokens,
+       CAST(SUM(CASE WHEN b.doc_id <> cn.canonical THEN n_toks ELSE 0 END)
+            AS BIGINT) AS near_dup_tokens,
+       ROUND(SUM(CASE WHEN b.doc_id <> cn.canonical THEN n_toks ELSE 0 END)
+             / CAST(SUM(n_toks) AS DOUBLE), 6) AS near_dup_token_share
+FROM base b
+JOIN keepx k USING (fp)
+JOIN cl USING (doc_id)
+JOIN canon cn ON cl.cid = cn.cid
+GROUP BY b.source
+"""
+
+
+@query("dedup_savings_report", oracle=_DEDUP_SAVINGS_ORACLE)
+def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup would actually reclaim, in TOKENS, per source — the
+    cost/benefit input for scheduling a dedup pass: doc-count dup
+    rates (dataset_card_report) understate sources whose duplicates
+    are the LONG documents. Reports exact-duplicate tokens (non-
+    keeper copies of a normalized fingerprint) and near-duplicate
+    tokens (non-canonical members of MinHash-LSH >= 0.5 clusters,
+    unclustered docs their own cluster) with the near-dup token
+    share.
+
+    Plan shape: the audited LSH pipeline (shingle -> signature ->
+    banded pairs -> connected components) produces the cluster map;
+    canonical selection is one cluster-keyed min aggregate; exact
+    attribution one fingerprint-keyed aggregate; everything folds
+    into ONE |sources|-row aggregate. The only iterative stage is the
+    component propagation the graph family already bounds."""
+    from prisma_migrator_spark.llm.dedup import near_dup_clusters
+    from prisma_migrator_spark.llm.text import (
+        content_fingerprint,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_toks"),
+        content_fingerprint(F.col("text")).alias("fp"),
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    clus = near_dup_clusters(pairs)
+    cl = base.select("doc_id").join(clus, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cid")
+    )
+    canon = cl.groupBy("cid").agg(F.min("doc_id").alias("canonical"))
+    return (
+        base.join(keep, "fp")
+        .join(cl, "doc_id")
+        .join(canon, "cid")
+        .groupBy("source")
+        .agg(
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper"), F.col("n_toks"))
+                .otherwise(F.lit(0))
+            ).alias("exact_dup_tokens"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("canonical"), F.col("n_toks"))
+                .otherwise(F.lit(0))
+            ).alias("near_dup_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") != F.col("canonical"),
+                           F.col("n_toks")).otherwise(F.lit(0))
+                )
+                / F.sum("n_toks").cast("double"),
+                6,
+            ).alias("near_dup_token_share"),
+        )
+    )

@@ -4333,3 +4333,35 @@ def test_blocklist_filter_blocks_subdomains_not_lookalikes(spark):
     blocked = spark.createDataFrame([("bad.com",)], "domain string")
     kept = {r["doc_id"] for r in blocklist_filter(urls, blocked).collect()}
     assert kept == {3, 4, 5}
+
+
+def test_dedup_savings_attributes_tokens_not_docs(spark, tmp_path):
+    """A source whose duplicates are its LONG docs shows a token
+    share far above its doc-count dup rate — the distinction this
+    report exists for. Exact dups are counted, near-dups (high
+    shingle overlap, not byte-identical) add on top."""
+    import os
+
+    long = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, long, "en", "sA", len(long)),
+        (1, long, "en", "sA", len(long)),             # exact dup: long
+        (2, long + " coda", "en", "sA", len(long)),   # near dup: long
+        (3, "tiny doc here", "en", "sA", 13),
+        (4, "other corpus text entirely", "en", "sB", 26),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from prisma_migrator_spark.plans.llm import dedup_savings_report_q
+
+    out = {r["source"]: r for r in dedup_savings_report_q(spark, d).collect()}
+    a = out["sA"]
+    n_long = len(long.split())
+    assert a["exact_dup_tokens"] == n_long            # doc 1 only
+    assert a["near_dup_tokens"] == 2 * n_long + 1     # docs 1 and 2
+    # token share ~2/3 vs doc-count dup rate 1/2 (2 of 4 docs)
+    assert a["near_dup_token_share"] > 0.6
+    assert out["sB"]["near_dup_tokens"] == 0
