@@ -33,6 +33,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "contrastive_triples",
+    "quality_per_source_deciles",
+    "url_blocklist_filter",
+    "dedup_savings_report",
     "hashed_doc_vectors",
     "dataset_card_report",
     "lang_verification",
