@@ -5553,3 +5553,100 @@ def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_token_share"),
         )
     )
+
+
+# --- intra-document repetition scrub --------------------------------------
+
+_INTRADOC_ORACLE = r"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), tri AS (
+  SELECT doc_id, i AS pos, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+  FROM arrs, LATERAL UNNEST(range(len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+), firsts AS (
+  SELECT doc_id, g, MIN(pos) AS fpos FROM tri GROUP BY doc_id, g
+), cov AS (
+  SELECT DISTINCT t.doc_id, u.c
+  FROM tri t
+  JOIN firsts f ON t.doc_id = f.doc_id AND t.g = f.g AND t.pos > f.fpos,
+  LATERAL UNNEST([t.pos, t.pos + 1, t.pos + 2]) AS u(c)
+), kept AS (
+  SELECT a.doc_id, t.i AS pos, a.w[t.i + 1] AS tok, len(a.w) AS n_tokens
+  FROM arrs a, LATERAL UNNEST(range(len(a.w))) AS t(i)
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = a.doc_id AND c.c = t.i)
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos), ''))
+         AS scrubbed_fp
+FROM kept
+GROUP BY doc_id
+"""
+
+
+@query("scrub_intradoc_repeats", oracle=_INTRADOC_ORACLE)
+def scrub_intradoc_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition scrub: every re-occurrence of a
+    token trigram already seen EARLIER IN THE SAME DOCUMENT has its
+    three token positions dropped (first occurrence kept) — the
+    intra-doc dual of `scrub_repeated_spans` (cross-document), and
+    the action step behind `gopher_repetition_flags` (which only
+    measures). Chatbot transcripts, scraped pagination, and SEO
+    keyword stuffing all inflate token budgets with exactly this kind
+    of self-repetition.
+
+    Plan shape: per-doc trigrams explode with their positions (one
+    (doc, gram)-keyed aggregate finds first positions — co-partitioned
+    with the doc key, so ONE shuffle family); covered positions
+    collect into a per-doc set; the scrub itself is map-side array
+    algebra (indexed filter + rejoin) — the corpus text never shuffles.
+    Output is counts + the md5 of the scrubbed text (the PII-redaction
+    oracle discipline: hash the payload, don't ship it twice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    tri = arrs.where(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), i -> struct(i AS pos, "
+                "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), "
+                "element_at(w, i + 3)) AS g))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.pos", "t.g")
+    firsts = tri.groupBy("doc_id", "g").agg(F.min("pos").alias("fpos"))
+    cov = (
+        tri.join(firsts, ["doc_id", "g"])
+        .where(F.col("pos") > F.col("fpos"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(F.col("pos"), F.col("pos") + 1, F.col("pos") + 2)
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("c").alias("cov"))
+    )
+    kept = (
+        F.filter(
+            F.expr("transform(w, (x, i) -> struct(i AS i, x AS x))"),
+            lambda s: ~F.array_contains(
+                F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+                s["i"],
+            ),
+        )
+    )
+    return arrs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.concat_ws(" ", F.transform(kept, lambda s: s["x"]))
+        ).alias("scrubbed_fp"),
+    )

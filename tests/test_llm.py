@@ -4365,3 +4365,38 @@ def test_dedup_savings_attributes_tokens_not_docs(spark, tmp_path):
     # token share ~2/3 vs doc-count dup rate 1/2 (2 of 4 docs)
     assert a["near_dup_token_share"] > 0.6
     assert out["sB"]["near_dup_tokens"] == 0
+
+
+def test_scrub_intradoc_repeats_constructed(spark, tmp_path):
+    import hashlib
+    import os
+
+    from prisma_migrator_spark.plans.llm import scrub_intradoc_repeats_q
+
+    rows = [
+        # "a b c" repeats at pos 3: positions 3,4,5 drop -> "a b c" kept
+        (0, "a b c a b c", "en", "s", 11),
+        # no trigram repeats: untouched
+        (1, "one two three four", "en", "s", 18),
+        # shorter than a trigram: untouched
+        (2, "x y", "en", "s", 3),
+        # chatbot-style stuffing: "buy now ok" x4 -> only first survives
+        (3, "buy now ok buy now ok buy now ok buy now ok", "en", "s", 43),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in scrub_intradoc_repeats_q(spark, d).collect()}
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["n_removed"] == 3
+    assert out[0]["scrubbed_fp"] == fp("a b c")
+    assert out[1]["n_removed"] == 0
+    assert out[1]["scrubbed_fp"] == fp("one two three four")
+    assert out[2]["n_removed"] == 0 and out[2]["scrubbed_fp"] == fp("x y")
+    assert out[3]["n_removed"] == 9
+    assert out[3]["scrubbed_fp"] == fp("buy now ok")
