@@ -682,3 +682,68 @@ def reduce_near_dup_verdicts(band_verdicts: DataFrame) -> DataFrame:
             F.col("m.matched_id").isNotNull().alias("is_dup"),
         )
     )
+
+
+_BUDGET_OUTPUT_SCHEMA = (
+    "doc_id bigint, source string, n_tokens bigint, consumed_after bigint"
+)
+_BUDGET_STATE_SCHEMA = "consumed bigint"
+
+
+def streaming_token_budget(
+    docs: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """Streaming per-source token-budget admission — the stateful
+    dual of the batch `token_budget_selection`: every source gets a
+    fixed token budget; an arriving doc is ADMITTED iff its tokens
+    still fit (greedy, doc_id order within each micro-batch for
+    determinism), and dropped forever otherwise. The state per source
+    is ONE counter (consumed tokens) — fixed memory no matter how
+    many documents stream past, the property that makes quota
+    enforcement viable on an unbounded crawl.
+
+    Emits admitted rows only (append semantics) with the running
+    consumed total after each admission. A doc too large for the
+    REMAINING budget is skipped without poisoning later smaller docs
+    (greedy knapsack, same rule as the batch selector's per-source
+    cumulative window).
+
+    Input needs (doc_id, source, n_tokens).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def admit(
+        key: tuple[Any, ...],
+        pdfs: Iterable["pd.DataFrame"],
+        state: Any,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (consumed,) = state.get if state.exists else (0,)
+        out = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("doc_id")
+            for _, row in batch.iterrows():
+                toks = int(row["n_tokens"])
+                if consumed + toks <= budget_tokens:
+                    consumed += toks
+                    out.append(
+                        {
+                            "doc_id": int(row["doc_id"]),
+                            "source": key[0],
+                            "n_tokens": toks,
+                            "consumed_after": consumed,
+                        }
+                    )
+        state.update((consumed,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return docs.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=_BUDGET_OUTPUT_SCHEMA,
+        stateStructType=_BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -4400,3 +4400,58 @@ def test_scrub_intradoc_repeats_constructed(spark, tmp_path):
     assert out[2]["n_removed"] == 0 and out[2]["scrubbed_fp"] == fp("x y")
     assert out[3]["n_removed"] == 9
     assert out[3]["scrubbed_fp"] == fp("buy now ok")
+
+
+def test_streaming_token_budget_matches_greedy_and_bounds_state(
+    spark, tmp_path
+):
+    """Fed in two micro-batches, per-source admission equals the pure
+    greedy fold over doc_id order; a too-big doc is skipped without
+    blocking later smaller docs; state is one counter per source."""
+    from prisma_migrator_spark.streaming.jobs import run_to_parquet
+    from prisma_migrator_spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    budget = 100
+    rows = []
+    for i in range(40):
+        src_name = f"s{i % 3}"
+        toks = 7 + (i * 13) % 40  # 7..46, source-interleaved
+        rows.append((i, src_name, toks))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        run_to_parquet(
+            streaming_token_budget(stream, budget_tokens=budget), out, ckpt
+        )
+
+    docs.where(F.col("doc_id") < 20).write.parquet(src)
+    drain()
+    docs.where(F.col("doc_id") >= 20).write.mode("append").parquet(src)
+    drain()
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+
+    # pure-Python greedy reference over doc_id order per source
+    consumed = {}
+    expected = {}
+    for i, src_name, toks in sorted(rows):
+        c = consumed.get(src_name, 0)
+        if c + toks <= budget:
+            consumed[src_name] = c + toks
+            expected[i] = (src_name, toks, c + toks)
+    assert set(got) == set(expected)
+    for i, (src_name, toks, after) in expected.items():
+        g = got[i]
+        assert (g["source"], g["n_tokens"], g["consumed_after"]) == (
+            src_name, toks, after
+        ), i
+    # every source admitted <= budget and skipped at least one doc
+    for src_name, c in consumed.items():
+        assert c <= budget
+    assert len(expected) < len(rows)
