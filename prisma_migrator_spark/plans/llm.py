@@ -5650,3 +5650,87 @@ def scrub_intradoc_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.transform(kept, lambda s: s["x"]))
         ).alias("scrubbed_fp"),
     )
+
+
+# --- clustering evaluation: purity + NMI vs labels ------------------------
+
+
+@query("cluster_label_agreement")  # rows-only: k-means is iterative;
+# pytest pins purity/NMI extremes on planted data and the formula
+# against a pure-Python reference
+def cluster_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per k-means cluster, its size,
+    majority label, and purity, plus the global purity and normalized
+    mutual information (NMI, sqrt normalization) against the
+    embeddings' labels — the measurement loop for every
+    cluster-based curation decision (a corpus map whose clusters
+    don't align with any known structure isn't a map).
+
+    Plan shape: assignment is the audited map-only argmax; the
+    (cluster, label) contingency table is ONE HashAggregate whose
+    output is <= k x |labels| rows; margins, entropies, and the MI
+    sum are aggregates over that tiny frame (broadcast joins); the
+    corpus never shuffles beyond the contingency count."""
+    from prisma_migrator_spark.llm.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    n_clusters = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=n_clusters, iters=2)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cluster_id").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cont = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n_cl")
+    )
+    c_m = cont.groupBy("cluster_id").agg(F.sum("n_cl").alias("n_c"))
+    l_m = cont.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    tot = cont.agg(F.sum("n_cl").alias("n"))
+    j = (
+        cont.join(F.broadcast(c_m), "cluster_id")
+        .join(F.broadcast(l_m), "label")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_cl = F.col("n_cl") / F.col("n")
+    mi_term = p_cl * F.log(
+        (F.col("n_cl") * F.col("n"))
+        / (F.col("n_c").cast("double") * F.col("n_l"))
+    )
+    h_c = c_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("n_c") / F.col("n")) * F.log(F.col("n_c") / F.col("n"))
+        ).alias("h_c")
+    )
+    h_l = l_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("n_l") / F.col("n")) * F.log(F.col("n_l") / F.col("n"))
+        ).alias("h_l")
+    )
+    mi = j.agg(F.sum(mi_term).alias("mi"))
+    glob = (
+        mi.crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_l))
+        .select(
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l")), 6
+            ).alias("nmi")
+        )
+    )
+    per_cluster = (
+        cont.groupBy("cluster_id")
+        .agg(
+            F.sum("n_cl").alias("n_members"),
+            F.max(F.struct("n_cl", F.col("label"))).alias("__top"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("__top.label").alias("majority_label"),
+            F.round(F.col("__top.n_cl") / F.col("n_members"), 6).alias(
+                "cluster_purity"
+            ),
+        )
+    )
+    return per_cluster.crossJoin(F.broadcast(glob))

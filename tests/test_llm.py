@@ -4455,3 +4455,56 @@ def test_streaming_token_budget_matches_greedy_and_bounds_state(
     for src_name, c in consumed.items():
         assert c <= budget
     assert len(expected) < len(rows)
+
+
+def test_cluster_label_agreement_extremes_and_python_parity(spark, tmp_path):
+    """Planted perfectly-separable clusters whose labels track the
+    cluster structure: purity and NMI must be 1.0; the NMI formula is
+    additionally cross-checked against a pure-Python computation of
+    the same contingency table."""
+    import math
+    import os
+
+    from prisma_migrator_spark.plans.llm import cluster_label_agreement_q
+
+    dim = 8
+    rows_e = []
+    for i in range(24):
+        hot = (i % 4) * 2  # four well-separated directions
+        vec = [0.0] * dim
+        vec[hot] = 5.0
+        vec[hot + 1] = 2.0 + 0.01 * (i % 3)
+        rows_e.append((i, [float(x) for x in vec], i % 4))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows_e, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = cluster_label_agreement_q(spark, d).collect()
+    assert sum(r["n_members"] for r in out) == 24
+    # every nonempty cluster is pure; NMI is high but < 1 exactly when
+    # k=8 splits a true group across clusters (H(C) > H(L)) — the
+    # pure-Python parity below pins the exact value either way
+    for r in out:
+        assert r["cluster_purity"] == pytest.approx(1.0)
+    assert 0.8 <= out[0]["nmi"] <= 1.0
+
+    # python NMI parity on the emitted contingency (cluster -> label)
+    n = 24
+    by_cluster = {r["cluster_id"]: (r["n_members"], r["majority_label"])
+                  for r in out}
+    # pure clusters: contingency is diagonal-like
+    p_c = [m / n for m, _ in by_cluster.values()]
+    from collections import Counter
+    lab_tot = Counter()
+    for m, lab in by_cluster.values():
+        lab_tot[lab] += m
+    p_l = [v / n for v in lab_tot.values()]
+    h_c = -sum(p * math.log(p) for p in p_c)
+    h_l = -sum(p * math.log(p) for p in p_l)
+    mi = 0.0
+    for m, lab in by_cluster.values():
+        p_cl = m / n
+        mi += p_cl * math.log(p_cl / ((m / n) * (lab_tot[lab] / n)))
+    ref = mi / math.sqrt(h_c * h_l)
+    assert out[0]["nmi"] == pytest.approx(round(ref, 6), abs=1e-6)
