@@ -33,6 +33,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "scrub_intradoc_repeats",
+    "cluster_label_agreement",
     "contrastive_triples",
     "quality_per_source_deciles",
     "url_blocklist_filter",
