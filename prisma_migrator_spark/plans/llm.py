@@ -5734,3 +5734,137 @@ def cluster_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_cluster.crossJoin(F.broadcast(glob))
+
+
+# --- cross-source syndication matrix --------------------------------------
+
+_SYNDICATION_ORACLE = rf"""
+WITH p AS ({_LSH_PAIRS_ORACLE})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+WHERE p.jaccard_est >= 0.5
+GROUP BY 1, 2
+"""
+
+
+@query("cross_source_syndication", oracle=_SYNDICATION_ORACLE)
+def cross_source_syndication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication matrix: for every (source, source) pair, how many
+    near-duplicate document pairs (MinHash-LSH >= 0.5) cross them —
+    the content-flow map that tells a curation team which feeds are
+    republishing which (mirror sites, wire-service pickups, scraper
+    farms). A source whose mass sits off-diagonal contributes little
+    novel text no matter its size; pair it with
+    `dedup_savings_report` to decide who gets deduped against whom.
+
+    Plan shape: the audited LSH pipeline produces the id pairs; the
+    doc→source map joins in twice (id-keyed equi joins); the matrix
+    is ONE aggregate over <= |sources|² keys. Unordered pair
+    canonicalization (least/greatest) is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(docs, k=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).where(
+        F.col("jaccard_est") >= 0.5
+    )
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"),
+                       F.col("source").alias("src_a")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"),
+                       F.col("source").alias("src_b")),
+            "id_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- temperature mixture APPLIED as a deterministic sampler ---------------
+
+_TEMP_SAMPLE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+         SUM(POW(CAST(n_tokens AS DOUBLE), 0.3)) AS tot_w
+  FROM per_src
+), rates AS (
+  SELECT source,
+         ROUND(LEAST(1.0,
+             (POW(CAST(n_tokens AS DOUBLE), 0.3) / tot_w)
+             / (n_tokens / tot_tokens)), 6) AS rate
+  FROM per_src, tot
+)
+SELECT t.doc_id, t.source, r.rate
+FROM toks t JOIN rates r USING (source)
+WHERE CAST(('0x' || substr(md5('temp:' || t.doc_id), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < r.rate
+"""
+
+
+@query("temperature_mixture_sample", oracle=_TEMP_SAMPLE_ORACLE)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature mixture APPLIED: turn the n^0.3 domain weights
+    (`temperature_mixture_weights`) into per-source keep rates
+    (boost capped at 1 — hash filtering can downsample the
+    over-represented sources toward the target mixture; the
+    under-represented ones keep everything and take their boost at
+    the batch-sampler level via `weighted_sample_k`), then keep each
+    doc by the deterministic content-hash draw. End-to-end this is
+    the XLM-R mixture recipe as ONE plan: a |sources|-row aggregate
+    chain broadcast back onto a map-side filter — zero corpus
+    shuffles, retry/AQE-stable, and new docs never re-toss old
+    draws."""
+    from prisma_migrator_spark.llm.sampling import hash_unit
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA)))
+        .alias("tot_w"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA))
+                    / F.col("tot_w")
+                )
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "source")
+        .where(hash_unit(F.col("doc_id"), salt="temp") < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )

@@ -4508,3 +4508,66 @@ def test_cluster_label_agreement_extremes_and_python_parity(spark, tmp_path):
         mi += p_cl * math.log(p_cl / ((m / n) * (lab_tot[lab] / n)))
     ref = mi / math.sqrt(h_c * h_l)
     assert out[0]["nmi"] == pytest.approx(round(ref, 6), abs=1e-6)
+
+
+def test_cross_source_syndication_maps_content_flow(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import cross_source_syndication_q
+
+    wire = ("breaking news about the merger of two large firms today "
+            * 3).strip()
+    rows = [
+        (0, wire, "en", "wire", len(wire)),
+        (1, wire + " updated", "en", "mirrorA", len(wire)),  # syndicated
+        (2, wire + " again", "en", "mirrorB", len(wire)),    # syndicated
+        (3, "completely different local story here about weather",
+         "en", "wire", 50),
+        (4, "another unrelated piece entirely on sports results",
+         "en", "mirrorA", 50),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in cross_source_syndication_q(spark, d).collect()}
+    # the wire story pairs with both mirrors; mirrors pair with each
+    # other; no unrelated-doc pair appears anywhere
+    assert got.get(("mirrorA", "wire")) == 1
+    assert got.get(("mirrorB", "wire")) == 1
+    assert got.get(("mirrorA", "mirrorB")) == 1
+    assert sum(got.values()) == 3
+
+
+def test_temperature_sample_downsamples_toward_flatter_mixture(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import temperature_mixture_sample_q
+
+    rows = []
+    i = 0
+    for _ in range(400):  # dominant source: 400 docs x 10 tokens
+        rows.append((i, "tok " * 10, "en", "big", 40)); i += 1
+    for _ in range(20):   # small source: 20 docs x 10 tokens
+        rows.append((i, "tok " * 10, "en", "small", 40)); i += 1
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    kept = temperature_mixture_sample_q(spark, d).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    # the small source keeps everything (boost >= 1 capped to rate 1)
+    assert len(by_src["small"]) == 20
+    assert by_src["small"][0]["rate"] == pytest.approx(1.0)
+    # the big source is thinned by exactly its n^0.3 boost
+    w_big, w_small = 4000 ** 0.3, 200 ** 0.3
+    expected_rate = (w_big / (w_big + w_small)) / (4000 / 4200)
+    big_rate = by_src["big"][0]["rate"]
+    assert big_rate == pytest.approx(round(expected_rate, 6), abs=1e-6)
+    n_big = len(by_src["big"])
+    assert 0.7 * big_rate * 400 <= n_big <= 1.3 * big_rate * 400
