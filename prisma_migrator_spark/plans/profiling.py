@@ -885,3 +885,64 @@ def bm25_eval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
         )
     )
+
+
+# --- documents-table data-quality report ---------------------------------
+
+_DOCS_DQ_ORACLE = r"""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+         CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <> length(text)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_nchars,
+         CAST(SUM(CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr', 'zh')
+                        OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+         CAST(SUM(CASE WHEN source IS NULL OR source NOT LIKE 'src%'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+         CAST(SUM(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_short,
+         CAST(SUM(CASE WHEN len(string_split_regex(lower(trim(text)),
+                                                   '\s+')) < 20
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_toks
+  FROM documents
+)
+SELECT rule, n_rows, n_violations,
+       ROUND(n_violations * 1.0 / n_rows, 6) AS violation_rate
+FROM (
+  SELECT 'text_nonempty' AS rule, n_rows, v_empty AS n_violations FROM t
+  UNION ALL SELECT 'n_chars_consistent', n_rows, v_nchars FROM t
+  UNION ALL SELECT 'lang_in_domain', n_rows, v_lang FROM t
+  UNION ALL SELECT 'source_wellformed', n_rows, v_src FROM t
+  UNION ALL SELECT 'min_length_100_chars', n_rows, v_short FROM t
+  UNION ALL SELECT 'min_20_tokens', n_rows, v_toks FROM t
+)
+"""
+
+
+@query("documents_dq_report", oracle=_DOCS_DQ_ORACLE)
+def documents_dq_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate for the TEXT corpus — the
+    profiling family's `check_constraints` pointed at the documents
+    table: structural invariants (non-empty text, n_chars metadata
+    consistent with the payload, lang/source in domain — all expected
+    to hold at 0 violations) alongside ingestion policy rules
+    (minimum length in chars and tokens — expected to FIRE on the
+    short tail, so the report is never vacuous). Six rules, ONE scan,
+    one 1-row aggregate, map-side unpivot; a new rule costs one sum
+    column, not another pass (100 TB discipline as lineitem_dq)."""
+    from prisma_migrator_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    checks = [
+        ("text_nonempty", t.isNull() | (F.length(F.trim(t)) == 0)),
+        ("n_chars_consistent",
+         F.col("n_chars").isNull() | (F.col("n_chars") != F.length(t))),
+        ("lang_in_domain",
+         ~F.col("lang").isin("en", "de", "es", "fr", "zh")),
+        ("source_wellformed", ~F.col("source").startswith("src")),
+        ("min_length_100_chars", F.length(t) < 100),
+        ("min_20_tokens", F.size(tokens(t)) < 20),
+    ]
+    return check_constraints(docs, checks)

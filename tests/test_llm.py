@@ -4571,3 +4571,21 @@ def test_temperature_sample_downsamples_toward_flatter_mixture(spark, tmp_path):
     assert big_rate == pytest.approx(round(expected_rate, 6), abs=1e-6)
     n_big = len(by_src["big"])
     assert 0.7 * big_rate * 400 <= n_big <= 1.3 * big_rate * 400
+
+
+def test_documents_dq_report_structural_clean_policy_fires(spark, sf_dir):
+    from prisma_migrator_spark.plans.profiling import documents_dq_report_q
+
+    out = {r["rule"]: r for r in documents_dq_report_q(spark, sf_dir).collect()}
+    assert set(out) == {
+        "text_nonempty", "n_chars_consistent", "lang_in_domain",
+        "source_wellformed", "min_length_100_chars", "min_20_tokens",
+    }
+    # structural invariants hold on the fixture
+    for rule in ("text_nonempty", "n_chars_consistent",
+                 "lang_in_domain", "source_wellformed"):
+        assert out[rule]["n_violations"] == 0, rule
+    # the policy rules fire on the short tail (report is non-vacuous)
+    assert out["min_20_tokens"]["n_violations"] > 0
+    n = out["text_nonempty"]["n_rows"]
+    assert all(r["n_rows"] == n for r in out.values())
