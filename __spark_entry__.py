@@ -33,6 +33,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "cross_source_syndication",
+    "temperature_mixture_sample",
+    "documents_dq_report",
     "scrub_intradoc_repeats",
     "cluster_label_agreement",
     "contrastive_triples",
