@@ -824,3 +824,89 @@ def topk_ivf_pq(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    fetch: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results maximizing
+    ``lam·cos(probe, d) − (1−lam)·max_{s∈selected} cos(d, s)`` — the
+    diversity-aware top-k that keeps a result list from filling up
+    with near-duplicates of the first hit.
+
+    Scale shape: ONE distributed pass scores the corpus against the
+    probe and keeps the top ``fetch`` candidates (TakeOrdered — the
+    same exact-top-k discipline as `topk_bruteforce`); the greedy
+    re-rank then runs driver-side over that fetch-bounded set
+    (k·fetch dot products on ≤ fetch rows — structurally bounded, the
+    `bounded_collect` contract). Determinism: candidate scores round
+    to 6dp with id tiebreaks before the cut, and the greedy argmax
+    tie-breaks on id, so the selection is engine/partitioning-stable.
+    """
+    import math
+
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    pnorm = math.sqrt(sum(x * x for x in probe_vec)) or 1.0
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("__norm", _norm(F.col("vec")))
+        .select(
+            "cand_id",
+            "vec",
+            F.round(
+                _dot(F.col("vec"), pv) / (F.col("__norm") * F.lit(pnorm)), 6
+            ).alias("rel"),
+        )
+    )
+    cands = bounded_collect(
+        scored.orderBy(F.desc("rel"), F.asc("cand_id")).limit(fetch),
+        fetch,
+        "MMR candidate pool is limit(fetch)",
+    )
+    pool = {
+        r["cand_id"]: (list(r["vec"]), float(r["rel"])) for r in cands
+    }
+    norms = {
+        cid: math.sqrt(sum(x * x for x in vec)) or 1.0
+        for cid, (vec, _) in pool.items()
+    }
+    selected: list[tuple[int, float, float]] = []  # (id, rel, mmr)
+    sel_vecs: list[tuple[list[float], float]] = []  # (vec, norm)
+    while pool and len(selected) < k:
+        best = None
+        for cid in sorted(pool):
+            vec, rel = pool[cid]
+            red = max(
+                (
+                    sum(a * b for a, b in zip(vec, svec)) / (snorm * norms[cid])
+                    for svec, snorm in sel_vecs
+                ),
+                default=0.0,
+            )
+            score = round(lam * rel - (1 - lam) * red, 9)
+            if best is None or score > best[1]:
+                best = (cid, score, rel)
+        cid, score, rel = best
+        sel_vecs.append((pool[cid][0], norms[cid]))
+        selected.append((cid, rel, score))
+        del pool[cid]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, cid, rel, mmr)
+            for i, (cid, rel, mmr) in enumerate(selected)
+        ],
+        "rank int, cand_id bigint, rel double, mmr double",
+    )

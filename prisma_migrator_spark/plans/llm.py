@@ -5868,3 +5868,38 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(hash_unit(F.col("doc_id"), salt="temp") < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+# --- diversity-aware retrieval (MMR) ---------------------------------------
+
+
+@query("mmr_diverse_topk")  # rows-only: the greedy re-rank is iterative;
+# pytest pins MMR-beats-plain-topk diversity on planted near-dup pools
+# and determinism of the selection
+def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: Maximal Marginal Relevance top-10
+    for a fixed probe — the re-ranking step that keeps a result list
+    (or a retrieval-curated training batch) from filling with
+    near-duplicates of the best hit; the list-level complement of the
+    near-dup dedup family.
+
+    Scale shape: one distributed scored pass + exact top-`fetch`
+    TakeOrdered; the O(k·fetch) greedy runs driver-side on the
+    fetch-bounded pool (`bounded_collect` contract) — the standard
+    split for sub-linear re-rankers. Deterministic: 6dp-rounded
+    relevance with id tiebreaks before the cut, id tiebreaks inside
+    the greedy."""
+    from prisma_migrator_spark.llm.similarity import mmr_topk
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = bounded_collect(
+        emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("v")
+        ),
+        1,
+        "single probe vector",
+    )[0]["v"]
+    return mmr_topk(
+        emb.where(F.col("vec_id") > 0), list(probe), k=10, lam=0.7, fetch=50
+    )

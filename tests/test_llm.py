@@ -4589,3 +4589,54 @@ def test_documents_dq_report_structural_clean_policy_fires(spark, sf_dir):
     assert out["min_20_tokens"]["n_violations"] > 0
     n = out["text_nonempty"]["n_rows"]
     assert all(r["n_rows"] == n for r in out.values())
+
+
+def test_mmr_prefers_diverse_results_over_near_dup_pool(spark):
+    """Candidate pool: a tight near-dup cluster around the probe plus
+    a slightly-less-relevant but diverse set. Plain top-k fills with
+    the clones; MMR at lambda=0.7 mixes in the diverse directions."""
+    import math
+
+    from prisma_migrator_spark.llm.similarity import mmr_topk, topk_bruteforce
+
+    dim = 8
+    rows = []
+    # a tight clone cluster near (not on) the probe: rel ~0.95,
+    # intra-cluster cosine ~1 (ids 1..6)
+    for i in range(1, 7):
+        v = [0.0] * dim
+        v[0] = 0.95
+        v[7] = 0.312 + 0.0005 * i
+        rows.append((i, v))
+    # diverse candidates: rel ~0.85 but spread over orthogonal axes,
+    # so their redundancy to the cluster (~0.81) < their relevance
+    for j, i in enumerate(range(7, 11)):
+        v = [0.0] * dim
+        v[0] = 0.85
+        v[1 + j] = -0.527
+        rows.append((i, v))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    probe = [0.0] * dim
+    probe[0] = 1.0
+
+    # lam=0.6: clone #2 scores 0.6*0.95 - 0.4*1.0 = 0.17; a diverse
+    # candidate scores 0.6*0.85 - 0.4*0.81 = 0.19 -> diversity wins
+    out = mmr_topk(emb, probe, k=5, lam=0.6, fetch=10).collect()
+    got_ids = [r["cand_id"] for r in out]
+    assert len(got_ids) == 5 and got_ids[0] in {1, 2, 3, 4, 5, 6}
+    # the four diverse candidates displace the redundant clones
+    assert len(set(got_ids) & {7, 8, 9, 10}) == 4
+    # plain exact top-5 takes clones only (the failure MMR fixes)
+    probes = spark.createDataFrame(
+        [(0, [float(x) for x in probe])], "vec_id long, embedding array<double>"
+    )
+    plain = {r["neighbor_id"]
+             for r in topk_bruteforce(emb, probes, k=5).collect()}
+    assert plain <= {1, 2, 3, 4, 5, 6}
+    # deterministic across invocations
+    again = [r["cand_id"] for r in mmr_topk(emb, probe, k=5, lam=0.6,
+                                            fetch=10).collect()]
+    assert again == got_ids
