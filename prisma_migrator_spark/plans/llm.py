@@ -5903,3 +5903,70 @@ def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         emb.where(F.col("vec_id") > 0), list(probe), k=10, lam=0.7, fetch=50
     )
+
+
+# --- deterministic augmentation positives (token dropout) -----------------
+
+_AUG_RATE = 0.15
+
+_AUG_PAIRS_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, t.i AS pos, w[t.i + 1] AS tok, len(w) AS n_tokens
+  FROM arrs, LATERAL UNNEST(range(len(w))) AS t(i)
+), kept AS (
+  SELECT doc_id, pos, tok, n_tokens
+  FROM toks
+  WHERE CAST(('0x' || substr(md5('aug:' || doc_id || ':' || pos), 1, 15))
+             AS BIGINT) / 1152921504606846976.0 >= {_AUG_RATE}
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos), '')) AS aug_fp
+FROM kept
+GROUP BY doc_id
+"""
+
+
+@query("augmented_positive_pairs", oracle=_AUG_PAIRS_ORACLE)
+def augmented_positive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data augmentation for contrastive text training
+    (SimCSE-style): each document gets a token-dropout view (drop
+    rate 15%, decided by md5(doc, position) — reproducible across
+    runs, engines, partitionings, and retries, where random dropout
+    is none of those), forming an (original, augmented) positive pair
+    without any external model. Complements `contrastive_triples`:
+    that mines positives from labels, this synthesizes them from the
+    text itself.
+
+    Zero-shuffle map pass: the dropout mask is an indexed array
+    filter inside whole-stage codegen; output is counts + the md5 of
+    the augmented text (hash-the-payload oracle discipline). Docs
+    where every token survives emit n_dropped=0 — still a valid
+    (identity) positive."""
+    from prisma_migrator_spark.llm.sampling import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    # per-position deterministic draw: md5('aug:doc:pos') as unit float
+    kept = F.filter(
+        F.expr("transform(w, (x, i) -> struct(i AS i, x AS x))"),
+        lambda s: hash_unit(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     s["i"].cast("string")),
+            salt="aug",
+        )
+        >= F.lit(_AUG_RATE),
+    )
+    return arrs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_dropped"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["x"])))
+        .alias("aug_fp"),
+    )

@@ -4640,3 +4640,36 @@ def test_mmr_prefers_diverse_results_over_near_dup_pool(spark):
     again = [r["cand_id"] for r in mmr_topk(emb, probe, k=5, lam=0.6,
                                             fetch=10).collect()]
     assert again == got_ids
+
+
+def test_augmented_pairs_deterministic_dropout_near_rate(spark, tmp_path):
+    import hashlib
+    import os
+
+    from prisma_migrator_spark.plans.llm import augmented_positive_pairs_q
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(100)), "en", "s", 400)
+            for i in range(20)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           augmented_positive_pairs_q(spark, d).collect()}
+    # overall drop rate near 15% over 2000 draws
+    dropped = sum(r["n_dropped"] for r in out.values())
+    assert 0.10 * 2000 <= dropped <= 0.20 * 2000
+    # reproduce doc 0's mask in pure python (same md5 recipe)
+    toks = rows[0][1].split()
+    kept = [
+        t for j, t in enumerate(toks)
+        if int(hashlib.md5(f"aug:0:{j}".encode()).hexdigest()[:15], 16)
+        / 1152921504606846976.0 >= 0.15
+    ]
+    assert out[0]["aug_fp"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert out[0]["n_dropped"] == len(toks) - len(kept)
+    # determinism across invocations
+    again = {r["doc_id"]: r["aug_fp"]
+             for r in augmented_positive_pairs_q(spark, d).collect()}
+    assert again == {k: v["aug_fp"] for k, v in out.items()}
