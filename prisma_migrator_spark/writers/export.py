@@ -178,3 +178,71 @@ def write_webdataset_shards(
     manifest = manifest.localCheckpoint()
     _atomic_swap(staging, path)
     return manifest
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Export as Arrow IPC (Feather v2) shards — the memory-mappable
+    zero-copy format training dataloaders (e.g. HF `datasets`) read
+    without parse cost: ``shard-00000.arrow`` each holding one record
+    batch, rows sorted by id for byte-stable re-exports.
+
+    Same choreography as `write_webdataset_shards`: deterministic
+    hash shard assignment (no global sort, retry/AQE-stable), one
+    owning task per shard writes via Arrow (``applyInPandas`` — sink
+    IO, the sanctioned Python layer), unique-suffix tmps +
+    ``os.replace`` per shard, and an atomic staging-directory swap so
+    a re-export never leaves stale shards behind a globbing loader.
+    Returns the manifest DataFrame (shard_id, n_samples, n_bytes,
+    path)."""
+    import math
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from prisma_migrator_spark.writers.upsert import _atomic_swap
+
+    staging = f"{path}.{uuid.uuid4().hex[:8]}.staging"
+    os.makedirs(staging)
+    n = df.count()
+    n_shards = max(1, math.ceil(n / samples_per_shard))
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.feather as feather
+
+        shard_id = int(pdf["__shard"].iloc[0])
+        pdf = pdf.sort_values(id_col).drop(columns=["__shard"])
+        fname = f"shard-{shard_id:05d}.arrow"
+        out = os.path.join(staging, fname)
+        tmp = f"{out}.{uuid.uuid4().hex[:8]}.tmp"
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        # uncompressed -> mmap-able zero-copy reads at training time
+        feather.write_feather(table, tmp, compression="uncompressed")
+        os.replace(tmp, out)
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": shard_id,
+                    "n_samples": len(pdf),
+                    "n_bytes": os.path.getsize(out),
+                    "path": os.path.join(path, fname),
+                }
+            ]
+        )
+
+    sharded = df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    manifest = sharded.groupBy("__shard").applyInPandas(
+        write_shard,
+        "shard_id long, n_samples long, n_bytes long, path string",
+    )
+    manifest = manifest.localCheckpoint()
+    _atomic_swap(staging, path)
+    return manifest

@@ -742,3 +742,43 @@ def test_webdataset_reexport_removes_stale_shards(spark, sf_dir, tmp_path):
     # and no staging directories left beside the target
     siblings = [p for p in os.listdir(tmp_path) if p.startswith("wds.")]
     assert siblings == [], siblings
+
+
+def test_arrow_shards_roundtrip_and_byte_stable(spark, sf_dir, tmp_path):
+    """Every row comes back through pyarrow exactly once, shard files
+    are mmap-able uncompressed Feather v2, the manifest matches the
+    on-disk reality, and a re-export is byte-identical."""
+    import os
+
+    import pyarrow.feather as feather
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.writers.export import write_arrow_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "arrow")
+    manifest = {r["shard_id"]: r for r in
+                write_arrow_shards(docs, out, samples_per_shard=100).collect()}
+
+    expected = {r["doc_id"]: r for r in docs.collect()}
+    got = {}
+    for sid, m in manifest.items():
+        t = feather.read_table(m["path"])
+        assert m["n_samples"] == t.num_rows
+        assert m["n_bytes"] == os.path.getsize(m["path"])
+        ids = t.column("doc_id").to_pylist()
+        assert ids == sorted(ids)  # byte-stable ordering
+        for row in t.to_pylist():
+            got[row["doc_id"]] = row
+    assert set(got) == set(expected)
+    for i, e in expected.items():
+        assert got[i]["text"] == e["text"] and got[i]["lang"] == e["lang"]
+
+    before = {f: open(os.path.join(out, f), "rb").read()
+              for f in sorted(os.listdir(out))}
+    write_arrow_shards(docs, out, samples_per_shard=100).collect()
+    after = {f: open(os.path.join(out, f), "rb").read()
+             for f in sorted(os.listdir(out))}
+    assert before == after
