@@ -5970,3 +5970,103 @@ def augmented_positive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["x"])))
         .alias("aug_fp"),
     )
+
+
+# --- PII context report (audit review around each hit) ---------------------
+
+_PII_TOKEN_RES = [
+    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"),
+    ("ssn", r"^\d{3}-\d{2}-\d{4}$"),
+    ("ipv4", r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"),
+]
+
+_PII_CONTEXT_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ping user' || CAST(doc_id AS VARCHAR)
+              || '@example.com then 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' ssn 123-45-6789 thanks team' AS t
+  FROM documents
+), arrs AS (
+  SELECT doc_id, string_split_regex(lower(trim(t)), '\s+') AS w FROM aug
+), toks AS (
+  SELECT doc_id, t.i AS pos, w[t.i + 1] AS tok, w
+  FROM arrs, LATERAL UNNEST(range(len(w))) AS t(i)
+), hits AS (
+  SELECT doc_id, pos,
+         CASE WHEN regexp_matches(tok, '{_PII_TOKEN_RES[0][1]}') THEN 'email'
+              WHEN regexp_matches(tok, '{_PII_TOKEN_RES[1][1]}') THEN 'ssn'
+              ELSE 'ipv4' END AS kind,
+         w
+  FROM toks
+  WHERE regexp_matches(tok, '{_PII_TOKEN_RES[0][1]}')
+     OR regexp_matches(tok, '{_PII_TOKEN_RES[1][1]}')
+     OR regexp_matches(tok, '{_PII_TOKEN_RES[2][1]}')
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, kind,
+       array_to_string(w[GREATEST(pos - 2, 1):LEAST(pos + 4, len(w))], ' ')
+         AS context
+FROM hits
+"""
+
+
+@query("pii_context_report", oracle=_PII_CONTEXT_ORACLE)
+def pii_context_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII AUDIT report: every token-level PII hit with its token
+    position and ±3 tokens of surrounding context — what a privacy
+    review actually reads before approving a redaction pass
+    (`pii_redaction` scrubs; this explains WHAT will be scrubbed and
+    in what setting, e.g. a support signature vs a leaked dump). The
+    fixture text carries no PII, so deterministic synthetic PII is
+    injected identically on both engines (the pii_redaction
+    discipline) and the oracle verifies positions and contexts
+    exactly.
+
+    Zero-shuffle map pass: the token match runs as an indexed array
+    filter (only HIT rows ever explode — corpus-sized docs with no
+    PII contribute nothing past the scan), context is an array slice
+    on the already-held token array."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" ping user"), d.cast("string"),
+        F.lit("@example.com then 10."), (d % 200).cast("string"),
+        F.lit(".3."), (d % 250).cast("string"),
+        F.lit(" ssn 123-45-6789 thanks team"),
+    )
+    arrs = docs.select(
+        "doc_id", F.split(F.lower(F.trim(t)), r"\s+").alias("w")
+    )
+    hits = F.filter(
+        F.expr("transform(w, (x, i) -> struct(i AS i, x AS x))"),
+        lambda s: (
+            s["x"].rlike(_PII_TOKEN_RES[0][1])
+            | s["x"].rlike(_PII_TOKEN_RES[1][1])
+            | s["x"].rlike(_PII_TOKEN_RES[2][1])
+        ),
+    )
+    exploded = arrs.select(
+        "doc_id", "w", F.explode(hits).alias("h")
+    ).select(
+        "doc_id",
+        "w",
+        F.col("h.i").cast("bigint").alias("pos"),
+        F.col("h.x").alias("tok"),
+    )
+    kind = (
+        F.when(F.col("tok").rlike(_PII_TOKEN_RES[0][1]), "email")
+        .when(F.col("tok").rlike(_PII_TOKEN_RES[1][1]), "ssn")
+        .otherwise("ipv4")
+    )
+    start = F.greatest(F.col("pos") - 2, F.lit(1))
+    end = F.least(F.col("pos") + 4, F.size("w").cast("bigint"))
+    return exploded.select(
+        "doc_id",
+        "pos",
+        kind.alias("kind"),
+        F.concat_ws(
+            " ", F.slice("w", start, (end - start + 1).cast("int"))
+        ).alias("context"),
+    )

@@ -4673,3 +4673,28 @@ def test_augmented_pairs_deterministic_dropout_near_rate(spark, tmp_path):
     again = {r["doc_id"]: r["aug_fp"]
              for r in augmented_positive_pairs_q(spark, d).collect()}
     assert again == {k: v["aug_fp"] for k, v in out.items()}
+
+
+def test_pii_context_report_positions_and_windows(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import pii_context_report_q
+
+    rows = [(7, "alpha beta gamma delta", "en", "s", 22)]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {r["kind"]: r for r in pii_context_report_q(spark, d).collect()}
+    assert set(out) == {"email", "ssn", "ipv4"}
+    # augmented token stream: alpha beta gamma delta ping user7@...
+    # then 10.7.3.7 ssn 123-45-6789 thanks team  (0-based positions)
+    assert out["email"]["pos"] == 5
+    assert out["email"]["context"] == (
+        "gamma delta ping user7@example.com then 10.7.3.7 ssn"
+    )
+    assert out["ipv4"]["pos"] == 7
+    assert out["ssn"]["pos"] == 9
+    # tail window clips at the end of the doc
+    assert out["ssn"]["context"].endswith("thanks team")
