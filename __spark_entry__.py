@@ -33,6 +33,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "pii_context_report",
     "mmr_diverse_topk",
     "augmented_positive_pairs",
     "cross_source_syndication",
