@@ -6070,3 +6070,72 @@ def pii_context_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("w", start, (end - start + 1).cast("int"))
         ).alias("context"),
     )
+
+
+# --- classifier evaluation on a HELD-OUT split ------------------------------
+
+
+@query("classifier_holdout_auc")  # rows-only: iterative GD training
+# (the AUC arithmetic itself is oracle-proven in fluency_quality_auc)
+def classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation a trained quality classifier actually needs:
+    fit on the TRAIN split only (deterministic hash split — the same
+    assignment machinery the corpus pipeline uses), score the
+    held-out docs the trainer never saw, and report tie-aware ROC-AUC
+    there. `quality_classifier_scores` reports in-sample fit; this is
+    the generalization number, and the train/score separation means a
+    memorized vocabulary can't inflate it.
+
+    Plan shape: the split is a map-side hash expression; training
+    scans only the train-split feature frame ({iters} 1-row gradient
+    aggregates); held-out scoring is one map pass; the AUC is the
+    audited group-by-distinct-score + two-level prefix sum (no global
+    sort, exact decimal numerator)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.logreg import (
+        featurize_terms,
+        score_logreg,
+        train_logreg,
+        weak_quality_label,
+    )
+    from prisma_migrator_spark.llm.text import build_vocab, hash_split
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+    from prisma_migrator_spark.operators.metrics import roc_auc
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    split = docs.withColumn(
+        "__split", hash_split(F.col("doc_id"), train_pct=80, val_pct=0)
+    )
+    train = split.where(F.col("__split") == "train")
+    held = split.where(F.col("__split") == "test")
+    # vocabulary from the TRAIN split only — the held-out docs must
+    # not even shape the features
+    terms = [
+        r["term"]
+        for r in bounded_collect(
+            build_vocab(train, top_v=_QC_V).orderBy("token_id").select("term"),
+            _QC_V,
+            f"top_v={_QC_V} vocabulary rows",
+        )
+    ]
+    lab_train = train.withColumn("y", weak_quality_label(F.col("text")))
+    feats = featurize_terms(lab_train, terms, keep_cols=["y"]).persist()
+    feats.count()
+    try:
+        w, _losses = train_logreg(
+            feats, dim=len(terms) + 2, lr=_QC_LR, n_iters=_QC_ITERS
+        )
+    finally:
+        feats.unpersist(blocking=False)
+    lab_held = held.withColumn("y", weak_quality_label(F.col("text")))
+    scored = score_logreg(
+        featurize_terms(lab_held, terms, keep_cols=["y"]), w
+    ).select(
+        F.round("p_keep", 6).alias("score"), F.col("y").alias("label")
+    )
+    return roc_auc(scored, score_col="score", label_col="label")
+
+
+classifier_holdout_auc_q.__doc__ = classifier_holdout_auc_q.__doc__.format(
+    iters=_QC_ITERS
+)

@@ -4698,3 +4698,28 @@ def test_pii_context_report_positions_and_windows(spark, tmp_path):
     assert out["ssn"]["pos"] == 9
     # tail window clips at the end of the doc
     assert out["ssn"]["context"].endswith("thanks team")
+
+
+def test_classifier_holdout_auc_generalizes_on_separable_corpus(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import classifier_holdout_auc_q
+
+    rows = []
+    for i in range(60):  # separable: stopword-rich prose vs token salad
+        good = ("the and of to in is it for on with " * (4 + i % 3)).strip() + "."
+        rows.append((2 * i, good, "en", "s", len(good)))
+        bad = " ".join(f"q{i}_{j}" for j in range(4 + i % 3))
+        rows.append((2 * i + 1, bad, "en", "s", len(bad)))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = classifier_holdout_auc_q(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # both classes present in the ~20% held-out split, and the model
+    # trained WITHOUT those docs still separates them
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert r["auc"] >= 0.9, r
