@@ -6139,3 +6139,65 @@ def classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 classifier_holdout_auc_q.__doc__ = classifier_holdout_auc_q.__doc__.format(
     iters=_QC_ITERS
 )
+
+
+# --- ANN recall report (LSH / IVF / PQ vs exact) ----------------------------
+
+
+@query("ann_recall_report")  # rows-only: ANN internals are
+# engine-ordered; the recall floors are additionally pinned in the
+# per-method pytest recall tests
+def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate index against the exact
+    brute-force baseline, as one queryable report — the number an ANN
+    rollout decision reads (pytest pins per-method floors; this makes
+    the same measurement a first-class query so an operator can run
+    it on THEIR corpus before trusting an index). One row per method
+    with its mean recall over the probe set.
+
+    Plan shape: each method's top-k is its audited plan; recall
+    joins k-bounded result sets on (probe, neighbor) — every frame
+    past the searches is |probes|·k rows.
+
+    Expect LOW recall on the fixture embeddings: they are
+    near-isotropic random, where top-5 margins are razor-thin and no
+    quantizer separates them (the same reason the per-method pytest
+    floors pin recall on PLANTED clusters instead). On real clustered
+    embeddings the same report reads 0.8+; that contrast is the
+    point — run it on your corpus before trusting an index."""
+    from prisma_migrator_spark.llm.similarity import (
+        topk_ivf,
+        topk_lsh,
+        topk_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    k = 5
+    exact = topk_bruteforce(emb, probes, k=k).select(
+        "probe_id", "neighbor_id"
+    )
+    n_probes = probes.count()
+    methods = {
+        "lsh": topk_lsh(emb, probes, k=k),
+        "ivf": topk_ivf(emb, probes, k=k, n_centroids=16, nprobe=4),
+        "pq": topk_pq(emb, probes, k=k, m=10, ksub=16, iters=1),
+    }
+    reports = []
+    for name, res in methods.items():
+        hits = res.select("probe_id", "neighbor_id").join(
+            F.broadcast(exact), ["probe_id", "neighbor_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.round(
+                    F.count(F.lit(1)) / F.lit(float(n_probes * k)), 6
+                ).alias("recall_at_5"),
+                F.lit(n_probes).cast("long").alias("n_probes"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -4723,3 +4723,31 @@ def test_classifier_holdout_auc_generalizes_on_separable_corpus(spark, tmp_path)
     # trained WITHOUT those docs still separates them
     assert r["n_pos"] > 0 and r["n_neg"] > 0
     assert r["auc"] >= 0.9, r
+
+
+def test_ann_recall_report_shape_and_planted_cluster_floor(spark, tmp_path):
+    """On planted well-separated clusters the report reads high
+    recall for IVF (the pruning index whose cells align with real
+    cluster structure); all recalls are valid fractions."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import ann_recall_report_q
+
+    dim, rows = 16, []
+    for i in range(64):
+        hot = (i % 4) * 4
+        v = [0.01 * ((i + d) % 5) for d in range(dim)]
+        v[hot] = 4.0
+        v[hot + 1] = 2.0 + 0.05 * (i % 7)
+        rows.append((i, [float(x) for x in v], i % 4))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = {r["method"]: r for r in ann_recall_report_q(spark, d).collect()}
+    assert set(out) == {"lsh", "ivf", "pq"}
+    for r in out.values():
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        assert r["n_probes"] == 10
+    assert out["ivf"]["recall_at_5"] >= 0.6, out
