@@ -6201,3 +6201,89 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- two-sample KS drift between corpus cohorts -----------------------------
+
+_KS_ORACLE = rf"""{_QUALITY_CTE},
+coh AS (
+  SELECT q.doc_id,
+         CAST(ROUND(q.quality * 1000000.0, 0) AS BIGINT) AS qm,
+         CASE WHEN CAST(substr(d.source, 4) AS INT) < 10
+              THEN 1 ELSE 0 END AS in_a
+  FROM q JOIN documents d USING (doc_id)
+), vals AS (
+  SELECT qm, SUM(in_a) AS n_a, SUM(1 - in_a) AS n_b
+  FROM coh GROUP BY qm
+), cum AS (
+  SELECT qm,
+         SUM(n_a) OVER (ORDER BY qm) AS ca,
+         SUM(n_b) OVER (ORDER BY qm) AS cb
+  FROM vals
+), tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM vals
+)
+SELECT ta AS n_a, tb AS n_b,
+       ROUND(MAX(ABS(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE))), 6)
+         AS ks_stat
+FROM cum, tot
+GROUP BY ta, tb
+"""
+
+
+@query("quality_ks_drift", oracle=_KS_ORACLE)
+def quality_ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov distance between two
+    corpus cohorts' quality distributions (sources src0-9 vs
+    src10-19) — the distribution-drift test a pipeline runs when a
+    new crawl batch arrives: means hide shape changes; KS is the
+    max ECDF gap and catches them. sup_v |F_A(v) − F_B(v)| computed
+    exactly, not on a sampled grid.
+
+    The scale problem is the ECDF: a naive cumulative window over
+    quality order is ONE task over the corpus. Here the corpus
+    collapses first to DISTINCT 6dp score values (bounded by the
+    1e6-point score grid, not by rows) with per-cohort counts, and
+    the running sums ride the audited two-level distributed prefix
+    sum (`global_running_offset` — per-bucket windows + an
+    n_buckets-row base-offset frame, nothing unpartitioned). The
+    oracle states the same statistic with DuckDB's plain window."""
+    from prisma_migrator_spark.llm.packing import global_running_offset
+    from prisma_migrator_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    coh = docs.select(
+        F.round(F.round(quality_score(F.col("text")), 6) * 1e6, 0)
+        .cast("long")
+        .alias("qm"),
+        F.when(
+            F.substring("source", 4, 10).cast("int") < 10, 1
+        ).otherwise(0).alias("in_a"),
+    )
+    vals = coh.groupBy("qm").agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(1 - F.col("in_a")).alias("n_b"),
+    )
+    ca = global_running_offset(vals, "n_a", order_col="qm").withColumnRenamed(
+        "start_off", "__off_a"
+    )
+    cb = global_running_offset(ca, "n_b", order_col="qm").withColumnRenamed(
+        "start_off", "__off_b"
+    )
+    tot = vals.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    gap = F.abs(
+        (F.col("__off_a") + F.col("n_a")) / F.col("ta").cast("double")
+        - (F.col("__off_b") + F.col("n_b")) / F.col("tb").cast("double")
+    )
+    return (
+        cb.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").alias("n_a"),
+            F.max("tb").alias("n_b"),
+            F.round(F.max(gap), 6).alias("ks_stat"),
+        )
+    )

@@ -4751,3 +4751,40 @@ def test_ann_recall_report_shape_and_planted_cluster_floor(spark, tmp_path):
         assert 0.0 <= r["recall_at_5"] <= 1.0
         assert r["n_probes"] == 10
     assert out["ivf"]["recall_at_5"] >= 0.6, out
+
+
+def test_quality_ks_drift_matches_scipy_style_reference(spark, tmp_path):
+    """KS on constructed cohorts equals the classic pure-Python
+    two-sample statistic; identical cohorts read 0, disjoint read 1."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import quality_ks_drift_q
+    from prisma_migrator_spark.llm.text import quality_score
+
+    rows = []
+    for i in range(30):  # cohort A (src0..9): varied lengths
+        t = ("the and of to " * (1 + i % 7)).strip()
+        rows.append((i, t, "en", f"src{i % 10}", len(t)))
+    for i in range(30, 60):  # cohort B (src10..19): different lengths
+        t = ("word salad here now " * (2 + i % 5)).strip()
+        rows.append((i, t, "en", f"src{10 + i % 10}", len(t)))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(f"{d}/documents.parquet")
+    got = quality_ks_drift_q(spark, d).collect()[0]
+    assert got["n_a"] == 30 and got["n_b"] == 30
+
+    # pure-python two-sample KS over the same 6dp-rounded scores
+    qs = {r["doc_id"]: r["q"] for r in df.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+    ).collect()}
+    a = sorted(qs[i] for i in range(30))
+    b = sorted(qs[i] for i in range(30, 60))
+    grid = sorted(set(a) | set(b))
+    def ecdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+    ref = max(abs(ecdf(a, v) - ecdf(b, v)) for v in grid)
+    assert got["ks_stat"] == pytest.approx(round(ref, 6), abs=1e-6)
