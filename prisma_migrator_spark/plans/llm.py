@@ -6287,3 +6287,201 @@ def quality_ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(gap), 6).alias("ks_stat"),
         )
     )
+
+
+# --- per-document keyword extraction (TF-IDF top-k) -------------------------
+
+_DOC_KEYWORDS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'), ' '))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("doc_keywords", oracle=_DOC_KEYWORDS_ORACLE)
+def doc_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each doc's top-5 terms by
+    TF-IDF against the corpus — the tagging/routing/snippeting
+    primitive (and the cheap label a weak-supervision pipeline
+    bootstraps from). `top_terms_tfidf` ranks terms corpus-wide; this
+    ranks them per document.
+
+    Plan shape: (doc, term) tf + vocabulary-sized df (broadcast
+    back), then a top-k window partitioned BY DOCUMENT — state is one
+    doc's vocabulary, never the corpus; 6dp rounds + term tiebreaks
+    keep the cut engine-stable."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
+# --- SymSpell deletion-neighborhood spelling candidates ---------------------
+
+_SYMSPELL_ORACLE = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(regexp_replace(lower(trim(text)),
+                                                  '\s+', ' ', 'g'), ' '))
+           AS term
+  FROM documents
+), vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE length(term) >= 4 GROUP BY term HAVING COUNT(*) >= 2
+), probes AS (
+  SELECT term AS src,
+         substr(term, 1,
+                CAST(CAST(('0x' || substr(md5('del:' || term), 1, 15))
+                          AS BIGINT) % length(term) AS INT))
+         || substr(term,
+                   CAST(CAST(('0x' || substr(md5('del:' || term), 1, 15))
+                             AS BIGINT) % length(term) AS INT) + 2)
+           AS probe
+  FROM vocab
+  WHERE length(term) >= 5
+    AND CAST(('0x' || substr(md5('pick:' || term), 1, 15)) AS BIGINT)
+        / 1152921504606846976.0 < 0.2
+), vkeys AS (
+  SELECT term, freq, u.k
+  FROM vocab, UNNEST(list_append(
+      list_transform(range(1, length(term) + 1),
+                     i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+      term)) AS u(k)
+), pkeys AS (
+  SELECT DISTINCT probe, u.k
+  FROM probes, UNNEST(list_append(
+      list_transform(range(1, length(probe) + 1),
+                     i -> substr(probe, 1, i - 1) || substr(probe, i + 1)),
+      probe)) AS u(k)
+), cand AS (
+  SELECT DISTINCT p.probe, v.term, v.freq
+  FROM pkeys p JOIN vkeys v USING (k)
+)
+SELECT probe, term, freq,
+       CAST(levenshtein(probe, term) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(probe, term) <= 1
+"""
+
+
+@query("symspell_candidates", oracle=_SYMSPELL_ORACLE)
+def symspell_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spelling candidates: misspelled tokens find
+    their vocabulary corrections through a DELETION-KEY equi join —
+    the trick that makes fuzzy lookup distributable (a direct fuzzy
+    join is quadratic; deletion neighborhoods make edit-distance-1
+    candidates meet on a shared key, then the exact bounded
+    Levenshtein verifies). Probes are synthesized deterministically
+    (one md5-chosen char deleted from md5-picked vocabulary terms),
+    so the oracle replays the whole pipeline including the recall
+    case where the probe equals another real word.
+
+    Plan shape: vocabulary aggregate → map-side key explode on BOTH
+    sides (≤ len+1 keys per term), one equi join on the key, distinct
+    candidate pairs, JVM bounded Levenshtein verification. Candidate
+    mass is Σ key-bucket² over deletion keys — vocabulary-sized,
+    never corpus-sized."""
+    from prisma_migrator_spark.llm.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term")
+    ).where(F.length("term") >= 4)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 2)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("del:"), F.col("term"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    pos = (h % F.length("term")).cast("int")
+    pick = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pick:"), F.col("term"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        / F.lit(1152921504606846976.0)
+    )
+    probes = (
+        vocab.where((F.length("term") >= 5) & (pick < 0.2))
+        .select(
+            F.concat(
+                F.substring(F.col("term"), 1, pos),
+                F.col("term").substr(pos + 2, F.length("term")),
+            ).alias("probe")
+        )
+        .distinct()
+    )
+
+    def _del_keys(col: str) -> F.Column:
+        return F.expr(
+            f"array_append(transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))), {col})"
+        )
+
+    vkeys = vocab.select(
+        "term", "freq", F.explode(_del_keys("term")).alias("k")
+    )
+    pkeys = probes.select(
+        "probe", F.explode(_del_keys("probe")).alias("k")
+    ).distinct()
+    cand = (
+        pkeys.join(vkeys, "k")
+        .select("probe", "term", "freq")
+        .distinct()
+    )
+    dist = F.levenshtein("probe", "term", 1)
+    return cand.where((dist >= 0) & (dist <= 1)).select(
+        "probe", "term", "freq", dist.cast("int").alias("edit_dist")
+    )

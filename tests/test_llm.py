@@ -4788,3 +4788,66 @@ def test_quality_ks_drift_matches_scipy_style_reference(spark, tmp_path):
         return sum(1 for x in xs if x <= v) / len(xs)
     ref = max(abs(ecdf(a, v) - ecdf(b, v)) for v in grid)
     assert got["ks_stat"] == pytest.approx(round(ref, 6), abs=1e-6)
+
+
+def test_doc_keywords_surface_distinctive_terms(spark, tmp_path):
+    import os
+
+    from prisma_migrator_spark.plans.llm import doc_keywords_q
+
+    common = "the quick brown fox jumps over lazy dogs daily " * 2
+    rows = [
+        (0, common + "zygote zygote zygote", "en", "s", 100),
+        (1, common + "quasar quasar quasar", "en", "s", 100),
+        (2, common.strip(), "en", "s", 90),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    out = {}
+    for r in doc_keywords_q(spark, d).collect():
+        out.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    # the doc-unique term wins rank 1; shared terms have IDF 0 and
+    # never outrank it
+    assert sorted(out[0])[0] == (1, "zygote")
+    assert sorted(out[1])[0] == (1, "quasar")
+    assert all(len(v) <= 5 for v in out.values())
+
+
+def test_symspell_finds_corrections_not_lookalikes(spark):
+    """Deletion-key join machinery on a hand corpus: a typo meets its
+    edit-distance-1 corrections through shared deletion keys; words
+    at distance 2+ never survive verification."""
+    from prisma_migrator_spark.plans.llm import symspell_candidates_q  # noqa: F401
+    # exercise the underlying join shape directly via a local frame
+    from pyspark.sql import functions as SF
+
+    vocab = spark.createDataFrame(
+        [("spark", 10), ("spars", 4), ("sparse", 3), ("shark", 5),
+         ("python", 9)],
+        "term string, freq long",
+    )
+    probes = spark.createDataFrame([("spak",), ("pythn",)],
+                                   "probe string")
+
+    def keys(col):
+        return SF.expr(
+            f"array_append(transform(sequence(1, length({col})), "
+            f"i -> concat(substring({col}, 1, i - 1), "
+            f"substring({col}, i + 1, length({col})))), {col})"
+        )
+
+    vk = vocab.select("term", SF.explode(keys("term")).alias("k"))
+    pk = probes.select("probe", SF.explode(keys("probe")).alias("k")).distinct()
+    dist = SF.levenshtein("probe", "term", 1)
+    got = {
+        (r["probe"], r["term"])
+        for r in pk.join(vk, "k").select("probe", "term").distinct()
+        .where((dist >= 0) & (dist <= 1)).collect()
+    }
+    assert ("spak", "spark") in got       # insertion fix
+    assert ("pythn", "python") in got
+    assert ("spak", "shark") not in got   # distance 2: rejected
+    assert ("spak", "sparse") not in got
