@@ -6485,3 +6485,82 @@ def symspell_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where((dist >= 0) & (dist <= 1)).select(
         "probe", "term", "freq", dist.cast("int").alias("edit_dist")
     )
+
+
+# --- PMI collocations (corpus analysis) -------------------------------------
+
+_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), big AS (
+  SELECT u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+), lc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cl FROM bc GROUP BY w1),
+rc AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cr FROM bc GROUP BY w2),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nb FROM bc)
+SELECT bc.w1, bc.w2, bc.c,
+       ROUND(LN(bc.c * (SELECT nb FROM n)
+                / (lc.cl * CAST(rc.cr AS DOUBLE))), 6) AS pmi
+FROM bc JOIN lc USING (w1) JOIN rc USING (w2)
+WHERE bc.c >= 5
+ORDER BY pmi DESC, bc.w1, bc.w2
+LIMIT 50
+"""
+
+
+@query("term_pmi_pairs", oracle=_PMI_ORACLE)
+def term_pmi_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-50 adjacent term pairs by
+    pointwise mutual information (count >= 5) — the corpus-analysis
+    primitive behind phrase detection (word2vec-style "new_york"
+    merging), tokenizer-vocabulary decisions, and boilerplate
+    signature discovery. PMI over the bigram event space:
+    ln(c_ab·N / (c_a·· · c_··b)).
+
+    Plan shape: one bigram spine feeds the (w1, w2) count; the left
+    and right margins are re-aggregates OF THE COUNT TABLE
+    (vocabulary-sized, broadcast back) — the corpus is scanned once;
+    top-50 is TakeOrderedAndProject with 6dp + lexicographic
+    tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
+    )
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "if(size(ts) < 2, "
+                "array()::array<struct<w1:string,w2:string>>, "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lc = bc.groupBy("w1").agg(F.sum("c").alias("cl"))
+    rc = bc.groupBy("w2").agg(F.sum("c").alias("cr"))
+    nb = bc.agg(F.sum("c").cast("double").alias("nb"))
+    return (
+        bc.where(F.col("c") >= 5)
+        .join(F.broadcast(lc), "w1")
+        .join(F.broadcast(rc), "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(
+                F.log(
+                    F.col("c") * F.col("nb")
+                    / (F.col("cl") * F.col("cr").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -4851,3 +4851,30 @@ def test_symspell_finds_corrections_not_lookalikes(spark):
     assert ("pythn", "python") in got
     assert ("spak", "shark") not in got   # distance 2: rejected
     assert ("spak", "sparse") not in got
+
+
+def test_pmi_surfaces_collocations_over_frequent_pairs(spark, tmp_path):
+    """'hong kong' (always together) must out-PMI 'the cat' (both
+    frequent but independent) even when the latter pair occurs more
+    often."""
+    import os
+
+    rows = []
+    for i in range(10):
+        t = ("hong kong is nice . " * 1
+             + "the cat sat . the dog sat . the sun set . " * 3).strip()
+        rows.append((i, t, "en", "s", len(t)))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    from prisma_migrator_spark.plans.llm import term_pmi_pairs_q
+
+    out = {(r["w1"], r["w2"]): r for r in term_pmi_pairs_q(spark, d).collect()}
+    assert ("hong", "kong") in out
+    hk = out[("hong", "kong")]
+    # 'hong kong' is rarer than 'the cat' yet scores higher PMI
+    the_cat = out.get(("the", "cat"))
+    assert the_cat is None or hk["pmi"] > the_cat["pmi"]
+    assert the_cat is None or hk["c"] < the_cat["c"]
