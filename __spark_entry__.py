@@ -33,6 +33,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "doc_keywords",
+    "symspell_candidates",
+    "term_pmi_pairs",
     "quality_ks_drift",
     "classifier_holdout_auc",
     "ann_recall_report",
