@@ -6564,3 +6564,80 @@ def term_pmi_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# --- semantic (embedding-level) contamination report ------------------------
+
+_SEM_CONTAM_TAU = 0.80
+
+_SEM_CONTAM_ORACLE = f"""
+WITH ev AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 25
+), tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25
+), hits AS (
+  SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      t.embedding::DOUBLE[]), 6) AS cosine
+  FROM ev e JOIN tr t ON TRUE
+)
+SELECT eval_id,
+       CAST(SUM(CASE WHEN cosine >= {_SEM_CONTAM_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminating,
+       ROUND(MAX(cosine), 6) AS max_cosine
+FROM hits
+GROUP BY eval_id
+"""
+
+
+@query("semantic_contamination_report", oracle=_SEM_CONTAM_ORACLE)
+def semantic_contamination_report_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC eval-set contamination: per eval embedding, how many
+    training embeddings sit above cosine {tau} and the max similarity
+    found — the embedding-level complement of the k-gram
+    `eval_contamination_report` (paraphrases and translations leak
+    through n-gram matching; they don't leak past a good embedding).
+    The modern-pipeline combination is both: k-grams catch verbatim,
+    cosine catches paraphrase.
+
+    Scale shape: the eval side broadcasts (eval sets are small by
+    construction), norms precomputed per side, per-eval aggregation —
+    the same broadcast-probe discipline as `topk_bruteforce`; at
+    corpus scale swap the scan for the sign-LSH bucketed candidate
+    join (`embedding_near_dup_pairs`) with threshold {tau} — the
+    report's aggregate is unchanged. The exact form is the oracle
+    baseline, as everywhere in the ANN family."""
+    from prisma_migrator_spark.llm.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").cast("array<double>").alias("ev_vec"),
+    ).withColumn("ev_norm", _norm(F.col("ev_vec")))
+    tr = emb.where(F.col("vec_id") >= 25).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").cast("array<double>").alias("tr_vec"),
+    ).withColumn("tr_norm", _norm(F.col("tr_vec")))
+    cos = F.round(
+        _dot(F.col("ev_vec"), F.col("tr_vec"))
+        / (F.col("ev_norm") * F.col("tr_norm")),
+        6,
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("eval_id", cos.alias("cosine"))
+        .groupBy("eval_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cosine") >= _SEM_CONTAM_TAU, 1).otherwise(0)
+            ).alias("n_contaminating"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+    )
+
+
+semantic_contamination_report_q.__doc__ = (
+    semantic_contamination_report_q.__doc__.format(tau=_SEM_CONTAM_TAU)
+)

@@ -4878,3 +4878,35 @@ def test_pmi_surfaces_collocations_over_frequent_pairs(spark, tmp_path):
     the_cat = out.get(("the", "cat"))
     assert the_cat is None or hk["pmi"] > the_cat["pmi"]
     assert the_cat is None or hk["c"] < the_cat["c"]
+
+
+def test_semantic_contamination_detects_paraphrase_level_leaks(spark, tmp_path):
+    import os
+
+    dim = 8
+    rows = []
+    # eval ids 0..2; train ids 25..27
+    base = [1.0, 0.5] + [0.0] * (dim - 2)
+    rows.append((0, base, 0))                       # eval: leaked
+    rows.append((1, [0.0] * 7 + [1.0], 0))          # eval: clean
+    rows.append((2, [0.0, 1.0] + [0.0] * 6, 0))     # eval: clean-ish
+    near = list(base)
+    near[2] = 0.05                                  # paraphrase-level
+    rows.append((25, near, 1))
+    rows.append((26, [0.0, 0.0, 1.0] + [0.0] * 5, 1))
+    rows.append((27, [0.3] * dim, 1))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, v, lab in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    from prisma_migrator_spark.plans.llm import (
+        semantic_contamination_report_q,
+    )
+
+    out = {r["eval_id"]: r
+           for r in semantic_contamination_report_q(spark, d).collect()}
+    assert out[0]["n_contaminating"] >= 1 and out[0]["max_cosine"] > 0.99
+    assert out[1]["n_contaminating"] == 0
+    assert out[2]["n_contaminating"] == 0
