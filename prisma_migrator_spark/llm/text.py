@@ -504,3 +504,27 @@ def hashed_doc_vector_arrays(
         id_col,
         F.transform(dense, lambda x: x / norm).alias("embedding"),
     )
+
+
+def merge_phrases(tokens_col: Column, phrases: list[tuple[str, str]]) -> Column:
+    """Left-to-right greedy phrase merge over a token array: whenever
+    the running output's last token and the incoming token form a
+    listed phrase, they fuse into ``left_right`` (word2vec-style
+    phrase tokens). One ``F.aggregate`` fold — JVM-side, zero
+    shuffle, zero Python; deterministic (a fused token never
+    re-merges, so overlapping phrase chains resolve left-to-right)."""
+    keys = F.array(*[F.lit(f"{a} {b}") for a, b in phrases])
+    return F.aggregate(
+        tokens_col,
+        F.array().cast("array<string>"),
+        lambda acc, w: F.when(
+            (F.size(acc) > 0)
+            & F.array_contains(
+                keys, F.concat(F.element_at(acc, -1), F.lit(" "), w)
+            ),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), F.lit("_"), w)),
+            ),
+        ).otherwise(F.concat(acc, F.array(w))),
+    )

@@ -27,7 +27,7 @@ from prisma_migrator_spark.llm.dedup import (
 )
 from prisma_migrator_spark.llm.similarity import topk_bruteforce, topk_lsh
 from prisma_migrator_spark.llm.text import rolling_fingerprint, text_stats
-from prisma_migrator_spark.plans.registry import query
+from prisma_migrator_spark.plans.registry import QUERIES, query
 
 # --- text analysis -----------------------------------------------------
 
@@ -6641,3 +6641,49 @@ def semantic_contamination_report_q(
 semantic_contamination_report_q.__doc__ = (
     semantic_contamination_report_q.__doc__.format(tau=_SEM_CONTAM_TAU)
 )
+
+
+# --- phrase merging (PMI applied to the corpus) ------------------------------
+
+
+@query("merge_phrases")  # rows-only: the phrase list is mined by the
+# PMI query (itself oracle-gated) and folded via an array aggregate
+# DuckDB's list_reduce cannot express (array-typed accumulator);
+# pytest pins the fold against a pure-Python reference
+def merge_phrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase merging — PMI put to work: mine the corpus's strongest
+    collocations (PMI >= 2, count >= 5, the `term_pmi_pairs` plan),
+    then rewrite every document with those pairs fused into single
+    ``left_right`` tokens (the word2vec phrase pass; also how
+    domain-specific multiword terms survive BPE whole). Greedy
+    left-to-right, deterministic.
+
+    Plan shape: the phrase list is vocabulary-derived and tiny
+    (bounded collect <= 64 rows) and folds into the rewrite as a
+    LITERAL array — the rewrite itself is a zero-shuffle map pass
+    (`llm/text.merge_phrases`). Output hashes the rewritten text and
+    counts fused pairs per doc."""
+    from prisma_migrator_spark.llm.text import merge_phrases
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    max_phrases = 64
+    pmi = QUERIES["term_pmi_pairs"](spark, sf_dir)
+    phrase_rows = bounded_collect(
+        pmi.where((F.col("pmi") >= 2.0) & (F.col("c") >= 5))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(max_phrases),
+        max_phrases,
+        "top-PMI phrase list is limit(max_phrases)",
+    )
+    phrases = [(r["w1"], r["w2"]) for r in phrase_rows]
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    merged = merge_phrases(F.col("w"), phrases)
+    return arrs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(merged)).cast("bigint").alias("n_merged"),
+        F.md5(F.concat_ws(" ", merged)).alias("merged_fp"),
+    )

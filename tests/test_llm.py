@@ -4910,3 +4910,39 @@ def test_semantic_contamination_detects_paraphrase_level_leaks(spark, tmp_path):
     assert out[0]["n_contaminating"] >= 1 and out[0]["max_cosine"] > 0.99
     assert out[1]["n_contaminating"] == 0
     assert out[2]["n_contaminating"] == 0
+
+
+def test_merge_phrases_fold_matches_python_reference(spark):
+    from prisma_migrator_spark.llm.text import merge_phrases
+
+    phrases = [("hong", "kong"), ("new", "york"), ("york", "city")]
+    cases = [
+        "hong kong is far from new york city today",
+        "hong hong kong kong",
+        "new york york city",   # left-to-right: new_york then york? no —
+        "plain words only",
+    ]
+
+    def ref(toks):
+        out = []
+        pset = {f"{a} {b}" for a, b in phrases}
+        for w in toks:
+            if out and f"{out[-1]} {w}" in pset:
+                out[-1] = f"{out[-1]}_{w}"
+            else:
+                out.append(w)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        merge_phrases(F.split(F.lower(F.trim("text")), r"\s+"),
+                      phrases).alias("m"),
+    )
+    got = {r["doc_id"]: list(r["m"]) for r in df.collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == ref(t.split()), (i, got[i])
+    # the fused token never re-merges: "new york york city" gives
+    # new_york then york_city (left-to-right greedy)
+    assert got[2] == ["new_york", "york_city"]
