@@ -129,3 +129,52 @@ def calibration_bins(
             F.round(F.sum(lab) / F.count(F.lit(1)), 6).alias("pos_rate"),
         )
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Isotonic calibration of a scorer against 0/1 labels via
+    pool-adjacent-violators (PAV): returns the monotone step function
+    as one row per pooled block — (score_lo, score_hi, n, calibrated_p)
+    — mapping raw scores to empirical probabilities without assuming
+    a parametric shape (the standard post-hoc calibration fit;
+    Zadrozny & Elkan 2002).
+
+    Scale shape: the corpus collapses to DISTINCT score values with
+    (n, n_pos) counts — bounded by the 6dp score grid, not by rows —
+    and PAV runs driver-side over that bounded frame
+    (`bounded_collect` contract; the stack-based pass is O(distinct
+    scores)). The calibrated map is block-sized: broadcast it back to
+    score any stream."""
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    lab = F.col(label_col).cast("double")
+    g = (
+        df.groupBy(F.col(score_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(lab).alias("pos"))
+        .orderBy("s")
+    )
+    cap = 2_000_000  # 6dp grid bound
+    rows = bounded_collect(g, cap, "distinct 6dp score values")
+    # PAV: merge adjacent blocks while the mean ever decreases
+    blocks: list[list[float]] = []  # [lo, hi, n, pos]
+    for r in rows:
+        blocks.append([float(r["s"]), float(r["s"]),
+                       float(r["n"]), float(r["pos"])])
+        while len(blocks) >= 2 and (
+            blocks[-2][3] / blocks[-2][2] >= blocks[-1][3] / blocks[-1][2]
+        ):
+            lo, _, n1, p1 = blocks[-2]
+            _, hi, n2, p2 = blocks[-1]
+            blocks[-2:] = [[lo, hi, n1 + n2, p1 + p2]]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (lo, hi, int(n), round(p / n, 6))
+            for lo, hi, n, p in blocks
+        ],
+        "score_lo double, score_hi double, n long, calibrated_p double",
+    )

@@ -6687,3 +6687,31 @@ def merge_phrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("w") - F.size(merged)).cast("bigint").alias("n_merged"),
         F.md5(F.concat_ws(" ", merged)).alias("merged_fp"),
     )
+
+
+# --- isotonic calibration of the fluency scorer ------------------------------
+
+
+@query("fluency_isotonic_calibration")  # rows-only: PAV is a
+# sequential merge pass (not SQL-expressible); pytest pins it against
+# a pure-Python PAV and the monotonicity/pooling invariants
+def fluency_isotonic_calibration_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the bigram-LM fluency score
+    against the heuristic-gate labels — the FIT that turns
+    `fluency_calibration_bins`' diagnosis into a usable monotone
+    score→probability map (a scorer can rank perfectly and still be
+    badly calibrated; selection thresholds need probabilities).
+
+    Scale shape: distinct-6dp-score collapse (grid-bounded, not
+    row-bounded) + the driver-side O(distinct) PAV pass; the fitted
+    step function is block-sized and broadcasts back to calibrate any
+    stream."""
+    from prisma_migrator_spark.operators.metrics import isotonic_calibrate
+
+    return isotonic_calibrate(
+        _fluency_quality_labeled(spark, sf_dir),
+        score_col="score",
+        label_col="label",
+    )

@@ -4946,3 +4946,43 @@ def test_merge_phrases_fold_matches_python_reference(spark):
     # the fused token never re-merges: "new york york city" gives
     # new_york then york_city (left-to-right greedy)
     assert got[2] == ["new_york", "york_city"]
+
+
+def test_isotonic_calibration_matches_pure_python_pav(spark):
+    from prisma_migrator_spark.operators.metrics import isotonic_calibrate
+
+    # scores with a deliberate violation: mid scores have HIGHER pos
+    # rate than high scores, forcing a pool
+    rows = []
+    data = [
+        (0.1, [0, 0, 0, 1]),     # 25%
+        (0.3, [0, 1, 1, 1]),     # 75% (violates vs 0.5's 50%)
+        (0.5, [0, 0, 1, 1]),     # 50%
+        (0.9, [1, 1, 1, 1]),     # 100%
+    ]
+    i = 0
+    for s, labs in data:
+        for y in labs:
+            rows.append((i, s, y)); i += 1
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = [(r["score_lo"], r["score_hi"], r["n"], r["calibrated_p"])
+           for r in isotonic_calibrate(df).collect()]
+
+    # pure-python PAV over the same distinct-score blocks
+    blocks = []
+    for s, labs in data:
+        blocks.append([s, s, len(labs), sum(labs)])
+        while len(blocks) >= 2 and (
+            blocks[-2][3] / blocks[-2][2] >= blocks[-1][3] / blocks[-1][2]
+        ):
+            lo, _, n1, p1 = blocks[-2]
+            _, hi, n2, p2 = blocks[-1]
+            blocks[-2:] = [[lo, hi, n1 + n2, p1 + p2]]
+    ref = [(lo, hi, n, round(p / n, 6)) for lo, hi, n, p in blocks]
+    assert got == ref
+    # pooling happened (0.3 and 0.5 merged) and the map is monotone
+    assert len(got) < len(data)
+    ps = [p for *_, p in got]
+    assert ps == sorted(ps)
+    los = [lo for lo, *_ in got]
+    assert los == sorted(los)
