@@ -6715,3 +6715,87 @@ def fluency_isotonic_calibration_q(
         score_col="score",
         label_col="label",
     )
+
+
+# --- matryoshka dimension-truncation recall ----------------------------------
+
+_TRUNC_DIMS = [8, 16, 32, 64]
+
+
+def _trunc_rank_sql(d: int) -> str:
+    return f"""
+sc{d} AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.embedding[1:{d}]::DOUBLE[],
+                                      c.embedding[1:{d}]::DOUBLE[]), 6)
+           AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < 10
+), rk{d} AS (
+  SELECT probe_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id) AS r
+  FROM sc{d}
+)"""
+
+
+_TRUNC_ORACLE = (
+    "WITH "
+    + ",".join(_trunc_rank_sql(d).strip() for d in _TRUNC_DIMS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT {d} AS dim,
+       ROUND(COUNT(*) / 50.0, 6) AS recall_at_5
+FROM rk{d} a JOIN rk{_TRUNC_DIMS[-1]} b USING (probe_id, neighbor_id)
+WHERE a.r <= 5 AND b.r <= 5"""
+        for d in _TRUNC_DIMS
+    )
+)
+
+
+@query("dim_truncation_recall", oracle=_TRUNC_ORACLE)
+def dim_truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: exact top-5
+    recall when similarity search uses only the first d of 64
+    embedding dimensions — the measurement behind MRL-style
+    storage/latency trades (half the dimensions = half the ANN
+    memory bandwidth IF recall holds; this query says whether it
+    does on YOUR embeddings). Expect low truncated recall on the
+    near-isotropic fixture vectors (information is spread evenly —
+    the honest negative result); MRL-trained embeddings front-load
+    information and read high here.
+
+    Plan shape: per dim, the truncation is a map-side slice feeding
+    the audited exact-top-k (broadcast probes, per-probe windows);
+    recall joins k-bounded frames. Work = |dims| brute-force passes —
+    each the oracle baseline of the ANN family."""
+    from prisma_migrator_spark.llm.similarity import topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, n_probes = 5, 10
+
+    def topk_at(d: int):
+        trunc = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), 1, d).alias(
+                "embedding"
+            ),
+        )
+        probes = trunc.where(F.col("vec_id") < n_probes)
+        return topk_bruteforce(trunc, probes, k=k).select(
+            "probe_id", "neighbor_id"
+        )
+
+    full = topk_at(_TRUNC_DIMS[-1])
+    out = None
+    for d in _TRUNC_DIMS:
+        hits = topk_at(d).join(F.broadcast(full), ["probe_id", "neighbor_id"])
+        rep = hits.agg(
+            F.lit(d).alias("dim"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(n_probes * k)), 6
+            ).alias("recall_at_5"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out

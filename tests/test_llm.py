@@ -4986,3 +4986,32 @@ def test_isotonic_calibration_matches_pure_python_pav(spark):
     assert ps == sorted(ps)
     los = [lo for lo, *_ in got]
     assert los == sorted(los)
+
+
+def test_dim_truncation_recall_full_dim_is_one_and_frontloaded_wins(
+    spark, tmp_path
+):
+    """Full-dim recall is exactly 1; embeddings whose information
+    lives in the FIRST dims (MRL-style) keep recall at small d."""
+    import os
+
+    from prisma_migrator_spark.plans.llm import dim_truncation_recall_q
+
+    rows = []
+    for i in range(40):
+        hot = (i % 4) * 2  # structure entirely inside dims 0..7
+        v = [0.0] * 64
+        v[hot] = 3.0
+        v[hot + 1] = 1.0 + 0.01 * (i % 9)
+        rows.append((i, [float(x) for x in v], i % 4))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = {r["dim"]: r["recall_at_5"]
+           for r in dim_truncation_recall_q(spark, d).collect()}
+    assert set(out) == {8, 16, 32, 64}
+    assert out[64] == pytest.approx(1.0)
+    # all signal is in the first 8 dims: truncation loses nothing
+    assert out[8] == pytest.approx(1.0)
