@@ -33,6 +33,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # determinism double-run).
 WINDOW_R7 = [
     # -- new in r7 (third session, 2026-08-16) --
+    "dim_truncation_recall",
+    "fluency_isotonic_calibration",
     "semantic_contamination_report",
     "merge_phrases",
     "doc_keywords",
