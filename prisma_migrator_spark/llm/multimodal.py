@@ -205,15 +205,17 @@ def attach_wav_payload(
     (Arrow-batched Pandas UDF — byte synthesis is Python-side work,
     exactly where a real pipeline's download/transcode step sits)."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    # no type hints: ``pd`` is function-local, and pandas_udf's hint
-    # resolver evaluates annotations against module globals
-    @pandas_udf("binary", PandasUDFType.SCALAR)
-    def make_wav(ids, texts):
+    # modern type-hinted UDF form via functions/arrow.py — the
+    # deprecated PandasUDFType enum is gone repo-wide (ADVICE r7)
+    from prisma_migrator_spark.functions.arrow import scalar_pandas_udf
+
+    def _make_wav(ids, texts):
         return pd.Series(
             [synthesize_wav(int(i), t or "") for i, t in zip(ids, texts)]
         )
+
+    make_wav = scalar_pandas_udf("binary", _make_wav)
 
     return df.select(
         id_col, make_wav(F.col(id_col), F.col(text_col)).alias("payload")
@@ -363,14 +365,16 @@ def attach_bmp_payload(
 ) -> DataFrame:
     """Image variant of ``attach_wav_payload``: a real BMP per row."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("binary", PandasUDFType.SCALAR)
-    def make_bmp(ids, texts):
+    from prisma_migrator_spark.functions.arrow import scalar_pandas_udf
+
+    def _make_bmp(ids, texts):
         return pd.Series(
             [synthesize_bmp(int(i), t or "", width, height)
              for i, t in zip(ids, texts)]
         )
+
+    make_bmp = scalar_pandas_udf("binary", _make_bmp)
 
     return df.select(
         id_col, make_bmp(F.col(id_col), F.col(text_col)).alias("payload")
@@ -608,14 +612,16 @@ def attach_png_payload(
 ) -> DataFrame:
     """PNG variant of ``attach_bmp_payload``: a real PNG per row."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("binary", PandasUDFType.SCALAR)
-    def make_png(ids, texts):
+    from prisma_migrator_spark.functions.arrow import scalar_pandas_udf
+
+    def _make_png(ids, texts):
         return pd.Series(
             [synthesize_png(int(i), t or "", width, height)
              for i, t in zip(ids, texts)]
         )
+
+    make_png = scalar_pandas_udf("binary", _make_png)
 
     return df.select(
         id_col, make_png(F.col(id_col), F.col(text_col)).alias("payload")
@@ -809,14 +815,16 @@ def attach_jpeg_payload(
     """JPEG variant of ``attach_bmp_payload``: a real baseline JPEG
     per row, encoded inside Arrow batches."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("binary", PandasUDFType.SCALAR)
-    def make_jpeg(ids, texts):
+    from prisma_migrator_spark.functions.arrow import scalar_pandas_udf
+
+    def _make_jpeg(ids, texts):
         return pd.Series(
             [synthesize_jpeg(int(i), t or "", width, height, quality)
              for i, t in zip(ids, texts)]
         )
+
+    make_jpeg = scalar_pandas_udf("binary", _make_jpeg)
 
     return df.select(
         id_col, make_jpeg(F.col(id_col), F.col(text_col)).alias("payload")
@@ -970,14 +978,16 @@ def attach_avi_payload(
 ) -> DataFrame:
     """Video variant of ``attach_wav_payload``: a real AVI per row."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("binary", PandasUDFType.SCALAR)
-    def make_avi(ids, texts):
+    from prisma_migrator_spark.functions.arrow import scalar_pandas_udf
+
+    def _make_avi(ids, texts):
         return pd.Series(
             [synthesize_avi(int(i), t or "", width, height, n_frames)
              for i, t in zip(ids, texts)]
         )
+
+    make_avi = scalar_pandas_udf("binary", _make_avi)
 
     return df.select(
         id_col, make_avi(F.col(id_col), F.col(text_col)).alias("payload")

@@ -903,10 +903,28 @@ def mmr_topk(
         selected.append((cid, rel, score))
         del pool[cid]
     spark = corpus.sparkSession
+    # cand_id keeps the corpus id column's own type (string ids are
+    # as legitimate as bigint ones — ADVICE r7): derive the result
+    # schema instead of hardcoding bigint
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("cand_id", corpus.schema[id_col].dataType, True),
+            StructField("rel", DoubleType(), True),
+            StructField("mmr", DoubleType(), True),
+        ]
+    )
     return spark.createDataFrame(
         [
             (i + 1, cid, rel, mmr)
             for i, (cid, rel, mmr) in enumerate(selected)
         ],
-        "rank int, cand_id bigint, rel double, mmr double",
+        schema,
     )

@@ -425,14 +425,14 @@ def zlib_ratio_df(df: DataFrame, text_col: str = "text",
     This is the one text signal that genuinely needs Python (no JVM
     deflate exposed as a SQL function), so it runs as an Arrow-batched
     pandas UDF — each batch crosses the language boundary once; the
-    stage stays embarrassingly parallel, zero shuffle."""
+    stage stays embarrassingly parallel, zero shuffle. Built through
+    the modern type-hinted iterator form (`functions/arrow.py`), not
+    the deprecated PandasUDFType enum (ADVICE r7)."""
     import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    # no type hints: ``pd`` is function-local (see multimodal.py note)
-    @pandas_udf("struct<n_bytes: long, zlib_ratio: double>",
-                PandasUDFType.SCALAR)
-    def _ratio(texts):
+    from prisma_migrator_spark.functions.arrow import struct_pandas_udf
+
+    def _ratio_batch(texts):
         import zlib
 
         def one(s):
@@ -447,6 +447,9 @@ def zlib_ratio_df(df: DataFrame, text_col: str = "text",
         vals = [one(s) for s in texts]
         return pd.DataFrame(vals, columns=["n_bytes", "zlib_ratio"])
 
+    _ratio = struct_pandas_udf(
+        "struct<n_bytes: long, zlib_ratio: double>", _ratio_batch
+    )
     out = df.withColumn("__z", _ratio(F.col(text_col)))
     return out.select(*df.columns, "__z.n_bytes", "__z.zlib_ratio").drop("__z")
 
@@ -500,9 +503,19 @@ def hashed_doc_vector_arrays(
     norm = F.sqrt(
         F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return assembled.select(
-        id_col,
-        F.transform(dense, lambda x: x / norm).alias("embedding"),
+    # drop zero-norm docs (all signed hashed TFs cancelled via sign
+    # collisions) instead of emitting an all-NULL embedding that
+    # silently poisons downstream cosine math — the dense analog of
+    # the sparse form's WHERE s.v <> 0 (ADVICE r7)
+    return (
+        assembled.withColumn("__norm", norm)
+        .where(F.col("__norm") > 0.0)
+        .select(
+            id_col,
+            F.transform(
+                dense, lambda x: x / F.col("__norm")
+            ).alias("embedding"),
+        )
     )
 
 

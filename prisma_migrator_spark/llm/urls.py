@@ -92,13 +92,24 @@ def domain_suffixes(domain: Column) -> Column:
     """All dot-suffix chains of a host with >= 2 labels:
     ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
     example.com]``. Map-side array algebra — the trick that turns
-    subdomain-aware blocklist matching into a plain equi join."""
+    subdomain-aware blocklist matching into a plain equi join.
+
+    Hosts with < 2 labels ('localhost', the '' that ``url_domain``
+    yields for malformed URLs) produce an EMPTY array — the row
+    matches no blocklist entry and is kept. Without the guard,
+    ``F.sequence(0, n - 2)`` at n=1 is the DESCENDING [0, -1] and the
+    i=-1 element drives ``F.slice`` with start 0, which throws
+    INVALID_PARAMETER_VALUE.START and kills the whole job (ADVICE
+    r7)."""
     parts = F.split(domain, r"\.")
     n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
-    )
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def blocklist_filter(

@@ -831,7 +831,15 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`image_pixels` dispatch inside ``extract_features``) that
     emits normalized luma histograms from the actual pixels. This is
     the production shape of a heterogeneous media crawl: you don't
-    get to pick the container, the decode stage dispatches per row."""
+    get to pick the container, the decode stage dispatches per row.
+
+    Output is the EXPLODED (doc_id, n_bytes, bin, luma_frac) relation
+    — one row per histogram bin — not the raw feature array: the
+    driver's canonicalizer cannot pandas-sort list cells (the r7
+    cluster-query lesson, now enforced by the registry lint in
+    tests/test_oracle_parity.py). A failed decode keeps its row with
+    NULL bin/luma_frac (posexplode_outer) so fault isolation stays
+    visible."""
     from prisma_migrator_spark.catalog import ensure_parallelism
     from prisma_migrator_spark.llm.multimodal import (
         attach_bmp_payload,
@@ -847,7 +855,16 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(attach_png_payload(docs.where(mod == 1)))
         .unionByName(attach_jpeg_payload(docs.where(mod == 2)))
     )
-    return extract_features(mixed)
+    return extract_features(mixed).select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode_outer("features").alias("bin", "luma_frac"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("bin").cast("int").alias("bin"),
+        F.round("luma_frac", 6).alias("luma_frac"),
+    )
 
 
 # --- sequence chunking (fixed-length training examples) ----------------
@@ -3012,10 +3029,68 @@ def semantic_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- BPE tokenizer training -------------------------------------------
 
+# VERDICT r7 item 5: BPE training IS oracle-expressible after all —
+# every iteration is integer pair counts + exact-string tie-breaks
+# (no floats anywhere), so the 16 merge rounds unroll into 16
+# MATERIALIZED CTE stages (without MATERIALIZED the stage chain
+# inlines exponentially: w16 references w15 twice → 2^16 scans).
+# Symbol sequences travel as a separator-string: word "ab" →
+# "␟␟a␟␟b␟␟" (␟ = \x1f, verified absent from every fixture corpus by
+# tests/test_llm.py::test_bpe_oracle_separator_absent_from_fixture).
+# One replace('␟l␟␟r␟' → '␟lr␟') per learned rule reproduces the
+# Spark fold EXACTLY: SQL replace is left-to-right non-overlapping
+# and resumes after each replacement — the same semantics as
+# llm/bpe._merge_fold — and the doubled boundary makes a mid-symbol
+# or boundary-consuming match impossible.
+_BPE_SEP = "\x1f"
+_BPE_SEP2 = _BPE_SEP * 2
 
-@query("bpe_merges_16")  # rows-only: iterative state is not SQL-expressible;
-# pytest test_bpe_matches_python_reference pins it against a pure-Python
-# BPE trainer on the same corpus
+
+def _bpe_train_ctes(n_merges: int = 16, min_pair: int = 2) -> str:
+    """The unrolled-training CTE block shared by the two BPE oracles:
+    after it, ``b{k}`` holds merge rule k (0 or 1 rows — empty once
+    min_pair stops firing, mirroring the trainer's early-stop) and
+    ``w{n_merges}`` holds each vocab word's final symbol sequence."""
+    parts = [f"""words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) > 0 GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT w, '{_BPE_SEP2}' || array_to_string(regexp_extract_all(w, '.'),
+         '{_BPE_SEP2}') || '{_BPE_SEP2}' AS seq, freq
+  FROM words
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT u.p['l'] AS l, u.p['r'] AS r, CAST(SUM(t.freq) AS BIGINT) AS n
+  FROM (SELECT list_filter(string_split(seq, '{_BPE_SEP}'),
+               x -> x <> '') AS s, freq FROM w{k - 1}) t,
+       UNNEST(list_transform(range(1, len(t.s)),
+              i -> {{'l': t.s[i], 'r': t.s[i + 1]}})) AS u(p)
+  GROUP BY 1, 2
+), b{k} AS MATERIALIZED (
+  SELECT l, r, n FROM p{k} WHERE n >= {min_pair}
+  ORDER BY n DESC, l, r LIMIT 1
+), w{k} AS MATERIALIZED (
+  SELECT w.w, CASE WHEN b.l IS NULL THEN w.seq
+         ELSE replace(w.seq,
+                      '{_BPE_SEP}' || b.l || '{_BPE_SEP2}' || b.r || '{_BPE_SEP}',
+                      '{_BPE_SEP}' || b.l || b.r || '{_BPE_SEP}') END AS seq,
+         w.freq
+  FROM w{k - 1} w LEFT JOIN b{k} b ON TRUE
+)""")
+    return ",\n".join(parts)
+
+
+_BPE_MERGES_ORACLE = "WITH " + _bpe_train_ctes(16) + "\n" + "\nUNION ALL\n".join(
+    f'SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right", '
+    f"l || r AS merged, n AS pair_count FROM b{k}"
+    for k in range(1, 17)
+)
+
+
+@query("bpe_merges_16", oracle=_BPE_MERGES_ORACLE)
 def bpe_merges_16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 16 BPE merge rules from the documents corpus
     (Sennrich et al. 2016) — tokenizer training as a Spark job. The
@@ -3023,7 +3098,13 @@ def bpe_merges_16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WORD table (fastBPE factoring: |vocab| rows, not corpus rows) and
     a 1-row TakeOrdered; merge application is a map-side array fold.
     Deterministic tie-breaks make the merge list stable across
-    partitionings and cluster sizes."""
+    partitionings and cluster sizes.
+
+    Oracle (r8): the training loop unrolled into 16 CTE stages — see
+    the note above ``_bpe_train_ctes``. Exact parity because every
+    quantity in the loop is an integer count or a string comparison;
+    pytest test_bpe_matches_python_reference additionally pins the
+    trainer against a pure-Python reference."""
     from prisma_migrator_spark.llm.bpe import learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3750,9 +3831,19 @@ def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=cap,
     )
     comp = connected_components(pairs)
+    # member_ids as a comma-joined STRING (numeric sort before the
+    # cast): the driver's canonicalizer pandas-sorts every output
+    # column and dies on list cells, so no registered query may
+    # return a top-level array (CORRECTNESS_r07 err; VERDICT r7 #1)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("int").alias("n_members"),
-        F.array_sort(F.collect_list("node")).alias("member_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")),
+                lambda m: m.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
     ).select(F.col("component").alias("cluster"), "n_members", "member_ids")
 
 
@@ -3972,9 +4063,19 @@ def video_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=cap,
     )
     comp = connected_components(pairs)
+    # member_ids as a comma-joined STRING (numeric sort before the
+    # cast): the driver's canonicalizer pandas-sorts every output
+    # column and dies on list cells, so no registered query may
+    # return a top-level array (CORRECTNESS_r07 err; VERDICT r7 #1)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("int").alias("n_members"),
-        F.array_sort(F.collect_list("node")).alias("member_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")),
+                lambda m: m.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
     ).select(F.col("component").alias("cluster"), "n_members", "member_ids")
 
 
@@ -4935,7 +5036,11 @@ def corpus_clusters_labeled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "cluster_id",
-            F.transform("__ps", lambda s: s["term"]).alias("top_terms"),
+            # comma-joined string, not array: the driver canonicalizer
+            # cannot pandas-sort list cells (VERDICT r7 #1)
+            F.array_join(
+                F.transform("__ps", lambda s: s["term"]), ","
+            ).alias("top_terms"),
         )
     )
     sizes = assigned.groupBy("cluster_id").agg(
@@ -5207,9 +5312,30 @@ def lang_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE tokenizer fertility per language --------------------------------
 
 
-@query("bpe_fertility_by_lang")  # rows-only: BPE training is iterative
-# (not SQL-expressible); pytest pins fertility bounds and monotonicity
-# under more merges
+_BPE_FERTILITY_ORACLE = f"""WITH {_bpe_train_ctes(16)},
+wordtok AS MATERIALIZED (
+  SELECT w, len(list_filter(string_split(seq, '{_BPE_SEP}'),
+             x -> x <> '')) AS n_tok,
+         length(w) AS n_ch
+  FROM w16
+),
+doc_words AS (
+  SELECT d.doc_id, d.lang, UNNEST(list_filter(
+    string_split_regex(lower(trim(d.text)), '\\s+'),
+    x -> len(x) > 0)) AS w
+  FROM documents d
+)
+SELECT dw.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.n_tok) AS BIGINT) AS n_bpe_tokens,
+       ROUND(SUM(wt.n_tok) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(wt.n_ch) / CAST(SUM(wt.n_tok) AS DOUBLE), 6)
+         AS chars_per_token
+FROM doc_words dw JOIN wordtok wt ON dw.w = wt.w
+GROUP BY dw.lang"""
+
+
+@query("bpe_fertility_by_lang", oracle=_BPE_FERTILITY_ORACLE)
 def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-quality evaluation: train the distributed BPE
     tokenizer on the whole corpus, then measure its FERTILITY
@@ -5224,7 +5350,13 @@ def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized pair counts per merge, 1-row TakeOrdered each); the learned
     rule list is a driver-side literal folded into a map-side
     tokenize (zero shuffle); the report is ONE |langs|-row aggregate
-    over per-doc token counts."""
+    over per-doc token counts.
+
+    Oracle (r8, VERDICT r7 item 5): training unrolls exactly as in
+    ``_BPE_MERGES_ORACLE``; measurement tokenizes via the final
+    vocab-word symbol table (w16) joined back to the exploded corpus
+    — integer-exact end to end, the two ROUNDs are ratios of exact
+    integers."""
     from prisma_migrator_spark.llm.bpe import apply_bpe_merges, learn_bpe_merges
     from prisma_migrator_spark.operators.driver_state import bounded_collect
 
@@ -5655,9 +5787,99 @@ def scrub_intradoc_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- clustering evaluation: purity + NMI vs labels ------------------------
 
 
-@query("cluster_label_agreement")  # rows-only: k-means is iterative;
-# pytest pins purity/NMI extremes on planted data and the formula
-# against a pure-Python reference
+# VERDICT r7 item 5: the k-means behind this query has FIXED, small
+# hyperparameters (k=8, iters=2), so the whole trainer unrolls into
+# 2 assignment+mean stages of MATERIALIZED CTEs (MATERIALIZED for the
+# same exponential-inlining reason as the BPE oracle). Float parity
+# rests on (a) both engines computing dot products as sequential
+# left-to-right double folds, (b) centroid means differing only in
+# the last ulp across engines — an argmax flip would need two cosines
+# within ~1e-12, and (c) every OUTPUT double rounding to 6dp.
+def _cluster_agreement_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled k-means + contingency/NMI oracle for
+    ``cluster_label_agreement_q``. Mirrors llm/similarity.py exactly:
+    md5-ordered seed sample, argmax-cosine assignment with
+    first-index tie-break (ROW_NUMBER cos DESC, cid ASC), per-dim
+    mean refresh keeping the previous centroid for empty clusters,
+    and the `or 1.0` zero-norm guard on the centroid side only."""
+    cnorm = ("(CASE WHEN sqrt(list_sum(list_transform(c.c, x -> x * x))) = 0 "
+             "THEN 1.0 ELSE sqrt(list_sum(list_transform(c.c, x -> x * x))) END)")
+    parts = [f"""emb AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         v AS c
+  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
+           / (e.nrm * {cnorm}) AS cos
+  FROM emb e CROSS JOIN c{it - 1} c
+), a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM s{it}) WHERE rn = 1
+), m{it} AS MATERIALIZED (
+  SELECT cid, array_agg(m ORDER BY d) AS c
+  FROM (
+    SELECT a.cid, u.e['d'] AS d, AVG(u.e['x']) AS m
+    FROM a{it} a JOIN emb e USING (vec_id),
+         UNNEST(list_transform(range(1, len(e.v) + 1),
+                i -> {{'d': i, 'x': e.v[i]}})) AS u(e)
+    GROUP BY a.cid, u.e['d']) GROUP BY cid
+), c{it} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM c{it - 1} p LEFT JOIN m{it} m USING (cid)
+)""")
+    parts.append(f"""sf AS (
+  SELECT e.vec_id, e.label, c.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
+           / (e.nrm * {cnorm}) AS cos
+  FROM emb e CROSS JOIN c{iters} c
+), assigned AS MATERIALIZED (
+  SELECT vec_id, label, CAST(cid AS INT) AS cluster_id FROM (
+    SELECT vec_id, label, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM sf) WHERE rn = 1
+)""")
+    return f"""WITH {','.join(parts)},
+cont AS MATERIALIZED (
+  SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+  FROM assigned GROUP BY 1, 2
+),
+cm AS (SELECT cluster_id, SUM(n_cl) AS n_c FROM cont GROUP BY 1),
+lm AS (SELECT label, SUM(n_cl) AS n_l FROM cont GROUP BY 1),
+tot AS (SELECT SUM(n_cl) AS n FROM cont),
+mi AS (
+  SELECT SUM((n_cl / t.n) * LN((n_cl * t.n)
+             / (CAST(cm.n_c AS DOUBLE) * lm.n_l))) AS mi
+  FROM cont JOIN cm USING (cluster_id) JOIN lm USING (label) CROSS JOIN tot t
+),
+hc AS (SELECT SUM(-(n_c / t.n) * LN(n_c / t.n)) AS h_c FROM cm CROSS JOIN tot t),
+hl AS (SELECT SUM(-(n_l / t.n) * LN(n_l / t.n)) AS h_l FROM lm CROSS JOIN tot t),
+gstats AS (SELECT ROUND(mi.mi / sqrt(hc.h_c * hl.h_l), 6) AS nmi
+           FROM mi, hc, hl),
+per AS (SELECT cluster_id, SUM(n_cl) AS n_members FROM cont GROUP BY 1),
+top AS (
+  SELECT cluster_id, label AS majority_label, n_cl AS top_n FROM (
+    SELECT cluster_id, label, n_cl,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_cl DESC, label DESC) AS rn
+    FROM cont) WHERE rn = 1
+)
+SELECT p.cluster_id, CAST(p.n_members AS BIGINT) AS n_members,
+       t.majority_label,
+       ROUND(t.top_n / CAST(p.n_members AS DOUBLE), 6) AS cluster_purity,
+       g.nmi
+FROM per p JOIN top t USING (cluster_id) CROSS JOIN gstats g"""
+
+
+@query("cluster_label_agreement", oracle=_cluster_agreement_oracle())
 def cluster_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality evaluation: per k-means cluster, its size,
     majority label, and purity, plus the global purity and normalized
@@ -5873,9 +6095,67 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- diversity-aware retrieval (MMR) ---------------------------------------
 
 
-@query("mmr_diverse_topk")  # rows-only: the greedy re-rank is iterative;
-# pytest pins MMR-beats-plain-topk diversity on planted near-dup pools
-# and determinism of the selection
+# VERDICT r7 item 5: k is small (10), so the greedy unrolls into k
+# CTE stages — the same discipline as the label-propagation oracle.
+# Stage i joins the not-yet-selected candidates against sel{i-1} (a
+# <= i-1-row frame), takes MAX cosine-to-selected as the redundancy
+# term, and picks the arg-max ROUND(lam*rel - (1-lam)*red, 9) with
+# the id tie-break the Spark greedy uses. MATERIALIZED everywhere for
+# the exponential-inlining reason documented at _bpe_train_ctes.
+def _mmr_oracle(k: int = 10, fetch: int = 50, lam: float = 0.7) -> str:
+    """Unrolled-greedy oracle for ``mmr_diverse_topk_q`` (probe =
+    vec_id 0, corpus = vec_id > 0) mirroring llm/similarity.mmr_topk:
+    6dp-rounded relevance before the fetch cut, unrounded candidate/
+    selected cosines inside the redundancy max, 9dp-rounded scores,
+    `or 1.0` zero-norm guards on both sides."""
+    nrm_expr = ("(CASE WHEN sqrt(list_sum(list_transform("
+                "embedding::DOUBLE[], x -> x * x))) = 0 THEN 1.0 "
+                "ELSE sqrt(list_sum(list_transform("
+                "embedding::DOUBLE[], x -> x * x))) END)")
+    rel = ("ROUND(list_sum(list_transform(range(1, len(v) + 1), "
+           "i -> v[i] * p.pv[i])) / (nrm * p.pnrm), 6)")
+    lam1 = round(1 - lam, 9)
+    parts = [f"""probe AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS pv, {nrm_expr} AS pnrm
+  FROM embeddings WHERE vec_id = 0
+), cand AS MATERIALIZED (
+  SELECT cid, v, nrm, rel FROM (
+    SELECT vec_id AS cid, v, nrm, {rel} AS rel,
+           ROW_NUMBER() OVER (ORDER BY {rel} DESC, vec_id) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v, {nrm_expr} AS nrm
+          FROM embeddings WHERE vec_id > 0), probe p)
+  WHERE rn <= {fetch}
+), sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, cid, rel, ROUND({lam} * rel - {lam1} * 0.0, 9) AS mmr,
+         v, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      ORDER BY ROUND({lam} * rel - {lam1} * 0.0, 9) DESC, cid) AS rn
+    FROM cand) WHERE rn = 1
+)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""st{i} AS MATERIALIZED (
+  SELECT c.cid, c.rel, c.v, c.nrm,
+         ROUND({lam} * c.rel - {lam1} * MAX(
+           list_sum(list_transform(range(1, len(c.v) + 1),
+                    j -> c.v[j] * s.v[j]))
+           / (s.nrm * c.nrm)), 9) AS score
+  FROM cand c JOIN sel{i - 1} s ON TRUE
+  WHERE c.cid NOT IN (SELECT cid FROM sel{i - 1})
+  GROUP BY c.cid, c.rel, c.v, c.nrm
+), sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT {i} AS rank, cid, rel, score AS mmr, v, nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, cid) AS rn
+    FROM st{i})
+  WHERE rn = 1
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(rank AS INT) AS rank, cid AS cand_id, "
+              f"rel, mmr FROM sel{k}")
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
 def mmr_diverse_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-aware retrieval: Maximal Marginal Relevance top-10
     for a fixed probe — the re-ranking step that keeps a result list

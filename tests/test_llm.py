@@ -1516,6 +1516,26 @@ def test_blocked_pair_generation_matches_plain(spark, sf_dir):
     assert a == b
 
 
+def test_bpe_oracle_separator_absent_from_fixture():
+    """The unrolled BPE training oracle (plans/llm._bpe_train_ctes)
+    carries symbol sequences as \\x1f-separated strings; a \\x1f
+    INSIDE fixture text would corrupt the encoding. Pin its absence
+    at every scale factor the gates run."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE contains(text, chr(31))"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs contain the BPE oracle separator"
+
+
 def test_bpe_matches_python_reference(spark, sf_dir):
     """Distributed BPE merge learning must reproduce the classic
     single-machine algorithm (Sennrich et al. 2016) exactly: same
@@ -3033,13 +3053,17 @@ def test_image_near_dup_clusters_match_variant_groups(spark, sf_dir):
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
-    got = {r.cluster: list(r.member_ids) for r in rows}
+    got = {
+        r.cluster: [int(x) for x in r.member_ids.split(",")] for r in rows
+    }
     expected = {
         g * 4: list(range(g * 4, min(g * 4 + 4, n_docs)))
         for g in range((n_docs + 3) // 4)
     }
     assert got == expected
-    assert all(r.n_members == len(r.member_ids) for r in rows)
+    assert all(
+        r.n_members == len(r.member_ids.split(",")) for r in rows
+    )
 
 
 def test_url_canonicalize_edge_cases(spark):
@@ -3665,13 +3689,17 @@ def test_video_near_dup_clusters_equal_variant_groups(spark, sf_dir):
     n_docs = duckdb.sql(
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
-    got = {tuple(r.member_ids) for r in rows}
+    got = {
+        tuple(int(x) for x in r.member_ids.split(",")) for r in rows
+    }
     expected = {
         tuple(range(g * 5, min(g * 5 + 5, n_docs)))
         for g in range((n_docs + 4) // 5)
     }
     assert got == expected
-    assert all(r.cluster == r.member_ids[0] for r in rows)
+    assert all(
+        r.cluster == int(r.member_ids.split(",")[0]) for r in rows
+    )
 
 
 def test_streaming_near_dup_out_of_order_first_seen(spark, tmp_path):
@@ -4127,7 +4155,7 @@ def test_corpus_clusters_recover_planted_clusters_and_labels(spark, tmp_path):
     va, vb = {"alpha", "beta", "gamma"}, {"delta", "epsilon", "zeta"}
     seen_a = seen_b = False
     for r in big:
-        terms = set(r["top_terms"])
+        terms = set(r["top_terms"].split(","))
         assert not (terms & va and terms & vb), out
         seen_a = seen_a or bool(terms & va)
         seen_b = seen_b or bool(terms & vb)

@@ -57,11 +57,26 @@ if args:
 ok = bad = 0
 vacuous = []
 nondet = []
+canon_err = []
+from tools.driver_canon import driver_canon  # noqa: E402
+
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     sdf = fn(spark, SF)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    # Fidelity gate (VERDICT r7 item 2): run EVERY query — rows-only
+    # included — through the driver's own pandas canonicalization.
+    # A top-level array/map column raises here exactly as it ERRs at
+    # the real driver (the r7 cluster-query episode).
+    try:
+        driver_canon(s_cols, s_rows)
+    except Exception as ex:
+        canon_err.append(name)
+        bad += 1
+        print(f"  {name}: DRIVER-CANON ERROR — would ERR at the real "
+              f"driver ({type(ex).__name__}: {ex})")
+        continue
     if TWICE:
         r2 = [tuple(r) for r in fn(spark, SF).collect()]
         h1 = Counter(tuple(norm(v) for v in r) for r in s_rows)
@@ -86,6 +101,9 @@ for name, fn in sorted(qs.items()):
     if len(s_rows) == 0:
         vacuous.append(name)
 print(f"RESULT: {ok} match, {bad} mismatch")
+if canon_err:
+    print(f"CANON ERRORS ({len(canon_err)} queries would ERR at the "
+          f"real driver): {canon_err}")
 if vacuous:
     print(f"WARNING: {len(vacuous)} zero-row (vacuously matching) queries: {vacuous}")
 if TWICE:
