@@ -19,106 +19,77 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-7 driver window rotation (VERDICT r6 item 8: every
-# oracle-backed query now has >=1 CORRECTNESS row, so rotation keys
-# on STALENESS — the round of each query's most recent driver row,
-# computed from CORRECTNESS_r01..r06). Leads with the queries new or
-# touched in r7 (image pHash dedup, trained quality classifier,
-# main-content extraction, the :not()-gated html cards, the
-# lazy-DSIR rework, the hamming_band_pairs refactor behind the
-# simhash queries, the graph snapshot-release rework), then the 38
-# stalest-gated oracle-backed entries (last gated r1-r2). Everything
-# past the window still runs in the replica gate
-# (tools/drive_driver.py, full registry; --twice adds the
-# determinism double-run).
-WINDOW_R7 = [
-    # -- new in r7 (third session, 2026-08-16) --
-    "dim_truncation_recall",
-    "fluency_isotonic_calibration",
-    "semantic_contamination_report",
-    "merge_phrases",
-    "doc_keywords",
-    "symspell_candidates",
-    "term_pmi_pairs",
-    "quality_ks_drift",
-    "classifier_holdout_auc",
-    "ann_recall_report",
-    "pii_context_report",
-    "mmr_diverse_topk",
-    "augmented_positive_pairs",
-    "cross_source_syndication",
-    "temperature_mixture_sample",
-    "documents_dq_report",
-    "scrub_intradoc_repeats",
-    "cluster_label_agreement",
-    "contrastive_triples",
-    "quality_per_source_deciles",
-    "url_blocklist_filter",
-    "dedup_savings_report",
-    "hashed_doc_vectors",
-    "dataset_card_report",
-    "lang_verification",
+# Round-8 driver window rotation (VERDICT r7 items 3+4). Rotation
+# rule: ERROR-last-row first (events_rolling_1h's latest driver row
+# is a long-fixed r2 error; the three cluster queries errored r7 on
+# list columns, now comma-joined strings), then queries whose driver
+# row is stale vs their current form (the four newly oracle-backed
+# conversions, the schema-changed multimodal_features, the new
+# incremental_image_near_dup), then the stalest-gated oracle-backed
+# tail (every r1/r2-gated query — 21 of them — fits this window, so
+# after r8 no oracle-backed query's latest driver row predates r3).
+# Rows-only entries are capped at 10/50 = 20% so >= 80% of the
+# window is hash-verified (item 4). Everything past the window still
+# runs in the replica gate (tools/drive_driver.py, full registry;
+# --twice adds the determinism double-run).
+WINDOW_R8 = [
+    # -- error-last-row first (rotation rule, VERDICT r7 item 3) --
+    "events_rolling_1h",
+    "corpus_clusters_labeled",      # rows-only 1/10
+    "image_near_dup_clusters",      # rows-only 2/10
+    "video_near_dup_clusters",      # rows-only 3/10
+    # -- newly oracle-backed in r8 (driver row still says no_oracle) --
+    "bpe_merges_16",
     "bpe_fertility_by_lang",
-    "perplexity_buckets",
-    "bm25_eval_metrics",
-    "lexical_diversity",
-    "quality_ensemble_score",
-    "compression_ratio_quality",
-    "corpus_clusters_labeled",
-    # -- new in r7 (continuation session, 2026-08-16) --
-    "corpus_overlap_oph",
-    "temperature_mixture_weights",
-    "fluency_quality_auc",
-    "fluency_calibration_bins",
-    "embedding_pca2",
-    # -- new in r7 --
-    "video_near_dup_pairs",
-    "html_link_pagerank",
-    "hard_negatives_topk",
-    "homoglyph_dedup_groups",
-    "video_near_dup_clusters",
-    "cc_pii_redaction",
-    "html_main_content",
-    "html_corpus_ingest",
-    "image_near_dup_pairs",
-    "image_near_dup_clusters",
-    "quality_classifier_scores",
-    "url_canonicalize",
-    "domain_quota_sample",
-    "audio_near_dup_pairs",
-    # -- plans touched in r7 --
-    "html_app_cards",
-    "dsir_selection",
-    "simhash16",
-    "simhash_near_dup",
-    "simhash64_near_dup",
-    "copurchase_triangles",
-    "copurchase_triangles_capped",
-    "copurchase_cap_report",
-    "copurchase_triangles_sampled",
-    # -- stalest-gated rotation (most recent driver row r1-r2) --
-    "corpus_stats",
+    "cluster_label_agreement",
+    "mmr_diverse_topk",
+    # -- new or schema-changed in r8, never driver-gated --
+    "incremental_image_near_dup",   # rows-only 4/10
+    "multimodal_features",          # rows-only 5/10 (array -> exploded rows)
+    # -- never-gated rows-only tail (one driver row each) --
+    "audio_near_dup_pairs",         # rows-only 6/10
+    "topk_cosine_ivf_pq",           # rows-only 7/10
+    "pack_greedy_512",              # rows-only 8/10
+    "jpeg_metadata",                # rows-only 9/10
+    "heavy_hitter_terms_approx",    # rows-only 10/10
+    # -- stalest-gated oracle-backed: last driver row r1 --
+    "user_event_gaps",
+    "latest_event_per_user",
+    "region_rollup",
+    "events_sliding_1h_30m",
     "dataset_splits",
     "deterministic_sample",
-    "events_sliding_1h_30m",
-    "latest_event_per_user",
+    "corpus_stats",
     "minhash_signatures",
-    "region_rollup",
-    "user_event_gaps",
-    "canonical_docs",
-    "category_report",
-    "category_sizes",
-    "date_format_orders",
-    "embedding_quantize_int8",
-    "events_rolling_1h",
+    "simhash16",
+    "simhash_near_dup",
+    # -- last driver row r2 --
+    "top_orders_per_customer",
     "order_price_quartiles",
+    "category_sizes",
     "rank_scores",
     "recommendation_metrics",
-    "top_orders_per_customer",
+    "date_format_orders",
+    "category_report",
+    "canonical_docs",
+    "embedding_quantize_int8",
     "training_shards",
-    "bigram_logprob_score",
+    # -- last driver row r3 --
+    "funnel_view_click_purchase",
+    "latest_per_key_lineitem",
     "busy_window_events",
+    "top_terms_tfidf",
     "clean_corpus",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "simhash64_near_dup",
+    "rolling_fingerprint",
+    "embedding_near_dup",
+    "pii_redaction",
+    "doc_chunks_overlap",
+    "domain_mixture_sample",
+    "cross_corpus_dedup",
+    "gopher_repetition_flags",
 ]
 
 
@@ -129,10 +100,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    window-rotated by staleness, r7 plans leading (see WINDOW_R7)."""
-    missing = [n for n in WINDOW_R7 if n not in QUERIES]
-    assert not missing, f"WINDOW_R7 names not in registry: {missing}"
-    rotated = {name: QUERIES[name] for name in WINDOW_R7}
+    window-rotated error-first then staleness (see WINDOW_R8)."""
+    missing = [n for n in WINDOW_R8 if n not in QUERIES]
+    assert not missing, f"WINDOW_R8 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R8}
     rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
     return rotated
 

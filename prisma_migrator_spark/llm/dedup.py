@@ -643,6 +643,169 @@ def hamming_band_pairs(
     return cross.unionByName(intra)
 
 
+def incremental_hamming_pairs(
+    existing_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "phash",
+    n_bits: int = 64,
+    band_bits: int = 8,
+    max_hamming: int = 7,
+    band_arity: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """DELTA-touching Hamming near-dup pairs against a STORED
+    signature index — the decode-once incremental form of
+    :func:`hamming_band_pairs` for the image/audio/video families
+    (VERDICT r7 item 7), mirroring :func:`incremental_lsh_pairs` for
+    MinHash text dedup.
+
+    The decode-once property is STRUCTURAL: this function's contract
+    takes ``existing_sigs`` — (id, signature) rows from the
+    maintained index table, written once when each document was
+    ingested — so history media has no payload column here and
+    CANNOT be re-decoded. Per batch the work is: decode |delta| docs
+    (the caller's ``image_phash``/``afp64``/``vhash64`` pass — the
+    cost that dominates the cold job at every measured SF), then one
+    banded pair join over index ∪ delta signatures. Re-banding the
+    index is a signature-table scan (one short string per doc, no
+    media bytes); at 100 TB the index table is ~1/1000th of the
+    corpus and the scan is noise next to the avoided decode.
+
+    Output = the full recompute restricted to pairs with ≥ 1 delta
+    member, exactly (same signatures, same bucket-cap statistics —
+    the pytest pin compares against the full job row-for-row).
+
+    The banded join itself is DELTA-PROPORTIONAL, not just the
+    decode: only signature groups containing a delta member band
+    against the full banded rep table (one side of the join is
+    batch-sized), so the pair-generation work is Σ over buckets of
+    (delta reps in bucket × bucket size) instead of the cold job's
+    Σ bucket² — at a 0.1% daily batch over a 100 TB corpus that is
+    three decimal orders off the join, on top of the three orders
+    off the decode. Bucket-cap counts are computed over ALL distinct
+    signatures (identical statistics to the cold job, so capped
+    output parity holds); that pass is a scan of the signature
+    table, never the media."""
+    from itertools import combinations
+
+    release_signature_caches()
+    all_sigs = (
+        existing_sigs.select(id_col, sig_col)
+        .withColumn("__new", F.lit(False))
+        .unionByName(
+            delta_sigs.select(id_col, sig_col).withColumn(
+                "__new", F.lit(True)
+            )
+        )
+        .persist()
+    )
+    _SIG_CACHES.append(all_sigs)
+    n_bands = n_bits // band_bits
+    if not 1 <= band_arity <= n_bands:
+        raise ValueError(f"band_arity must be in [1, {n_bands}]")
+
+    # collapse-exact-first across index ∪ delta, tracking whether any
+    # member of each signature group is new
+    reps = (
+        all_sigs.groupBy(sig_col)
+        .agg(
+            F.min(id_col).alias("__rid"),
+            F.max(F.col("__new").cast("int")).alias("__touch"),
+        )
+        .persist()
+    )
+    _SIG_CACHES.append(reps)
+
+    def band(b: int):
+        return F.substring(sig_col, b * band_bits + 1, band_bits)
+
+    keys = [
+        F.concat_ws(
+            "|", F.lit("-".join(map(str, combo))), *[band(b) for b in combo]
+        )
+        for combo in combinations(range(n_bands), band_arity)
+    ]
+    banded = reps.select(
+        "__rid", "__touch", F.explode(F.array(*keys)).alias("band")
+    )
+    if max_bucket is not None:
+        # cap statistics over ALL reps — byte-identical to the cold
+        # job's, so the capped pair set restricts exactly
+        ok = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("band")
+        )
+        banded = banded.join(ok, "band")
+    delta_banded = banded.where(F.col("__touch") == 1)
+    rep_pairs = (
+        delta_banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.__rid") != F.col("b.__rid")),
+        )
+        .select(
+            F.least("a.__rid", "b.__rid").alias("ra"),
+            F.greatest("a.__rid", "b.__rid").alias("rb"),
+        )
+        .dropDuplicates(["ra", "rb"])
+    )
+    sa = reps.select(F.col("__rid").alias("ra"), F.col(sig_col).alias("sh_a"))
+    sb = reps.select(F.col("__rid").alias("rb"), F.col(sig_col).alias("sh_b"))
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(n_bits)
+    )
+    near_reps = (
+        rep_pairs.join(sa, "ra")
+        .join(sb, "rb")
+        .select("ra", "rb", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    # membership expansion carries the per-member delta flag so the
+    # ≥1-delta-member restriction lands BEFORE the output (a history×
+    # history pair inside a delta-touching group is not delta work)
+    mem = all_sigs.join(reps, sig_col).select(
+        F.col(id_col).alias("__mid"), "__rid", "__new"
+    )
+    cross = (
+        near_reps.join(
+            mem.select(F.col("__rid").alias("ra"),
+                       F.col("__mid").alias("__ia"),
+                       F.col("__new").alias("__na")), "ra")
+        .join(
+            mem.select(F.col("__rid").alias("rb"),
+                       F.col("__mid").alias("__ib"),
+                       F.col("__new").alias("__nb")), "rb")
+        .where(F.col("__na") | F.col("__nb"))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    # hamming-0 leg delta-proportionally too: delta members × their
+    # signature group (a history×history same-signature pair is old
+    # work the cold job already emitted)
+    intra = (
+        mem.where("__new").alias("a")
+        .join(mem.alias("b"), "__rid")
+        .where(F.col("a.__mid") != F.col("b.__mid"))
+        .select(
+            F.least("a.__mid", "b.__mid").alias("id_a"),
+            F.greatest("a.__mid", "b.__mid").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cross.unionByName(intra)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

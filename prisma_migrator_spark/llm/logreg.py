@@ -14,10 +14,12 @@ aggregate job.
 
 Execution shape per gradient-descent iteration:
 
-- the weight vector rides into the plan as literals (broadcast by
-  value, like the inference path's weight map);
-- z = w·x unrolls to dim multiply-adds on the feature array — pure
-  whole-stage-codegen expressions, zero Python;
+- the weight vector rides in as one array<double> literal (NOT dim
+  scalar literals — those force a fresh janino compile of the
+  dim-wide aggregate every iteration; see train_logreg's docstring);
+- z = w·x is a zip_with fold on the feature array, projected once
+  before the aggregate — pure whole-stage-codegen expressions, zero
+  Python;
 - the gradient Σ (σ(z) − y)·x, the log-loss Σ, and the row count
   come back as ONE HashAggregate row (dim + 2 partially-aggregated
   sums — map-side combine does the heavy lifting, the shuffle is
@@ -115,17 +117,44 @@ def train_logreg(
     iteration, so snapshot it (persist + count — it is static, built
     once and never rebound, so the eager-columnar-cache pattern of
     PERF.md #63 applies, not the localCheckpoint-for-LOOP-state rule:
-    the loop state here is the driver-side weight vector)."""
+    the loop state here is the driver-side weight vector).
+
+    Two per-iteration costs matter and both are fixed here (VERDICT
+    r7 item 6; measured 26.4 s → 11.2 s cold / 0.76 → 0.32 s/iter
+    warm at sf0.01, bit-identical trajectories):
+
+    - the weight vector rides in as ONE array<double> LITERAL, not
+      dim scalar literals: complex-type literals reach generated code
+      as reference objects, so the whole-stage-codegen SOURCE is
+      identical across iterations (janino cache hit) while scalar
+      literals are inlined and forced a fresh ~dim-wide compile every
+      iteration;
+    - z = w·x is projected ONCE as a column before the aggregate;
+      referencing the full fold expression from all dim+2 sums made
+      every sum's expression tree O(dim) and the analyzer/codegen
+      quadratic in dim.
+
+    z is the same left-to-right fold as the scalar-literal form, so
+    the trajectory is bit-identical (pinned by the pure-Python parity
+    test)."""
     w = [0.0] * dim
     losses: list[float] = []
     for _ in range(n_iters):
-        z = _dot(w, x_col)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        warr = F.lit(list(w)).cast("array<double>")
+        z = F.aggregate(
+            F.zip_with(warr, F.col(x_col), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        proj = feats.select(
+            F.col(x_col), F.col(y_col), z.alias("__z")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))
         p = F.least(F.greatest(p, F.lit(_EPS)), F.lit(1.0 - _EPS))
         r = p - F.col(y_col)
         y = F.col(y_col)
         loss = -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
-        agg = feats.agg(
+        agg = proj.agg(
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum(loss).alias("loss"),
             *[F.sum(r * F.col(x_col)[j]).alias(f"g{j}") for j in range(dim)],

@@ -1798,6 +1798,91 @@ def gopher_repetition_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XDOC_NGRAM_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                              || ' ' || w[i+4] || ' ' || w[i+5]), 1, 15))
+              AS BIGINT) AS g
+  FROM words, LATERAL UNNEST(range(len(w) - 4)) AS t(i)
+  WHERE len(w) >= 5
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+), docfreq AS (
+  SELECT g, COUNT(*) AS n_docs FROM per GROUP BY g
+), tot AS (
+  SELECT doc_id, SUM(cnt) AS n_windows FROM per GROUP BY doc_id
+), dup AS (
+  SELECT p.doc_id, SUM(p.cnt) AS dup_windows
+  FROM per p JOIN docfreq USING (g)
+  WHERE docfreq.n_docs >= 2 GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_windows AS BIGINT) AS n_windows,
+       ROUND(COALESCE(d.dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6)
+         AS dup_ngram_frac,
+       ROUND(COALESCE(d.dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6) > 0.3
+         AS flagged
+FROM tot t LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@query("cross_doc_ngram_dup", oracle=_XDOC_NGRAM_ORACLE)
+def cross_doc_ngram_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of word 5-gram windows that ALSO appear
+    in at least one OTHER document — the cross-corpus complement of
+    `gopher_repetition_flags` (which is intra-doc) and the doc-level
+    signal behind substring-granular train-set dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models
+    Better"): boilerplate, syndication, and template text score high
+    even when no whole-document near-dup fires, and corpus filters
+    drop or down-weight on exactly this number.
+
+    Plan shape, all hash aggregates on narrow keys: windows collapse
+    per (doc, gram) FIRST (gram carried as a 60-bit md5 long, never
+    the string — both engines hash identically so the oracle sees
+    the same collisions); gram doc-frequency is one more aggregate
+    over that collapsed frame; dup attribution is an equi join back
+    on the gram key restricted to df ≥ 2. Nothing is ever keyed on
+    raw text, no window functions, no driver state; the df ≥ 2
+    filter keeps the join's build side to genuinely shared grams.
+    At 100 TB the (doc, gram) collapse is the big shuffle — it is
+    also the irreducible one (corpus-wide dup detection IS a global
+    group-by on content keys), and it partitions evenly because md5
+    keys are uniform."""
+    from prisma_migrator_spark.llm.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, k=5, distinct=False)
+    g = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    per = (
+        sh.select("doc_id", g.alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    docfreq = per.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.groupBy("doc_id").agg(F.sum("cnt").alias("n_windows"))
+    dup = (
+        per.join(docfreq.where(F.col("n_docs") >= 2), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("dup_windows"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("dup_windows"), F.lit(0))
+        / F.col("n_windows").cast("double"),
+        6,
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        frac.alias("dup_ngram_frac"),
+        (frac > 0.3).alias("flagged"),
+    )
+
+
 _CENTROIDS_ORACLE = r"""
 WITH ex AS (
   SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
@@ -3847,6 +3932,62 @@ def image_near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("component").alias("cluster"), "n_members", "member_ids")
 
 
+@query("incremental_image_near_dup")  # rows-only like the pair stage
+# (binary decode); pytest pins delta-only decode (corrupted history
+# payloads + stored signatures still pair) and exact parity with the
+# full recompute restricted to delta-touching pairs.
+def incremental_image_near_dup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Roll a DELTA of newly crawled images into pHash near-dup
+    detection against a STORED signature index, without re-decoding
+    history media (VERDICT r7 item 7 — the modality analog of
+    `incremental_lsh_dedup`): the corpus half contributes only its
+    64-bit signatures (one short string per image — what a real
+    pipeline persists at ingest), the delta is decoded and hashed
+    once, and `llm/dedup.incremental_hamming_pairs` bands index ∪
+    delta and keeps pairs touching the delta.
+
+    Decode cost per batch is |delta| — the term that dominates every
+    measured cold run (sf10 image pairs: 132 s, decode-bound) —
+    while the index contribution is a signature-table scan ~3
+    decimal orders smaller than the media bytes. Output ==
+    `image_near_dup_pairs` restricted to pairs with ≥ 1 delta
+    member (pinned row-for-row in pytest)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.dedup import incremental_hamming_pairs
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_image_variant_payload,
+        image_phash,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arity, maxham, cap = _sig_band_arity(docs)
+    cut = docs.agg(
+        F.floor(F.max("doc_id") / 2.0).cast("long").alias("__cut")
+    )
+    with_cut = docs.crossJoin(F.broadcast(cut))
+    # history half: in production this is a read of the persisted
+    # (doc_id, phash) index table; here the index is materialized
+    # in-query the one time (the pytest pin feeds stored signatures
+    # with UNDECODABLE history payloads to prove the contract)
+    existing = with_cut.where(F.col("doc_id") <= F.col("__cut")).drop("__cut")
+    delta = with_cut.where(F.col("doc_id") > F.col("__cut")).drop("__cut")
+    existing_sigs = image_phash(attach_image_variant_payload(existing))
+    delta_sigs = image_phash(attach_image_variant_payload(delta))
+    return incremental_hamming_pairs(
+        existing_sigs,
+        delta_sigs,
+        id_col="doc_id",
+        sig_col="phash",
+        n_bits=64,
+        band_bits=8,
+        max_hamming=maxham,
+        band_arity=arity,
+        max_bucket=cap,
+    )
+
+
 # --- URL curation (canonicalize + domain quotas, r7) --------------------
 
 _DIRTY_URL_SQL = """
@@ -5795,13 +5936,16 @@ def scrub_intradoc_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left-to-right double folds, (b) centroid means differing only in
 # the last ulp across engines — an argmax flip would need two cosines
 # within ~1e-12, and (c) every OUTPUT double rounding to 6dp.
-def _cluster_agreement_oracle(k: int = 8, iters: int = 2) -> str:
-    """Unrolled k-means + contingency/NMI oracle for
-    ``cluster_label_agreement_q``. Mirrors llm/similarity.py exactly:
-    md5-ordered seed sample, argmax-cosine assignment with
-    first-index tie-break (ROW_NUMBER cos DESC, cid ASC), per-dim
-    mean refresh keeping the previous centroid for empty clusters,
-    and the `or 1.0` zero-norm guard on the centroid side only."""
+def _kmeans_assign_parts(k: int, iters: int) -> list[str]:
+    """WITH-clause parts for the unrolled deterministic k-means of
+    ``llm/similarity.train_ivf_centroids`` + ``ivf_assign``, ending
+    in an ``assigned`` CTE of (vec_id, label, cluster_id). Mirrors
+    the Spark trainer exactly: md5-ordered seed sample, argmax-cosine
+    assignment with first-index tie-break (ROW_NUMBER cos DESC, cid
+    ASC), per-dim mean refresh keeping the previous centroid for
+    empty clusters, and the `or 1.0` zero-norm guard on the centroid
+    side only. Shared by the cluster-evaluation and semantic-dedup
+    oracles."""
     cnorm = ("(CASE WHEN sqrt(list_sum(list_transform(c.c, x -> x * x))) = 0 "
              "THEN 1.0 ELSE sqrt(list_sum(list_transform(c.c, x -> x * x))) END)")
     parts = [f"""emb AS MATERIALIZED (
@@ -5847,6 +5991,14 @@ def _cluster_agreement_oracle(k: int = 8, iters: int = 2) -> str:
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
     FROM sf) WHERE rn = 1
 )""")
+    return parts
+
+
+def _cluster_agreement_oracle(k: int = 8, iters: int = 2) -> str:
+    """Unrolled k-means + contingency/NMI oracle for
+    ``cluster_label_agreement_q`` (see :func:`_kmeans_assign_parts`
+    for the shared assignment unroll)."""
+    parts = _kmeans_assign_parts(k, iters)
     return f"""WITH {','.join(parts)},
 cont AS MATERIALIZED (
   SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n_cl
@@ -5956,6 +6108,79 @@ def cluster_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_cluster.crossJoin(F.broadcast(glob))
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 2, tau: float = 0.35
+) -> str:
+    """SemDeDup drop-list oracle: the shared k-means unroll
+    (:func:`_kmeans_assign_parts`) assigns clusters, same-cluster
+    pairs above the cosine threshold are generated, and each doc
+    with a SMALLER near neighbor is dropped, keeping the minimal
+    such neighbor as its keeper."""
+    parts = _kmeans_assign_parts(k, iters)
+    return f"""WITH {','.join(parts)},
+cv AS MATERIALIZED (
+  SELECT e.vec_id, a.cluster_id, e.v FROM emb e JOIN assigned a USING (vec_id)
+), prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cv a JOIN cv b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {tau}
+)
+SELECT id_b AS dropped_id,
+       CAST(MIN(id_a) AS BIGINT) AS keeper_id,
+       ARG_MIN(cosine, id_a) AS cosine
+FROM prs GROUP BY id_b"""
+
+
+@query("semantic_dedup_drops", oracle=_semantic_dedup_oracle())
+def semantic_dedup_drops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means clusters the embedding space, pairwise cosine runs only
+    WITHIN clusters, and every doc with a smaller-id near neighbor
+    (cosine ≥ 0.35) is dropped — the embedding-space dedup pass that
+    catches paraphrases and re-renderings lexical MinHash misses,
+    with the cluster restriction doing for n² what LSH bands do for
+    the lexical family. Returns (dropped_id, keeper_id, cosine):
+    the drop list plus the keeper each drop is attributed to
+    (min-id greedy — survivors are exactly the docs with no
+    smaller-id near neighbor, so the decision is order-free and
+    engine-stable).
+
+    Scale shape: the trainer is the audited distributed k-means
+    (one job per iteration, centroid-sized driver state); pair
+    generation rides `embedding_near_dup_pairs` bucketed on
+    cluster_id with triangle blocking (n_blocks=4), so the cosine
+    work spreads over cluster × block-pair tasks and Σ cluster²
+    replaces n²; the drop rule is one (id_b) aggregate. At 100 TB
+    raise k so clusters stay machine-sized — cost moves into the
+    embarrassing-parallel assignment scan, never into a global
+    pair join."""
+    from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs
+    from prisma_migrator_spark.llm.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    clustered = (
+        ivf_assign(emb, cents)
+        .select("vec_id", "cluster_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    pairs = embedding_near_dup_pairs(
+        clustered,
+        bucket_col="cluster_id",
+        min_cosine=0.35,
+        n_blocks=4,
+    )
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").alias("keeper_id"),
+        F.min_by("cosine", "id_a").alias("cosine"),
+    )
 
 
 # --- cross-source syndication matrix --------------------------------------
@@ -6454,9 +6679,13 @@ def ann_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     k = 5
+    # snapshot the exact baseline (|probes|·k rows): each method's
+    # recall join references it, and without the checkpoint the
+    # brute-force scan re-executed once PER METHOD — a third of the
+    # query's gate wall (VERDICT r7 item 6)
     exact = topk_bruteforce(emb, probes, k=k).select(
         "probe_id", "neighbor_id"
-    )
+    ).localCheckpoint()
     n_probes = probes.count()
     methods = {
         "lsh": topk_lsh(emb, probes, k=k),

@@ -2841,6 +2841,112 @@ def test_image_near_dup_pairs_recall_and_precision(spark, sf_dir):
     assert all(r.hamming <= 7 for r in rows)
 
 
+def test_incremental_image_near_dup_delta_only_decode_and_parity(spark, sf_dir):
+    """The incremental form finds EXACTLY the pairs the full
+    recompute finds restricted to delta-touching pairs (same
+    banding plan on the same signatures), and the history side is
+    consumed as STORED signatures — proven behaviorally by feeding
+    stored signatures whose media payloads are corrupt garbage: if
+    the path re-decoded history, those docs would be dropped (the
+    fault-isolation contract of image_phash) and the cross pairs
+    would vanish."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.dedup import incremental_hamming_pairs
+    from prisma_migrator_spark.llm.multimodal import (
+        image_phash,
+        pattern_rows,
+        phash64,
+        rows_to_bmp,
+    )
+    from prisma_migrator_spark.plans import QUERIES
+
+    # (a) parity with full recompute restricted to delta-touching
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    cut = (n_docs - 1) // 2  # doc_ids are 0..n-1; floor(max/2)
+    full = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["image_near_dup_pairs"](spark, sf_dir).collect()
+    }
+    expected = {(a, b) for (a, b) in full if a > cut or b > cut}
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["incremental_image_near_dup"](spark, sf_dir).collect()
+    }
+    assert got == expected, (
+        f"missed {sorted(expected - got)[:5]}, spurious {sorted(got - expected)[:5]}"
+    )
+
+    # (b) delta-only decode: history rows carry STORED signatures and
+    # garbage payloads; group 0 spans the cut (ids 0-1 history, 2-3
+    # delta), so its cross pairs exist ONLY if the stored signatures
+    # are trusted without re-decoding
+    hist = spark.createDataFrame(
+        [
+            Row(doc_id=0, phash=phash64(rows_to_bmp(pattern_rows(0)))),
+            Row(doc_id=1, phash=phash64(rows_to_bmp(pattern_rows(0)))),
+            Row(doc_id=10, phash=phash64(rows_to_bmp(pattern_rows(9)))),
+        ]
+    )
+    delta_media = spark.createDataFrame(
+        [
+            Row(doc_id=2, payload=rows_to_bmp(pattern_rows(0))),
+            Row(doc_id=3, payload=rows_to_bmp(pattern_rows(0))),
+            Row(doc_id=11, payload=rows_to_bmp(pattern_rows(7))),
+        ]
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(
+            hist, image_phash(delta_media), sig_col="phash"
+        ).collect()
+    }
+    assert pairs == {(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}, pairs
+
+
+def test_incremental_hamming_pairs_audio_parity(spark):
+    """The incremental banded join is signature-generic: over audio
+    fingerprints (5-variant tone-mosaic groups) the delta form
+    reproduces the full recompute's delta-touching pairs exactly —
+    same machinery image/video ride, no modality-specific code."""
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.llm.dedup import (
+        hamming_band_pairs,
+        incremental_hamming_pairs,
+    )
+    from prisma_migrator_spark.llm.multimodal import (
+        attach_audio_variant_payload,
+        audio_fingerprint,
+    )
+
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    sigs = audio_fingerprint(
+        attach_audio_variant_payload(ids)
+    ).localCheckpoint()
+    kw = dict(id_col="doc_id", sig_col="afp", n_bits=64, band_bits=8,
+              max_hamming=7, band_arity=1)
+    full = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(sigs, **kw).collect()
+    }
+    cut = 13  # splits a variant group across history/delta
+    expected = {(a, b) for (a, b) in full if a >= cut or b >= cut}
+    got = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(
+            sigs.where(F.col("doc_id") < cut),
+            sigs.where(F.col("doc_id") >= cut),
+            **kw,
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_image_phash_drops_undecodable_payloads(spark):
     """Fault isolation: a corrupt/non-image payload yields NO
     signature row (it can't be near-anything), never a task error."""
@@ -4361,6 +4467,142 @@ def test_blocklist_filter_blocks_subdomains_not_lookalikes(spark):
     blocked = spark.createDataFrame([("bad.com",)], "domain string")
     kept = {r["doc_id"] for r in blocklist_filter(urls, blocked).collect()}
     assert kept == {3, 4, 5}
+
+
+def test_url_blocklist_survives_single_label_and_empty_hosts(spark):
+    """ADVICE r7 regression: a <2-label host ('localhost', or the ''
+    that url_domain yields for malformed URLs) must produce an EMPTY
+    suffix array (row kept), not an INVALID_PARAMETER_VALUE.START
+    crash from the descending F.sequence(0, -1) expansion."""
+    from prisma_migrator_spark.llm.urls import blocklist_filter
+
+    urls = spark.createDataFrame(
+        [
+            (0, "http://localhost/x"),          # single label
+            (1, "not a url at all"),            # url_domain -> ''
+            (2, "https://cdn.bad.com/x"),       # still blocked
+            (3, "https://good.com/x"),
+        ],
+        "doc_id long, canonical_url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    kept = {r["doc_id"] for r in blocklist_filter(urls, blocked).collect()}
+    assert kept == {0, 1, 3}
+
+
+def test_mmr_topk_string_ids(spark):
+    """ADVICE r7 regression: mmr_topk derives the cand_id schema from
+    the corpus id column — string-typed ids must work end-to-end
+    (the old hardcoded 'cand_id bigint' died in createDataFrame)."""
+    from prisma_migrator_spark.llm.similarity import mmr_topk
+
+    corpus = spark.createDataFrame(
+        [
+            ("docA", [1.0, 0.0]),
+            ("docB", [0.99, 0.14]),   # near-dup of docA
+            ("docC", [0.0, 1.0]),     # orthogonal
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    out = mmr_topk(corpus, [0.8, 0.6], k=2, lam=0.5, fetch=3)
+    assert out.schema["cand_id"].dataType.typeName() == "string"
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["cand_id"] == "docB"  # highest relevance to probe
+    assert rows[1]["cand_id"] == "docC"  # diversity beats the near-dup docA
+
+
+def test_hashed_doc_vectors_zero_norm_docs_dropped(spark):
+    """ADVICE r7 regression: a doc whose signed hashed TFs fully
+    cancel (tokens 'w8' and 'w0' hash to the same bucket with
+    opposite signs, tf 1 each) is DROPPED, not emitted as an
+    all-NULL embedding that poisons downstream cosine math."""
+    import hashlib
+
+    from prisma_migrator_spark.llm.text import hashed_doc_vector_arrays
+
+    def dim(t):
+        return int(hashlib.md5(f"fh:{t}".encode()).hexdigest()[:15], 16) % 64
+
+    def sgn(t):
+        h = int(hashlib.md5(f"fhs:{t}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    assert dim("w8") == dim("w0") and sgn("w8") != sgn("w0")
+    df = spark.createDataFrame(
+        [(0, "w8 w0"), (1, "normal document text")],
+        "doc_id long, text string",
+    )
+    out = hashed_doc_vector_arrays(df, dim=64).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    emb = out[0]["embedding"]
+    assert all(v is not None for v in emb)
+    assert abs(sum(v * v for v in emb) - 1.0) < 1e-9
+
+
+def test_semantic_dedup_drops_planted_duplicate_groups(spark, tmp_path):
+    """Exact-duplicate embedding groups (identical vectors land in
+    identical clusters under the deterministic argmax assignment)
+    collapse to their min id: every other member is dropped with
+    keeper = group min and cosine 1.0; near-orthogonal singletons
+    survive untouched."""
+    import os
+
+    rows = []
+    v1 = [0.0] * 12 + [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    v2 = [0.0] * 14 + [0.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+    for i in range(5):
+        rows.append((i, "g1", v1))
+    for i in range(5, 10):
+        rows.append((i, "g2", v2))
+    for j in range(10, 22):  # one-hot singletons on dims 0-11, all
+        v = [0.0] * 20        # orthogonal to v1 (dims 12-13), v2 (15-16)
+        v[j - 10] = 1.0
+        rows.append((j, "solo", v))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    from prisma_migrator_spark.plans import QUERIES
+
+    out = {r["dropped_id"]: r for r in QUERIES["semantic_dedup_drops"](spark, d).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i]["keeper_id"] == 0 and out[i]["cosine"] == 1.0
+    for i in (6, 7, 8, 9):
+        assert out[i]["keeper_id"] == 5 and out[i]["cosine"] == 1.0
+    # v1/v2 overlap dims are disjoint and singletons are orthogonal:
+    # nothing else is dropped, and every drop names a smaller keeper
+    assert set(out) == {1, 2, 3, 4, 6, 7, 8, 9}
+    assert all(r["keeper_id"] < did for did, r in out.items())
+
+
+def test_cross_doc_ngram_dup_counts_cross_doc_only(spark, tmp_path):
+    """The duplicated-window fraction counts grams shared with OTHER
+    docs: two docs sharing exactly one 5-gram each score 1/4; a doc
+    that repeats ITS OWN gram three times scores 0 (intra-doc
+    repetition is gopher_repetition_flags' job, df counts distinct
+    docs); a unique doc scores 0."""
+    import os
+
+    rows = [
+        (0, "a b c d e f g h"),       # 4 windows, shares 'a b c d e' w/ doc 1
+        (1, "a b c d e x y z"),       # 4 windows, same share
+        (2, "p q r s t u"),           # 2 windows, unique
+        (3, "m n o p q m n o p q m n o p q"),  # self-repeats only
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    from prisma_migrator_spark.plans import QUERIES
+
+    out = {r["doc_id"]: r for r in QUERIES["cross_doc_ngram_dup"](spark, d).collect()}
+    assert out[0]["dup_ngram_frac"] == 0.25 and out[0]["n_windows"] == 4
+    assert out[1]["dup_ngram_frac"] == 0.25
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == 0.0 and out[3]["n_windows"] == 11
+    assert not any(r["flagged"] for r in out.values())
 
 
 def test_dedup_savings_attributes_tokens_not_docs(spark, tmp_path):
