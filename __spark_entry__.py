@@ -46,6 +46,8 @@ WINDOW_R8 = [
     # -- new or schema-changed in r8, never driver-gated --
     "incremental_image_near_dup",   # rows-only 4/10
     "multimodal_features",          # rows-only 5/10 (array -> exploded rows)
+    "semantic_dedup_drops",
+    "cross_doc_ngram_dup",
     # -- never-gated rows-only tail (one driver row each) --
     "audio_near_dup_pairs",         # rows-only 6/10
     "topk_cosine_ivf_pq",           # rows-only 7/10
@@ -88,8 +90,6 @@ WINDOW_R8 = [
     "pii_redaction",
     "doc_chunks_overlap",
     "domain_mixture_sample",
-    "cross_corpus_dedup",
-    "gopher_repetition_flags",
 ]
 
 

@@ -6110,6 +6110,196 @@ def cluster_label_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cluster.crossJoin(F.broadcast(glob))
 
 
+_SOURCE_JSD_ORACLE = r"""
+WITH toks AS (
+  SELECT d.source,
+         UNNEST(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents d WHERE length(trim(text)) > 0
+), cnt AS (
+  SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM toks WHERE term <> '' GROUP BY source, term
+), tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+p AS (
+  SELECT c.source, c.term, c.c / t.n AS p FROM cnt c JOIN tot t USING (source)
+), hs AS (SELECT source, -SUM(p * LN(p)) AS h FROM p GROUP BY source),
+prs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM tot a JOIN tot b ON a.source < b.source
+), contrib AS (
+  SELECT pr.sa, pr.sb, p.term, SUM(p.p) / 2.0 AS m
+  FROM prs pr JOIN p ON p.source = pr.sa OR p.source = pr.sb
+  GROUP BY pr.sa, pr.sb, p.term
+), hm AS (SELECT sa, sb, -SUM(m * LN(m)) AS h_m FROM contrib GROUP BY sa, sb)
+SELECT hm.sa AS source_a, hm.sb AS source_b,
+       ROUND(hm.h_m - (ha.h + hb.h) / 2.0, 6) AS jsd
+FROM hm JOIN hs ha ON ha.source = hm.sa JOIN hs hb ON hb.source = hm.sb
+"""
+
+
+@query("source_unigram_jsd", oracle=_SOURCE_JSD_ORACLE)
+def source_unigram_jsd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram term
+    distributions of every source pair (nats) — the mixture-design
+    diagnostic that tells a corpus curator which feeds are
+    near-duplicates of each other DISTRIBUTIONALLY (syndication shows
+    up pair-level in `cross_source_syndication`; this catches feeds
+    that share a register/topic profile even with zero shared
+    documents, and is the distance `domain_mixture_sample` weights
+    would be tuned against).
+
+    Computed as JSD(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2 — the entropy
+    form needs no full-outer term join: per-source term probabilities
+    are a vocabulary-sized frame, each term row replicates into the
+    (|sources|−1) pairs containing its source via two equi joins on a
+    broadcast pair list (never an OR-theta join Spark-side), and the
+    mixture entropy is one (pair, term) aggregate. Zero-count terms
+    contribute exactly their absent-side share through the mixture —
+    no smoothing constant to tune or to disagree on between engines.
+
+    Scale shape: ONE corpus scan builds the (source, term) counts;
+    everything after is vocabulary-sized × |pairs| with uniform
+    md5-free term keys; symmetric, bounded by ln 2, exact zeros for
+    identical feeds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    cnt = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "term", (F.col("c") / F.col("n")).alias("p")
+    )
+    hs = p.groupBy("source").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("h")
+    )
+    prs = (
+        tot.select(F.col("source").alias("sa"))
+        .join(
+            tot.select(F.col("source").alias("sb")),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    ca = p.join(F.broadcast(prs), p["source"] == F.col("sa")).select(
+        "sa", "sb", "term", "p"
+    )
+    cb = p.join(F.broadcast(prs), p["source"] == F.col("sb")).select(
+        "sa", "sb", "term", "p"
+    )
+    contrib = (
+        ca.unionByName(cb)
+        .groupBy("sa", "sb", "term")
+        .agg((F.sum("p") / F.lit(2.0)).alias("m"))
+    )
+    hm = contrib.groupBy("sa", "sb").agg(
+        (-F.sum(F.col("m") * F.log("m"))).alias("h_m")
+    )
+    ha = hs.select(F.col("source").alias("sa"), F.col("h").alias("h_a"))
+    hb = hs.select(F.col("source").alias("sb"), F.col("h").alias("h_b"))
+    return (
+        hm.join(F.broadcast(ha), "sa")
+        .join(F.broadcast(hb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(
+                F.col("h_m") - (F.col("h_a") + F.col("h_b")) / 2.0, 6
+            ).alias("jsd"),
+        )
+    )
+
+
+def _silhouette_oracle(k: int = 8, iters: int = 2) -> str:
+    """Simplified-silhouette oracle over the shared k-means unroll:
+    the ``sf`` CTE already holds every (vec, centroid) cosine, so
+    a = 1 − cos(own centroid), b = min over other centroids of
+    (1 − cos), s = (b − a)/max(a, b) (0 when both distances are 0),
+    rounded to 6dp before the per-cluster mean."""
+    parts = _kmeans_assign_parts(k, iters)
+    return f"""WITH {','.join(parts)},
+d AS (
+  SELECT s.vec_id, s.cid, 1.0 - s.cos AS dist, a.cluster_id
+  FROM sf s JOIN assigned a USING (vec_id)
+), ab AS (
+  SELECT vec_id, cluster_id,
+         MIN(CASE WHEN cid = cluster_id THEN dist END) AS a,
+         MIN(CASE WHEN cid <> cluster_id THEN dist END) AS b
+  FROM d GROUP BY vec_id, cluster_id
+), sil AS (
+  SELECT vec_id, cluster_id,
+         ROUND(CASE WHEN GREATEST(a, b) > 0
+                    THEN (b - a) / GREATEST(a, b) ELSE 0.0 END, 6) AS s
+  FROM ab
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(AVG(s), 6) AS mean_silhouette
+FROM sil GROUP BY cluster_id"""
+
+
+@query("kmeans_silhouette", oracle=_silhouette_oracle())
+def kmeans_silhouette_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster (centroid-based
+    silhouette — Hruschka et al.'s O(n·k) form of the O(n²)
+    original): a = cosine distance to the OWN centroid, b = distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b). The
+    UNSUPERVISED member of the clustering-evaluation family —
+    `cluster_label_agreement` needs labels; this scores cluster
+    cohesion/separation on any corpus, which is the number a curation
+    pipeline reads when picking k for its corpus map.
+
+    Scale shape: the trainer is the audited distributed k-means;
+    scoring is ONE map-side pass (the k cosines per vector are a
+    literal-codebook transform — no join, no shuffle beyond the
+    |k|-row final aggregate). s is rounded to 6dp before the mean so
+    both engines aggregate identical values; ties (two equidistant
+    centroids) give s = 0 on both sides by the same arithmetic."""
+    from prisma_migrator_spark.llm.similarity import (
+        _centroid_sims,
+        _norm,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("__norm", _norm(F.col("v")))
+    scored = base.select(
+        "vec_id",
+        _centroid_sims(F.col("v"), F.col("__norm"), cents).alias("__s"),
+    )
+    own_pos = F.array_position(F.col("__s"), F.array_max("__s"))
+    a = F.lit(1.0) - F.element_at("__s", own_pos.cast("int"))
+    b = F.lit(1.0) - F.array_max(
+        F.filter(F.col("__s"), lambda x, i: i != own_pos - 1)
+    )
+    sil = F.round(
+        F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+            0.0
+        ),
+        6,
+    )
+    return (
+        scored.select(
+            (own_pos - 1).cast("int").alias("cluster_id"), sil.alias("s")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+        )
+    )
+
+
 def _semantic_dedup_oracle(
     k: int = 8, iters: int = 2, tau: float = 0.35
 ) -> str:
@@ -6154,10 +6344,14 @@ def semantic_dedup_drops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation rides `embedding_near_dup_pairs` bucketed on
     cluster_id with triangle blocking (n_blocks=4), so the cosine
     work spreads over cluster × block-pair tasks and Σ cluster²
-    replaces n²; the drop rule is one (id_b) aggregate. At 100 TB
-    raise k so clusters stay machine-sized — cost moves into the
-    embarrassing-parallel assignment scan, never into a global
-    pair join."""
+    replaces n². Σ cluster² is QUADRATIC in mean cluster size, so k
+    is the scale dial and it ADAPTS like `_sig_band_arity`: small
+    corpora (the oracle zone, ≤ 4k vectors) run the unrolled-oracle
+    k=8; above that k = ⌈n/500⌉ keeps clusters ~500-vector sized and
+    the cosine work ~linear in n (measured sf1: 29.0 s at k=8 →
+    4.7 s adaptive; sf10 would be ~2.5e9 cosines at k=8 — the dial
+    is what makes 100 TB a k setting, not a rewrite). The drop rule
+    is one (id_b) aggregate."""
     from prisma_migrator_spark.llm.dedup import embedding_near_dup_pairs
     from prisma_migrator_spark.llm.similarity import (
         ivf_assign,
@@ -6165,7 +6359,9 @@ def semantic_dedup_drops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_centroids=8, iters=2)
+    n = emb.count()
+    k = 8 if n <= 4000 else -(-n // 500)
+    cents = train_ivf_centroids(emb, n_centroids=k, iters=2)
     clustered = (
         ivf_assign(emb, cents)
         .select("vec_id", "cluster_id")

@@ -4576,6 +4576,82 @@ def test_semantic_dedup_drops_planted_duplicate_groups(spark, tmp_path):
     assert all(r["keeper_id"] < did for did, r in out.items())
 
 
+def test_source_unigram_jsd_extremes(spark, tmp_path):
+    """Analytic extremes: two sources with IDENTICAL unigram
+    distributions score jsd 0.0; two with disjoint vocabularies score
+    exactly ln 2; a half-overlapping pair lands strictly between."""
+    import math
+    import os
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "twin_a", "alpha beta gamma delta"))
+        rows.append((10 + i, "twin_b", "alpha beta gamma delta"))
+        rows.append((20 + i, "disjoint", "epsilon zeta eta theta"))
+        rows.append((30 + i, "half", "alpha beta epsilon zeta"))
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, s, t) for (i, s, t) in rows],
+        "doc_id long, source string, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    from prisma_migrator_spark.plans import QUERIES
+
+    out = {
+        (r["source_a"], r["source_b"]): r["jsd"]
+        for r in QUERIES["source_unigram_jsd"](spark, d).collect()
+    }
+    assert len(out) == 6  # C(4,2) unordered pairs
+    assert out[("twin_a", "twin_b")] == 0.0
+    assert abs(out[("disjoint", "twin_a")] - math.log(2)) < 1e-6
+    assert 0.0 < out[("half", "twin_a")] < math.log(2) - 1e-3
+    assert out[("disjoint", "half")] < out[("disjoint", "twin_a")]
+
+
+def test_kmeans_silhouette_separated_beats_blob(spark, tmp_path):
+    """Silhouette measures cohesion/separation without labels: a
+    corpus of orthogonal direction groups scores near-perfect
+    cohesion (measured 0.9998), a single jittered blob scores
+    mid-range (measured 0.53 — silhouette is scale-free, so even a
+    tight blob's relative ratios stay positive; the SEPARATION is
+    what the signal reads). Bounds hold on both."""
+    import hashlib
+    import os
+
+    from prisma_migrator_spark.plans import QUERIES
+
+    def jit(i, d):
+        return int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) / 655360.0
+
+    def corpus(kind):
+        rows = []
+        for i in range(24):
+            if kind == "separated":
+                v = [jit(i, d) for d in range(16)]
+                v[i % 8] += 4.0
+            else:
+                v = [1.0 + jit(i, d) for d in range(16)]
+            rows.append((i, f"g{i % 8}", v))
+        return rows
+
+    means = {}
+    for kind in ("separated", "blob"):
+        d = str(tmp_path / kind)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            corpus(kind), "vec_id long, label string, embedding array<double>"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        rows = QUERIES["kmeans_silhouette"](spark, d).collect()
+        assert sum(r["n_members"] for r in rows) == 24
+        assert all(-1.0 <= r["mean_silhouette"] <= 1.0 for r in rows)
+        means[kind] = sum(
+            r["n_members"] * r["mean_silhouette"] for r in rows
+        ) / 24.0
+    assert means["separated"] > 0.95, means
+    assert means["blob"] < 0.7, means
+    assert means["separated"] > means["blob"]
+
+
 def test_cross_doc_ngram_dup_counts_cross_doc_only(spark, tmp_path):
     """The duplicated-window fraction counts grams shared with OTHER
     docs: two docs sharing exactly one 5-gram each score 1/4; a doc
