@@ -1833,13 +1833,14 @@ FROM tot t LEFT JOIN dup d USING (doc_id)
 @query("cross_doc_ngram_dup", oracle=_XDOC_NGRAM_ORACLE)
 def cross_doc_ngram_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fraction of word 5-gram windows that ALSO appear
-    in at least one OTHER document — the cross-corpus complement of
-    `gopher_repetition_flags` (which is intra-doc) and the doc-level
-    signal behind substring-granular train-set dedup (Lee et al.
-    2021, "Deduplicating Training Data Makes Language Models
-    Better"): boilerplate, syndication, and template text score high
-    even when no whole-document near-dup fires, and corpus filters
-    drop or down-weight on exactly this number.
+    in at least one OTHER document — the EXACT, stride-1 form of the
+    substring-dedup signal (Lee et al. 2021): `repeated_spans` is
+    the strided approximation (8-token windows, stride 4 — ~4×
+    cheaper, the scale gate), this is the every-window fraction at
+    the 5-gram granularity quality filters quote (Dolma-style
+    dup-ngram fraction), and `gopher_repetition_flags` is the
+    intra-doc member. Boilerplate, syndication, and template text
+    score high here even when no whole-document near-dup fires.
 
     Plan shape, all hash aggregates on narrow keys: windows collapse
     per (doc, gram) FIRST (gram carried as a 60-bit md5 long, never
