@@ -2908,6 +2908,70 @@ def test_incremental_image_near_dup_delta_only_decode_and_parity(spark, sf_dir):
     assert pairs == {(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}, pairs
 
 
+def test_incremental_hamming_pairs_edges_and_cap_parity(spark):
+    """Edge contracts on synthetic bit-string signatures: (a) empty
+    delta -> empty output (no history re-pairing); (b) empty index ->
+    exactly the full job over the delta; (c) with max_bucket set, the
+    cap statistics are computed over ALL distinct signatures, so the
+    capped incremental output == the capped FULL recompute restricted
+    to delta-touching pairs (the parity claim in the docstring)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.llm.dedup import (
+        hamming_band_pairs,
+        incremental_hamming_pairs,
+    )
+
+    def sig(bits_on):
+        s = ["0"] * 64
+        for b in bits_on:
+            s[b] = "1"
+        return "".join(s)
+
+    # 3 identical + 1 within hamming-2 + saturating group sharing
+    # band 0 (bits 0-7) so a small cap engages on that band
+    rows = [Row(doc_id=i, phash=sig([0, 1])) for i in range(3)]
+    rows.append(Row(doc_id=3, phash=sig([0, 1, 9])))
+    rows += [Row(doc_id=10 + j, phash=sig([0, 1, 16 + j])) for j in range(6)]
+    sigs = spark.createDataFrame(rows).localCheckpoint()
+    kw = dict(id_col="doc_id", sig_col="phash", n_bits=64, band_bits=8,
+              max_hamming=7, band_arity=1)
+
+    empty = sigs.where(F.lit(False))
+    # (a) empty delta
+    assert incremental_hamming_pairs(sigs, empty, **kw).count() == 0
+    # (b) empty index == full job on the delta
+    full_delta = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(sigs, **kw).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in incremental_hamming_pairs(empty, sigs, **kw).collect()
+    }
+    assert got == full_delta and len(full_delta) > 0
+    # (c) capped parity: cap=3 drops the shared band-0 bucket (9
+    # distinct signatures) in BOTH jobs identically
+    capped = dict(kw, max_bucket=3)
+    hist = sigs.where(F.col("doc_id") <= 3)
+    delta = sigs.where(F.col("doc_id") > 3)
+    full_cap = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(sigs, **capped).collect()
+    }
+    expected = {
+        (a, b) for (a, b) in full_cap if a > 3 or b > 3
+    }
+    got_cap = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(hist, delta, **capped).collect()
+    }
+    assert got_cap == expected
+    # and the cap actually bit (fewer pairs than uncapped)
+    assert len(full_cap) < len(full_delta)
+
+
 def test_incremental_hamming_pairs_audio_parity(spark):
     """The incremental banded join is signature-generic: over audio
     fingerprints (5-variant tone-mosaic groups) the delta form
