@@ -3911,6 +3911,69 @@ def test_streaming_near_dup_out_of_order_first_seen(spark, tmp_path):
     assert got[1].is_dup and got[1].dup_of == 9 and got[1].hamming == 1
 
 
+def test_streaming_near_dup_image_phash_signatures(spark, tmp_path):
+    """The streaming near-dup operator is signature-generic in
+    practice, not just by docstring: REAL 64-bit image pHashes (BMP
+    source in the index batch; PNG re-container, JPEG re-encode, and
+    a distinct image in the delta batch) stream through with the
+    image family's banding dials (8-bit bands, Hamming ≤ 7) — the
+    streaming analog of incremental_image_near_dup's
+    stored-index-plus-delta ingestion."""
+    from pyspark.sql import Row
+
+    from prisma_migrator_spark.llm.multimodal import (
+        encode_png,
+        pattern_rows,
+        phash64,
+        rows_to_bmp,
+    )
+    from prisma_migrator_spark.llm.jpeg import encode_jpeg
+    from prisma_migrator_spark.streaming.stateful import (
+        reduce_near_dup_verdicts,
+        streaming_near_dup_verdicts,
+    )
+
+    g0, g1 = pattern_rows(0), pattern_rows(1)
+    src, ckpt = (str(tmp_path / d) for d in ("src", "ckpt"))
+    verdicts = []
+
+    def sink(df, _epoch):
+        verdicts.extend(reduce_near_dup_verdicts(df).collect())
+
+    def drain(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, phash string").parquet(src)
+        q = (
+            streaming_near_dup_verdicts(
+                stream, sig_col="phash", n_bits=64, band_bits=8,
+                max_hamming=7,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # index batch: the two source images as BMP
+    drain([
+        Row(doc_id=0, phash=phash64(rows_to_bmp(g0))),
+        Row(doc_id=1, phash=phash64(rows_to_bmp(g1))),
+    ])
+    # delta batch: re-encodes of image 0 + a fresh distinct image
+    drain([
+        Row(doc_id=10, phash=phash64(encode_png(g0))),
+        Row(doc_id=11, phash=phash64(encode_jpeg(g0, quality=90))),
+        Row(doc_id=12, phash=phash64(rows_to_bmp(pattern_rows(7)))),
+    ])
+
+    got = {r.doc_id: r for r in verdicts}
+    assert not got[0].is_dup and not got[1].is_dup
+    assert got[10].is_dup and got[10].dup_of == 0 and got[10].hamming == 0
+    assert got[11].is_dup and got[11].dup_of == 0 and got[11].hamming <= 7
+    assert not got[12].is_dup
+
+
 def test_luhn_cc_detection_validates_checksum(spark, sf_dir):
     """Luhn ground truth: known-valid test numbers pass, off-by-one
     mutations fail, and the column expression agrees with a pure-
