@@ -66,3 +66,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_composition_rules():
+    """The rotation rules the r7 verdict set (items 3+4) hold for
+    whatever window is currently wired: the driver gates the FIRST
+    50 queries() entries, so (a) every window name is registered,
+    (b) no duplicates, (c) rows-only entries are capped at 20% of
+    the gated slice so >= 80% of the driver's CORRECTNESS rows are
+    hash-verified."""
+    import __spark_entry__ as e
+    from prisma_migrator_spark.plans import ORACLES, QUERIES
+
+    gated = list(e.queries())[:50]
+    assert len(set(gated)) == 50
+    assert all(q in QUERIES for q in gated)
+    rows_only = [q for q in gated if q not in ORACLES]
+    assert len(rows_only) <= 10, (
+        f"{len(rows_only)}/50 rows-only entries in the driver window "
+        f"(cap is 10 = 20%): {rows_only}"
+    )
