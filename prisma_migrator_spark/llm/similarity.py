@@ -260,6 +260,22 @@ def topk_ivf(
         F.col("__norm").alias("vec_norm"),
         "cluster_id",
     )
+    return _ivf_probe(cb, cents, probes, k, nprobe, id_col, vec_col)
+
+
+def _ivf_probe(
+    cb: DataFrame,
+    cents: list[list[float]],
+    probes: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe stage shared by :func:`topk_ivf` (fresh-trained index)
+    and :func:`topk_ivf_from_index` (persisted index): rank the
+    codebook per probe, explode the ``nprobe`` nearest cluster ids,
+    candidate-join the postings on cluster_id, exact-rank top k."""
     p = probes.select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
     ).withColumn("__norm", _norm(F.col(vec_col)))
@@ -303,6 +319,73 @@ def topk_ivf(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist an IVF index at ingest so probe batches never retrain
+    or reassign — the ANN analog of the stored-signature dedup
+    indexes (`incremental_lsh_pairs` / `incremental_hamming_pairs`):
+    the expensive parts of `topk_ivf` are the k-means iterations and
+    the corpus assignment scan, both one-time ingest work, while a
+    probe batch's own cost is |probes|·nprobe·(n/C).
+
+    Layout: ``{path}/centroids`` (cid, centroid — C rows) and
+    ``{path}/postings`` (neighbor_id, vec, vec_norm) PARTITIONED BY
+    cluster_id — the candidate join in `_ivf_probe` is a broadcast
+    hash join on the partition column, so dynamic partition pruning
+    reads only the ≤ |probes|·nprobe clusters a batch actually
+    probes, not the corpus. Norms are stored, not recomputed.
+    Returns the centroid list (driver-side, C·dim — model-sized)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    cents = train_ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cb = ivf_assign(ensure_parallelism(corpus), cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col("__norm").alias("vec_norm"),
+        "cluster_id",
+    )
+    cb.write.partitionBy("cluster_id").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    corpus.sparkSession.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def topk_ivf_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a PERSISTED IVF index (`save_ivf_index`):
+    loads the C-row codebook driver-side (bounded, model-sized) and
+    probes the partitioned postings — identical output to running
+    `topk_ivf` with the same centroids (pinned by
+    `test_ivf_persisted_index_matches_fresh`), with zero training
+    or assignment work per probe batch."""
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    cent_df = spark.read.parquet(f"{path}/centroids").orderBy("cid")
+    rows = bounded_collect(
+        cent_df, 65536, "IVF codebook is C rows (model-sized)"
+    )
+    cents = [list(r["centroid"]) for r in rows]
+    cb = spark.read.parquet(f"{path}/postings")
+    return _ivf_probe(cb, cents, probes, k, nprobe, id_col, vec_col)
 
 
 def _flip(bucket: Column, i: int) -> Column:

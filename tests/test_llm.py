@@ -2908,6 +2908,38 @@ def test_incremental_image_near_dup_delta_only_decode_and_parity(spark, sf_dir):
     assert pairs == {(0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}, pairs
 
 
+def test_ivf_persisted_index_matches_fresh(spark, sf_dir, tmp_path):
+    """A probe batch against the persisted IVF index returns
+    EXACTLY what fresh-trained topk_ivf returns (same deterministic
+    centroids -> same candidates -> same exact ranking), with zero
+    training/assignment work in the probe job — the ANN analog of
+    the stored-signature dedup indexes."""
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.similarity import (
+        save_ivf_index,
+        topk_ivf,
+        topk_ivf_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    fresh = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in topk_ivf(emb, probes, k=5, n_centroids=8, nprobe=3).collect()
+    }
+    idx = str(tmp_path / "ivf_index")
+    save_ivf_index(emb, idx, n_centroids=8, iters=1)
+    loaded = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in topk_ivf_from_index(
+            spark, idx, probes, k=5, nprobe=3
+        ).collect()
+    }
+    assert loaded == fresh and len(fresh) > 0
+
+
 def test_incremental_hamming_pairs_edges_and_cap_parity(spark):
     """Edge contracts on synthetic bit-string signatures: (a) empty
     delta -> empty output (no history re-pairing); (b) empty index ->
