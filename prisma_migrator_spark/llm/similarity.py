@@ -730,7 +730,91 @@ def topk_pq(
     from prisma_migrator_spark.catalog import ensure_parallelism
 
     codes = pq_encode(ensure_parallelism(corpus), books, dim, id_col, vec_col)
+    return _pq_probe(codes, books, probes, k, dim, id_col, vec_col)
 
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 5,
+    ksub: int = 16,
+    iters: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index at ingest — codebooks + byte codes — so
+    probe batches pay only the LUT build and the ADC scan, never the
+    fused k-means training or the corpus encode (the two jobs that
+    dominate `topk_pq`). Layout: ``{path}/codebooks`` (sub_idx,
+    codebook — m rows of ksub×subdim, model-sized) and
+    ``{path}/codes`` (id, pq_codes — m small ints per vector, the
+    ~dim/m× compressed scan body; the original vectors are not in
+    the index at all, which is the point of PQ)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    books = train_pq_codebooks(corpus, dim, m, ksub, iters, id_col, vec_col)
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    pq_encode(ensure_parallelism(corpus), books, dim, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    corpus.sparkSession.createDataFrame(
+        [(i, [list(c) for c in book]) for i, book in enumerate(books)],
+        "sub_idx int, codebook array<array<double>>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+    meta = corpus.sparkSession.createDataFrame(
+        [(dim, m, ksub)], "dim int, m int, ksub int"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def topk_pq_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a PERSISTED PQ index (`save_pq_index`):
+    loads the model-sized codebooks driver-side and runs the shared
+    ADC probe stage over the stored codes — identical output to
+    fresh `topk_pq` with the same codebooks (pinned by
+    `test_pq_persisted_index_matches_fresh`)."""
+    from prisma_migrator_spark.operators.driver_state import bounded_collect
+
+    meta = bounded_collect(
+        spark.read.parquet(f"{path}/meta"), 1, "PQ meta is one row"
+    )[0]
+    rows = bounded_collect(
+        spark.read.parquet(f"{path}/codebooks").orderBy("sub_idx"),
+        4096,
+        "PQ codebooks are m rows (model-sized)",
+    )
+    books = [[list(c) for c in r["codebook"]] for r in rows]
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_probe(
+        codes, books, probes, k, int(meta["dim"]), id_col, vec_col
+    )
+
+
+def _pq_probe(
+    codes: DataFrame,
+    books: list,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC probe stage shared by :func:`topk_pq` and
+    :func:`topk_pq_from_index`: per-probe m×ksub exact LUT as a
+    broadcast column, candidate distance = m array lookups over the
+    stored byte codes."""
+    m = len(books)
     pbase = probes.select(
         F.col(id_col).alias("probe_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("__u"),

@@ -2940,6 +2940,34 @@ def test_ivf_persisted_index_matches_fresh(spark, sf_dir, tmp_path):
     assert loaded == fresh and len(fresh) > 0
 
 
+def test_pq_persisted_index_matches_fresh(spark, sf_dir, tmp_path):
+    """Probing the persisted PQ index (stored codebooks + byte
+    codes) returns exactly what fresh-trained topk_pq returns —
+    training and corpus encoding are one-time ingest work."""
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.similarity import (
+        save_pq_index,
+        topk_pq,
+        topk_pq_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    fresh = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in topk_pq(emb, probes, k=5, m=8, ksub=16, iters=1).collect()
+    }
+    idx = str(tmp_path / "pq_index")
+    save_pq_index(emb, idx, m=8, ksub=16, iters=1)
+    loaded = {
+        (r.probe_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in topk_pq_from_index(spark, idx, probes, k=5).collect()
+    }
+    assert loaded == fresh and len(fresh) > 0
+
+
 def test_incremental_hamming_pairs_edges_and_cap_parity(spark):
     """Edge contracts on synthetic bit-string signatures: (a) empty
     delta -> empty output (no history re-pairing); (b) empty index ->
