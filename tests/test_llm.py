@@ -3030,6 +3030,19 @@ def test_incremental_hamming_pairs_edges_and_cap_parity(spark):
     assert got_cap == expected
     # and the cap actually bit (fewer pairs than uncapped)
     assert len(full_cap) < len(full_delta)
+    # arity-2 (band-pair keys, the big-corpus dial): same restriction
+    # parity as arity-1 on the same signatures
+    a2 = dict(kw, band_arity=2, max_hamming=6)
+    full_a2 = {
+        (r.id_a, r.id_b)
+        for r in hamming_band_pairs(sigs, **a2).collect()
+    }
+    got_a2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(hist, delta, **a2).collect()
+    }
+    assert got_a2 == {(a, b) for (a, b) in full_a2 if a > 3 or b > 3}
+    assert len(got_a2) > 0
 
 
 def test_incremental_hamming_pairs_audio_parity(spark):
