@@ -499,6 +499,56 @@ def test_write_jsonl_shards_balanced_and_lossless(spark, sf_dir, tmp_path):
     )
 
 
+def test_read_jsonl_roundtrip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
+    """The JSONL reader closes the loop with the JSONL writer: a
+    shard export reads back losslessly through the declared schema;
+    corrupt lines (truncated JSON, binary junk) land in the
+    quarantine frame with their source file, never fail the job, and
+    never leak into the good frame; blank lines are dropped; an
+    object missing a declared field parses with that field NULL
+    (producer-side schema evolution doesn't break the reader)."""
+    import os
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.llm.text import token_count
+    from prisma_migrator_spark.sources.jsonl import read_jsonl
+    from prisma_migrator_spark.writers.export import write_jsonl_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    path = str(tmp_path / "shards")
+    write_jsonl_shards(docs, path, tokens_per_shard=2_000)
+    # inject damage into one shard dir: truncated JSON, junk, a blank
+    # line, and a schema-evolved object (missing n_tokens, extra col)
+    shard0 = os.path.join(
+        path, next(d for d in os.listdir(path) if d.startswith("shard_id="))
+    )
+    with open(os.path.join(shard0, "damaged.json"), "w") as f:
+        f.write('{"doc_id": 99991, "text": "tru\n')
+        f.write("not json at all\n")
+        f.write("\n")
+        f.write('{"doc_id": 99990, "text": "evolved", "new_col": 1}\n')
+
+    good, bad = read_jsonl(
+        spark, path, "doc_id bigint, text string, n_tokens int"
+    )
+    n = docs.count()
+    assert good.count() == n + 1  # originals + the evolved object
+    evolved = good.where(F.col("doc_id") == 99990).collect()
+    assert len(evolved) == 1 and evolved[0]["n_tokens"] is None
+    assert {
+        r["doc_id"] for r in good.where(F.col("doc_id") < 99990).collect()
+    } == {r["doc_id"] for r in docs.collect()}
+    quarantined = bad.collect()
+    assert len(quarantined) == 2  # truncated + junk; blank dropped
+    assert all(r["source_file"].endswith("damaged.json") for r in quarantined)
+    assert {r["corrupt_line"] for r in quarantined} == {
+        '{"doc_id": 99991, "text": "tru',
+        "not json at all",
+    }
+
+
 def test_write_jsonl_sized_file_count(spark, sf_dir, tmp_path):
     """Size-targeted JSONL: file count tracks serialized bytes /
     target, and the export round-trips."""
