@@ -724,6 +724,44 @@ def test_compact_small_files(spark, tmp_path):
     ) == files1
 
 
+def test_read_webdataset_distributed_roundtrip_and_quarantine(
+    spark, sf_dir, tmp_path
+):
+    """The DISTRIBUTED WebDataset reader closes the loop with the tar
+    writer: every exported sample comes back (text payload intact,
+    companion .json present, key = doc_id), a corrupt tar lands in
+    the quarantine frame without failing the job or touching good
+    shards, and first-dot key/ext splitting groups companions."""
+    import os
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.sources.webdataset import read_webdataset
+    from prisma_migrator_spark.writers.export import write_webdataset_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "wds")
+    write_webdataset_shards(docs, path, samples_per_shard=100)
+    with open(os.path.join(path, "shard-99999.tar"), "wb") as f:
+        f.write(b"definitely not a tar archive")
+
+    samples, bad = read_webdataset(spark, path)
+    txt = samples.where(F.col("ext") == "txt").select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("payload", "utf-8").alias("text"),
+    )
+    n = docs.count()
+    assert txt.count() == n
+    assert txt.exceptAll(docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))).count() == 0
+    # every sample has its .json companion under the same key
+    per_key = samples.groupBy("key").agg(
+        F.sort_array(F.collect_list("ext")).alias("exts")
+    )
+    assert per_key.where(F.col("exts") != F.array(F.lit("json"), F.lit("txt"))).count() == 0
+    q = bad.collect()
+    assert len(q) == 1 and q[0]["shard"].endswith("shard-99999.tar")
+    assert "ReadError" in q[0]["error"] or "Error" in q[0]["error"]
+
+
 def test_webdataset_shards_roundtrip(spark, sf_dir, tmp_path):
     """Every doc lands in exactly one shard, tar contents match the
     source text/meta, manifest agrees with the files on disk."""
