@@ -832,6 +832,39 @@ def test_webdataset_reexport_removes_stale_shards(spark, sf_dir, tmp_path):
     assert siblings == [], siblings
 
 
+def test_read_arrow_shards_distributed_roundtrip_and_quarantine(
+    spark, sf_dir, tmp_path
+):
+    """The DISTRIBUTED Arrow-shard reader closes the loop with the
+    Feather-v2 writer: all rows and columns come back with shard
+    provenance attached, and an injected unreadable shard quarantines
+    as (shard, error) without failing the job."""
+    import os
+
+    from prisma_migrator_spark.catalog import load_table
+    from prisma_migrator_spark.sources.arrow_shards import read_arrow_shards
+    from prisma_migrator_spark.writers.export import write_arrow_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "arrow")
+    write_arrow_shards(docs, out, samples_per_shard=100)
+    with open(os.path.join(out, "shard-99999.arrow"), "wb") as f:
+        f.write(b"not an arrow file")
+
+    rows, bad = read_arrow_shards(
+        spark, out, "doc_id bigint, text string, lang string, source string"
+    )
+    assert rows.count() == docs.count()
+    assert rows.select("doc_id", "text", "lang", "source").exceptAll(
+        docs
+    ).count() == 0
+    assert rows.where(~F.col("shard").rlike("shard-\\d{5}\\.arrow")).count() == 0
+    q = bad.collect()
+    assert len(q) == 1 and q[0]["shard"].endswith("shard-99999.arrow")
+
+
 def test_arrow_shards_roundtrip_and_byte_stable(spark, sf_dir, tmp_path):
     """Every row comes back through pyarrow exactly once, shard files
     are mmap-able uncompressed Feather v2, the manifest matches the
