@@ -34,9 +34,13 @@ def read_arrow_shards(
 
     import pandas as pd
 
+    from pyspark.sql.types import StructType
+
     files = spark.read.format("binaryFile").load(f"{path}/shard-*.arrow")
     out_schema = f"{schema}, shard string, error string"
-    cols = [f.split()[0] for f in schema.split(",")]
+    # ADVICE r8: fromDDL, not schema.split(',') — a parameterized or
+    # nested type (decimal(10,2), map<string,int>) contains commas
+    cols = StructType.fromDDL(schema).fieldNames()
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -47,13 +51,26 @@ def read_arrow_shards(
             for shard, content in zip(pdf["path"], pdf["content"]):
                 try:
                     table = feather.read_table(io.BytesIO(bytes(content)))
-                    body = table.select(cols).to_pandas()
                 except Exception as exc:
                     yield pd.DataFrame(
                         [{**{c: None for c in cols},
                           "shard": shard, "error": repr(exc)}]
                     )
                     continue
+                # OUTSIDE the quarantine try (ADVICE r8): a READABLE
+                # shard missing a declared column is a schema/config
+                # error on the reader side — quarantining it would
+                # silently divert the whole corpus on a typo'd column
+                # name. Fail the job instead.
+                missing = [c for c in cols if c not in table.column_names]
+                if missing:
+                    raise ValueError(
+                        f"declared column(s) {missing} absent from "
+                        f"readable shard {shard} (has "
+                        f"{table.column_names}): reader schema/config "
+                        "error, not data corruption"
+                    )
+                body = table.select(cols).to_pandas()
                 body["shard"] = shard
                 body["error"] = None
                 yield body

@@ -45,16 +45,26 @@ def read_jsonl(
     - ``quarantine`` — one row per NON-parseable, non-blank line:
       ``(corrupt_line, source_file)``, the dead-letter frame.
 
-    The split predicate is a ``_corrupt_record`` field DECLARED
-    INSIDE the ``from_json`` struct (PERMISSIVE ``from_json`` yields
+    The split predicate is a corrupt-record field DECLARED INSIDE
+    the ``from_json`` struct (PERMISSIVE ``from_json`` yields
     an all-null struct for a broken line — indistinguishable from a
     parseable all-null object — so a bare null-struct test cannot
     split; the in-struct corrupt column is populated exactly for
-    non-parseable lines). Because the corrupt column lives on a
-    parsed expression over a text scan, the builtin JSON reader's
-    "referencing only the corrupt column requires caching" trap does
-    not apply — both frames are lazy projections of one scan."""
-    corrupt = "_corrupt_record"
+    non-parseable lines). The field uses a collision-safe name
+    (ADVICE r8: a producer object legitimately carrying
+    ``_corrupt_record`` must parse as GOOD, not divert to
+    quarantine), and a non-blank line whose JSON is the literal
+    ``null`` — which parses to a NULL struct with no corrupt marker
+    — quarantines too, honoring the 'every non-parseable non-blank
+    line quarantines' contract (a JSON ``null`` is not a record).
+    Because the corrupt column lives on a parsed expression over a
+    text scan, the builtin JSON reader's "referencing only the
+    corrupt column requires caching" trap does not apply — both
+    frames are lazy projections of one scan."""
+    # fixed obscure suffix, not a per-run UUID: plan/text stability
+    # matters (--twice), and a real field colliding with this name is
+    # astronomically unlikely (documented reserved)
+    corrupt = "__corrupt_record_c7e4b2d8a1f04d63"
     parsed_schema = f"{schema}, {corrupt} string"
     lines = spark.read.text(path).select(
         F.col("value"),
@@ -69,14 +79,17 @@ def read_jsonl(
             {"columnNameOfCorruptRecord": corrupt},
         ).alias("__j"),
     )
+    nonblank = F.length(F.trim("value")) > 0
     # a blank line parses to a NULL struct (its corrupt field is null
     # too) — good rows need a present struct AND a null corrupt field
     good = parsed.where(
         F.col("__j").isNotNull() & F.col(f"__j.{corrupt}").isNull()
     ).select("__j.*").drop(corrupt)
+    # quarantine = marked corrupt, OR a non-blank line that parsed to
+    # no struct at all (the literal `null` case)
     quarantine = parsed.where(
-        F.col(f"__j.{corrupt}").isNotNull()
-        & (F.length(F.trim("value")) > 0)
+        (F.col(f"__j.{corrupt}").isNotNull() | F.col("__j").isNull())
+        & nonblank
     ).select(
         F.col("value").alias("corrupt_line"),
         "source_file",

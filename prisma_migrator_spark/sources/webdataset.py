@@ -41,11 +41,14 @@ def read_webdataset(
 
     - ``samples`` — one row per tar member: ``(key, ext, payload,
       shard)``. ``key``/``ext`` split at the FIRST dot of the member
-      name (the WebDataset convention — ``123.seg.png`` is key
-      ``123``, ext ``seg.png``), so a sample's companion files
+      BASENAME, keeping any directory prefix in the key (the upstream
+      webdataset loader's convention, ADVICE r8 — ``123.seg.png`` is
+      key ``123``, ext ``seg.png``; ``train/000123.txt`` is key
+      ``train/000123``, ext ``txt``, NOT key ``train/000123`` split
+      at a dotted directory), so a sample's companion files
       (``.txt`` + ``.json`` from the writer; images/audio in the
       general case) group back together with a plain
-      ``groupBy("key")``.
+      ``groupBy("key")`` even in directory-structured external tars.
     - ``quarantine`` — one row per UNREADABLE shard: ``(shard,
       error)`` — the dead-letter frame; good shards are unaffected.
     """
@@ -71,7 +74,11 @@ def read_webdataset(
                         for m in tar.getmembers():
                             if not m.isfile():
                                 continue
-                            key, _, ext = m.name.partition(".")
+                            # split at the basename's first dot; the
+                            # directory prefix stays in the key
+                            dirname, _, base = m.name.rpartition("/")
+                            stem, _, ext = base.partition(".")
+                            key = f"{dirname}/{stem}" if dirname else stem
                             entries.append(
                                 (key, ext,
                                  tar.extractfile(m).read(), shard, None)

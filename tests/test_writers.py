@@ -903,3 +903,132 @@ def test_arrow_shards_roundtrip_and_byte_stable(spark, sf_dir, tmp_path):
     after = {f: open(os.path.join(out, f), "rb").read()
              for f in sorted(os.listdir(out))}
     assert before == after
+
+
+def test_read_jsonl_null_literal_and_reserved_field(spark, tmp_path):
+    """ADVICE r8 pins: (1) a non-blank line whose JSON is the literal
+    ``null`` parses to a NULL struct and must QUARANTINE, not drop —
+    every non-parseable non-blank line quarantines; (2) a producer
+    object that legitimately contains a ``_corrupt_record`` field is
+    a parseable record and must land in GOOD with the field ignored
+    (the reader's in-struct corrupt marker is collision-safe)."""
+    import os
+
+    from prisma_migrator_spark.sources.jsonl import read_jsonl
+
+    path = str(tmp_path / "jl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part0.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("null\n")
+        f.write("   \n")
+        f.write('{"doc_id": 2, "text": "ok2", "_corrupt_record": "x"}\n')
+
+    good, bad = read_jsonl(spark, path, "doc_id bigint, text string")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    q = bad.collect()
+    assert len(q) == 1 and q[0]["corrupt_line"] == "null"
+
+
+def test_read_webdataset_directory_structured_keys(spark, tmp_path):
+    """ADVICE r8 pin: external WebDataset tars with directory-
+    structured members split key/ext at the BASENAME's first dot —
+    ``train/000123.txt`` is key ``train/000123`` / ext ``txt``, and a
+    dotted directory (``v1.2/007.seg.png``) neither truncates the key
+    nor corrupts companion grouping."""
+    import io
+    import os
+    import tarfile
+
+    from prisma_migrator_spark.sources.webdataset import read_webdataset
+
+    path = str(tmp_path / "wds")
+    os.makedirs(path)
+    with tarfile.open(os.path.join(path, "shard-00000.tar"), "w") as tar:
+        for name, payload in [
+            ("train/000123.txt", b"hello"),
+            ("train/000123.json", b"{}"),
+            ("v1.2/007.seg.png", b"fakepng"),
+            ("v1.2/007.txt", b"caption"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+
+    samples, bad = read_webdataset(spark, path)
+    assert bad.count() == 0
+    got = {(r["key"], r["ext"]) for r in samples.collect()}
+    assert got == {
+        ("train/000123", "txt"),
+        ("train/000123", "json"),
+        ("v1.2/007", "seg.png"),
+        ("v1.2/007", "txt"),
+    }
+    # companions group on the full-prefix key
+    per_key = {
+        r["key"]: sorted(r["exts"])
+        for r in samples.groupBy("key")
+        .agg(F.collect_list("ext").alias("exts"))
+        .collect()
+    }
+    assert per_key["train/000123"] == ["json", "txt"]
+    assert per_key["v1.2/007"] == ["seg.png", "txt"]
+
+
+def test_read_arrow_shards_decimal_schema(spark, tmp_path):
+    """VERDICT r8 item 6 pin: a parameterized DDL type whose spelling
+    contains commas (decimal(10,2)) round-trips — column names come
+    from StructType.fromDDL, not a naive comma split."""
+    import decimal
+    import os
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    from prisma_migrator_spark.sources.arrow_shards import read_arrow_shards
+
+    path = str(tmp_path / "arrow")
+    os.makedirs(path)
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "amount": pa.array(
+                [decimal.Decimal("12.34"), decimal.Decimal("0.05")],
+                pa.decimal128(10, 2),
+            ),
+        }
+    )
+    feather.write_feather(
+        table, os.path.join(path, "shard-00000.arrow"), compression="uncompressed"
+    )
+
+    rows, bad = read_arrow_shards(
+        spark, path, "doc_id bigint, amount decimal(10,2)"
+    )
+    assert bad.count() == 0
+    got = {(r["doc_id"], str(r["amount"])) for r in rows.collect()}
+    assert got == {(1, "12.34"), (2, "0.05")}
+
+
+def test_read_arrow_shards_missing_column_fails_fast(spark, tmp_path):
+    """ADVICE r8 pin: a READABLE shard missing a declared column is a
+    reader schema/config error and must FAIL the job — not quarantine
+    every shard and silently empty the rows frame."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pytest
+
+    from prisma_migrator_spark.sources.arrow_shards import read_arrow_shards
+
+    path = str(tmp_path / "arrow")
+    os.makedirs(path)
+    feather.write_feather(
+        pa.table({"doc_id": pa.array([1], pa.int64())}),
+        os.path.join(path, "shard-00000.arrow"),
+        compression="uncompressed",
+    )
+    rows, bad = read_arrow_shards(spark, path, "doc_id bigint, nope string")
+    with pytest.raises(Exception, match="schema/config"):
+        rows.count()
