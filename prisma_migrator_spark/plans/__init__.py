@@ -14,6 +14,7 @@ from prisma_migrator_spark.plans import events  # noqa: E402,F401
 from prisma_migrator_spark.plans import flagship  # noqa: E402,F401
 from prisma_migrator_spark.plans import graph  # noqa: E402,F401
 from prisma_migrator_spark.plans import html  # noqa: E402,F401
+from prisma_migrator_spark.plans import ingest  # noqa: E402,F401
 from prisma_migrator_spark.plans import llm  # noqa: E402,F401
 from prisma_migrator_spark.plans import profiling  # noqa: E402,F401
 from prisma_migrator_spark.plans import temporal  # noqa: E402,F401
