@@ -10,6 +10,7 @@ from prisma_migrator_spark.plans.registry import ORACLES, QUERIES, query  # noqa
 # Import for registration side effects.
 from prisma_migrator_spark.plans import analytics  # noqa: E402,F401
 from prisma_migrator_spark.plans import core  # noqa: E402,F401
+from prisma_migrator_spark.plans import daily  # noqa: E402,F401
 from prisma_migrator_spark.plans import events  # noqa: E402,F401
 from prisma_migrator_spark.plans import flagship  # noqa: E402,F401
 from prisma_migrator_spark.plans import graph  # noqa: E402,F401
