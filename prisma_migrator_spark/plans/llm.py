@@ -5106,12 +5106,129 @@ def quality_ensemble_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# VERDICT r7 item 5: the k-means behind this query has FIXED, small
+# hyperparameters (k=8, iters=2), so the whole trainer unrolls into
+# 2 assignment+mean stages of MATERIALIZED CTEs (MATERIALIZED for the
+# same exponential-inlining reason as the BPE oracle). Float parity
+# is EXACT, not probabilistic (ADVICE r8): refreshed centroid means
+# snap to ROUND(·, 12) on BOTH engines before the next assignment
+# pass — Spark rounds the collected means in train_ivf_centroids,
+# this unroll rounds in m{it} — so identical argmax inputs are
+# guaranteed and a partition-order AVG wobble can never flip an
+# assignment. The remaining float assumptions: (a) both engines fold
+# dot products left-to-right in doubles, and (b) every OUTPUT double
+# rounds to 6dp.
+def _kmeans_assign_parts(k: int, iters: int) -> list[str]:
+    """WITH-clause parts for the unrolled deterministic k-means of
+    ``llm/similarity.train_ivf_centroids`` + ``ivf_assign``, ending
+    in an ``assigned`` CTE of (vec_id, label, cluster_id). Mirrors
+    the Spark trainer exactly: md5-ordered seed sample, argmax-cosine
+    assignment with first-index tie-break (ROW_NUMBER cos DESC, cid
+    ASC), per-dim mean refresh keeping the previous centroid for
+    empty clusters, and the `or 1.0` zero-norm guard on the centroid
+    side only. Shared by the cluster-evaluation and semantic-dedup
+    oracles."""
+    cnorm = ("(CASE WHEN sqrt(list_sum(list_transform(c.c, x -> x * x))) = 0 "
+             "THEN 1.0 ELSE sqrt(list_sum(list_transform(c.c, x -> x * x))) END)")
+    parts = [f"""emb AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         v AS c
+  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)"""]
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
+           / (e.nrm * {cnorm}) AS cos
+  FROM emb e CROSS JOIN c{it - 1} c
+), a{it} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM s{it}) WHERE rn = 1
+), m{it} AS MATERIALIZED (
+  SELECT cid, array_agg(m ORDER BY d) AS c
+  FROM (
+    SELECT a.cid, u.e['d'] AS d, ROUND(AVG(u.e['x']), 12) AS m
+    FROM a{it} a JOIN emb e USING (vec_id),
+         UNNEST(list_transform(range(1, len(e.v) + 1),
+                i -> {{'d': i, 'x': e.v[i]}})) AS u(e)
+    GROUP BY a.cid, u.e['d']) GROUP BY cid
+), c{it} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM c{it - 1} p LEFT JOIN m{it} m USING (cid)
+)""")
+    parts.append(f"""sf AS (
+  SELECT e.vec_id, e.label, c.cid,
+         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
+           / (e.nrm * {cnorm}) AS cos
+  FROM emb e CROSS JOIN c{iters} c
+), assigned AS MATERIALIZED (
+  SELECT vec_id, label, CAST(cid AS INT) AS cluster_id FROM (
+    SELECT vec_id, label, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM sf) WHERE rn = 1
+)""")
+    return parts
+
+
 # --- corpus map: k-means clusters labeled by their TF-IDF terms ---------
 
 
-@query("corpus_clusters_labeled")  # rows-only: distributed k-means is
-# iterative (not SQL-expressible); pytest pins cluster separation and
-# label recovery on planted clusters
+def _clusters_labeled_oracle(k: int = 8, iters: int = 2, top_k: int = 5) -> str:
+    """Unrolled oracle for ``corpus_clusters_labeled_q`` (converted
+    from rows-only in r9, VERDICT r8 item 8): the shared k-means
+    unroll (:func:`_kmeans_assign_parts`) assigns every embedding,
+    then the TF-IDF labeling is plain SQL — cluster-term counts,
+    cluster-level document frequency, ``cnt * ln(k/df)`` rounded to
+    6dp BEFORE the per-cluster top-k rank (so rank ties break on the
+    rounded value + term on both engines), top-5 comma-joined.
+    Float parity rides the 12dp centroid snap like every k-means
+    oracle; the tfidf product is one double op on integer inputs."""
+    parts = _kmeans_assign_parts(k, iters)
+    return rf"""WITH {','.join(parts)},
+toks AS (
+  SELECT a.cluster_id, u.term
+  FROM documents d
+  JOIN assigned a ON d.doc_id = a.vec_id,
+       UNNEST(string_split(
+         regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'),
+         ' ')) AS u(term)
+  WHERE u.term <> ''
+),
+ct AS (
+  SELECT cluster_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+dfr AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM ct GROUP BY 1),
+scored AS (
+  SELECT cluster_id, ct.term,
+         ROUND(cnt * LN({k}.0 / dfr.df), 6) AS tfidf
+  FROM ct JOIN dfr USING (term)
+),
+ranked AS (
+  SELECT cluster_id, term,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY tfidf DESC, term) AS pos
+  FROM scored
+),
+labels AS (
+  SELECT cluster_id, STRING_AGG(term, ',' ORDER BY pos) AS top_terms
+  FROM ranked WHERE pos <= {top_k} GROUP BY cluster_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM assigned GROUP BY 1
+)
+SELECT s.cluster_id, s.n_members, l.top_terms
+FROM sizes s LEFT JOIN labels l USING (cluster_id)"""
+
+
+@query("corpus_clusters_labeled", oracle=_clusters_labeled_oracle())
 def corpus_clusters_labeled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus map: cluster the embedding space with deterministic
     distributed k-means, then label each cluster with the terms that
@@ -5929,74 +6046,6 @@ def scrub_intradoc_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- clustering evaluation: purity + NMI vs labels ------------------------
 
 
-# VERDICT r7 item 5: the k-means behind this query has FIXED, small
-# hyperparameters (k=8, iters=2), so the whole trainer unrolls into
-# 2 assignment+mean stages of MATERIALIZED CTEs (MATERIALIZED for the
-# same exponential-inlining reason as the BPE oracle). Float parity
-# is EXACT, not probabilistic (ADVICE r8): refreshed centroid means
-# snap to ROUND(·, 12) on BOTH engines before the next assignment
-# pass — Spark rounds the collected means in train_ivf_centroids,
-# this unroll rounds in m{it} — so identical argmax inputs are
-# guaranteed and a partition-order AVG wobble can never flip an
-# assignment. The remaining float assumptions: (a) both engines fold
-# dot products left-to-right in doubles, and (b) every OUTPUT double
-# rounds to 6dp.
-def _kmeans_assign_parts(k: int, iters: int) -> list[str]:
-    """WITH-clause parts for the unrolled deterministic k-means of
-    ``llm/similarity.train_ivf_centroids`` + ``ivf_assign``, ending
-    in an ``assigned`` CTE of (vec_id, label, cluster_id). Mirrors
-    the Spark trainer exactly: md5-ordered seed sample, argmax-cosine
-    assignment with first-index tie-break (ROW_NUMBER cos DESC, cid
-    ASC), per-dim mean refresh keeping the previous centroid for
-    empty clusters, and the `or 1.0` zero-norm guard on the centroid
-    side only. Shared by the cluster-evaluation and semantic-dedup
-    oracles."""
-    cnorm = ("(CASE WHEN sqrt(list_sum(list_transform(c.c, x -> x * x))) = 0 "
-             "THEN 1.0 ELSE sqrt(list_sum(list_transform(c.c, x -> x * x))) END)")
-    parts = [f"""emb AS MATERIALIZED (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-  FROM embeddings
-), c0 AS MATERIALIZED (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
-         v AS c
-  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
-)"""]
-    for it in range(1, iters + 1):
-        parts.append(f"""s{it} AS (
-  SELECT e.vec_id, c.cid,
-         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
-           / (e.nrm * {cnorm}) AS cos
-  FROM emb e CROSS JOIN c{it - 1} c
-), a{it} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-    FROM s{it}) WHERE rn = 1
-), m{it} AS MATERIALIZED (
-  SELECT cid, array_agg(m ORDER BY d) AS c
-  FROM (
-    SELECT a.cid, u.e['d'] AS d, ROUND(AVG(u.e['x']), 12) AS m
-    FROM a{it} a JOIN emb e USING (vec_id),
-         UNNEST(list_transform(range(1, len(e.v) + 1),
-                i -> {{'d': i, 'x': e.v[i]}})) AS u(e)
-    GROUP BY a.cid, u.e['d']) GROUP BY cid
-), c{it} AS MATERIALIZED (
-  SELECT p.cid, COALESCE(m.c, p.c) AS c
-  FROM c{it - 1} p LEFT JOIN m{it} m USING (cid)
-)""")
-    parts.append(f"""sf AS (
-  SELECT e.vec_id, e.label, c.cid,
-         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.c[i]))
-           / (e.nrm * {cnorm}) AS cos
-  FROM emb e CROSS JOIN c{iters} c
-), assigned AS MATERIALIZED (
-  SELECT vec_id, label, CAST(cid AS INT) AS cluster_id FROM (
-    SELECT vec_id, label, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-    FROM sf) WHERE rn = 1
-)""")
-    return parts
 
 
 def _ivf_topk_oracle(
