@@ -19,77 +19,81 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-8 driver window rotation (VERDICT r7 items 3+4). Rotation
-# rule: ERROR-last-row first (events_rolling_1h's latest driver row
-# is a long-fixed r2 error; the three cluster queries errored r7 on
-# list columns, now comma-joined strings), then queries whose driver
-# row is stale vs their current form (the four newly oracle-backed
-# conversions, the schema-changed multimodal_features, the new
-# incremental_image_near_dup), then the stalest-gated oracle-backed
-# tail (every r1/r2-gated query — 21 of them — fits this window, so
-# after r8 no oracle-backed query's latest driver row predates r3).
-# Rows-only entries are capped at 10/50 = 20% so >= 80% of the
-# window is hash-verified (item 4). Everything past the window still
-# runs in the replica gate (tools/drive_driver.py, full registry;
-# --twice adds the determinism double-run).
-WINDOW_R8 = [
-    # -- error-last-row first (rotation rule, VERDICT r7 item 3) --
-    "events_rolling_1h",
-    "corpus_clusters_labeled",      # rows-only 1/10
-    "image_near_dup_clusters",      # rows-only 2/10
-    "video_near_dup_clusters",      # rows-only 3/10
-    # -- newly oracle-backed in r8 (driver row still says no_oracle) --
-    "bpe_merges_16",
-    "bpe_fertility_by_lang",
-    "cluster_label_agreement",
-    "mmr_diverse_topk",
-    # -- new or schema-changed in r8, never driver-gated --
-    "incremental_image_near_dup",   # rows-only 4/10
-    "multimodal_features",          # rows-only 5/10 (array -> exploded rows)
-    "semantic_dedup_drops",
-    "cross_doc_ngram_dup",
-    # -- never-gated rows-only tail (one driver row each) --
-    "audio_near_dup_pairs",         # rows-only 6/10
-    "topk_cosine_ivf_pq",           # rows-only 7/10
-    "pack_greedy_512",              # rows-only 8/10
-    "jpeg_metadata",                # rows-only 9/10
-    "heavy_hitter_terms_approx",    # rows-only 10/10
-    # -- stalest-gated oracle-backed: last driver row r1 --
-    "user_event_gaps",
-    "latest_event_per_user",
-    "region_rollup",
-    "events_sliding_1h_30m",
-    "dataset_splits",
-    "deterministic_sample",
-    "corpus_stats",
-    "minhash_signatures",
-    "simhash16",
-    "simhash_near_dup",
-    # -- last driver row r2 --
-    "top_orders_per_customer",
-    "order_price_quartiles",
-    "category_sizes",
-    "rank_scores",
-    "recommendation_metrics",
-    "date_format_orders",
-    "category_report",
-    "canonical_docs",
-    "embedding_quantize_int8",
-    "training_shards",
-    # -- last driver row r3 --
-    "funnel_view_click_purchase",
-    "latest_per_key_lineitem",
-    "busy_window_events",
-    "top_terms_tfidf",
-    "clean_corpus",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
-    "simhash64_near_dup",
-    "rolling_fingerprint",
-    "embedding_near_dup",
-    "pii_redaction",
-    "doc_chunks_overlap",
-    "domain_mixture_sample",
+# Round-9 driver window rotation (VERDICT r8 item 7; rule unchanged
+# since r7 items 3+4): no error-last-row entries exist (r8 gated 0
+# errors), so the order is (1) never-driver-gated oracle-backed
+# queries — the three r9 shard-reader round-trips, the persisted-
+# index ANN gate, the two r8 evaluation queries that never got a
+# row — plus the two r9 CONVERSIONS whose last driver row still says
+# no_oracle (topk_cosine_ivf r1, corpus_clusters_labeled r8); then
+# (2) the stalest-gated oracle-backed tail (all 12 r3-gated rows,
+# the r4 row, and the 19 alphabetically-first r5 rows — after r9 no
+# oracle-backed query's latest driver row predates r5); then (3)
+# rows-only at the 10/50 = 20% cap, never-gated first (the new
+# composed daily batch, the five r8 media/sketch queries that missed
+# every window, the Bloom/HLL pair) and the three r1-stale sketch
+# entries. png_metadata (never-gated rows-only) missed the cap —
+# image_metadata covers the BMP decode family this round; png is
+# first in line for r10. Everything past the window still runs in
+# the replica gate (tools/drive_driver.py, full registry; --twice
+# adds the determinism double-run).
+WINDOW_R9 = [
+    # -- (1) never-gated or newly oracle-backed --
+    "jsonl_shard_ingest",
+    "webdataset_shard_ingest",
+    "arrow_shard_ingest",
+    "topk_cosine_ivf_indexed",
+    "source_unigram_jsd",
+    "kmeans_silhouette",
+    "topk_cosine_ivf",              # converted r9 (last row r1, rows-only)
+    "corpus_clusters_labeled",      # converted r9 (last row r8, rows-only)
+    # -- (2) stalest oracle-backed: last driver row r3 --
+    "bigram_logprob_score",
+    "corpus_recipe",
+    "cross_corpus_dedup",
+    "encode_token_ids",
+    "fuzzy_part_matches",
+    "gopher_repetition_flags",
+    "label_centroids",
+    "profile_lineitem_numeric",
+    "quality_deciles",
+    "repeated_spans",
+    "scd2_part_history",
+    "tfidf_cosine_pairs",
+    # -- last driver row r4 --
+    "incremental_sessions",
+    # -- last driver row r5 (alphabetical head) --
+    "apps_by_category",
+    "basket_lift_pairs",
+    "boilerplate_frac",
+    "category_difficulty",
+    "char_entropy_quality",
+    "copurchase_cap_report",
+    "copurchase_triangles_sampled",
+    "corpus_drift_terms",
+    "corpus_mixture_report",
+    "corpus_shuffle",
+    "corpus_split",
+    "decontaminate_eval",
+    "doc_containment_pairs",
+    "embedding_near_dup_lsh",
+    "event_burst_dedup",
+    "event_value_outliers",
+    "events_decayed_score",
+    "events_gapfill_6h",
+    "events_hopping_1h_15m",
+    # -- (3) rows-only, 10/50 cap: never-gated first --
+    "daily_batch_pipeline",         # rows-only 1/10 (new r9)
+    "incremental_distinct_users",   # rows-only 2/10
+    "cross_corpus_dedup_bloom",     # rows-only 3/10
+    "topk_cosine_pq",               # rows-only 4/10
+    "wav_audio_metadata",           # rows-only 5/10
+    "image_metadata",               # rows-only 6/10
+    "video_frame_stats",            # rows-only 7/10
+    # -- rows-only, last driver row r1 --
+    "approx_distinct_parts",        # rows-only 8/10
+    "approx_event_value_quantiles", # rows-only 9/10
+    "topk_cosine_lsh",              # rows-only 10/10
 ]
 
 
@@ -100,10 +104,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    window-rotated error-first then staleness (see WINDOW_R8)."""
-    missing = [n for n in WINDOW_R8 if n not in QUERIES]
-    assert not missing, f"WINDOW_R8 names not in registry: {missing}"
-    rotated = {name: QUERIES[name] for name in WINDOW_R8}
+    window-rotated error-first then staleness (see WINDOW_R9)."""
+    missing = [n for n in WINDOW_R9 if n not in QUERIES]
+    assert not missing, f"WINDOW_R9 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R9}
     rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
     return rotated
 
