@@ -24,19 +24,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # errors), so the order is (1) never-driver-gated oracle-backed
 # queries — the three r9 shard-reader round-trips, the persisted-
 # index ANN gate, the two r8 evaluation queries that never got a
-# row — plus the two r9 CONVERSIONS whose last driver row still says
-# no_oracle (topk_cosine_ivf r1, corpus_clusters_labeled r8); then
-# (2) the stalest-gated oracle-backed tail (all 12 r3-gated rows,
-# the r4 row, and the 19 alphabetically-first r5 rows — after r9 no
-# oracle-backed query's latest driver row predates r5); then (3)
-# rows-only at the 10/50 = 20% cap, never-gated first (the new
-# composed daily batch, the five r8 media/sketch queries that missed
-# every window, the Bloom/HLL pair) and the three r1-stale sketch
-# entries. png_metadata (never-gated rows-only) missed the cap —
-# image_metadata covers the BMP decode family this round; png is
-# first in line for r10. Everything past the window still runs in
-# the replica gate (tools/drive_driver.py, full registry; --twice
-# adds the determinism double-run).
+# row — plus the three r9 CONVERSIONS whose last driver row still
+# says no_oracle (topk_cosine_ivf r1, corpus_clusters_labeled r8,
+# topk_cosine_pq never gated) and the two r9-new persisted-index
+# gates; then (2) the stalest-gated oracle-backed tail (all 12
+# r3-gated rows, the r4 row, and the 17 alphabetically-first r5
+# rows — after r9 no oracle-backed query's latest driver row
+# predates r5); then (3) rows-only at the 10/50 = 20% cap,
+# never-gated first (the new composed daily batch, the five r8
+# media/sketch queries that missed every window, the Bloom/HLL
+# pair) and the three r1-stale sketch entries. Everything past the
+# window still runs in the replica gate (tools/drive_driver.py,
+# full registry; --twice adds the determinism double-run).
 WINDOW_R9 = [
     # -- (1) never-gated or newly oracle-backed --
     "jsonl_shard_ingest",
@@ -47,6 +46,8 @@ WINDOW_R9 = [
     "kmeans_silhouette",
     "topk_cosine_ivf",              # converted r9 (last row r1, rows-only)
     "corpus_clusters_labeled",      # converted r9 (last row r8, rows-only)
+    "topk_cosine_pq",               # converted r9 (never gated)
+    "topk_cosine_pq_indexed",       # new r9, oracle-backed from birth
     # -- (2) stalest oracle-backed: last driver row r3 --
     "bigram_logprob_score",
     "corpus_recipe",
@@ -80,13 +81,11 @@ WINDOW_R9 = [
     "event_burst_dedup",
     "event_value_outliers",
     "events_decayed_score",
-    "events_gapfill_6h",
-    "events_hopping_1h_15m",
     # -- (3) rows-only, 10/50 cap: never-gated first --
     "daily_batch_pipeline",         # rows-only 1/10 (new r9)
     "incremental_distinct_users",   # rows-only 2/10
     "cross_corpus_dedup_bloom",     # rows-only 3/10
-    "topk_cosine_pq",               # rows-only 4/10
+    "png_metadata",                 # rows-only 4/10
     "wav_audio_metadata",           # rows-only 5/10
     "image_metadata",               # rows-only 6/10
     "video_frame_stats",            # rows-only 7/10

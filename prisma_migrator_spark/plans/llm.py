@@ -3321,9 +3321,104 @@ def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("topk_cosine_pq")  # rows-only: ANN; recall pinned in pytest on
-# planted-cluster data (the fixture embeddings are near-isotropic
-# random, where no quantizer separates top-5 margins)
+def _pq_topk_oracle(
+    dim: int = 64, m: int = 10, ksub: int = 16, topk: int = 5
+) -> str:
+    """Unrolled PQ+ADC oracle for ``topk_cosine_pq_q`` (converted
+    from rows-only in r9) and ``topk_cosine_pq_indexed_q``: one L2
+    k-means stage per subspace (iters=1, the registered setting),
+    mirroring `llm/similarity._train_l2_centroids` exactly — unit
+    normalization in doubles, ONE md5-ordered limit-ksub seed sample
+    of FULL vectors sliced per subspace, squared-L2 argmin with
+    first-index (cid ASC) tie-break, per-dim means snapped to
+    ROUND(·,12) (the Spark trainer python-rounds the collected
+    means), seed kept for empty clusters. Encode = argmin vs the
+    refreshed books; ADC = the per-(probe,s,cid) exact LUT joined on
+    the corpus codes and folded IN SUBSPACE ORDER via
+    ``list_sum(list(d ORDER BY s))`` — a bare SUM() would leave the
+    float summation order to the engine, the same hazard every
+    k-means oracle avoids with ordered list folds. dim=64 is the
+    fixture embedding width (every oracle here states fixture-shaped
+    SQL); slices replicate `_sub_slices` including the unequal
+    remainder split 64 = 4·7 + 6·6."""
+    base, rem = divmod(dim, m)
+    slices = []
+    start = 1
+    for s in range(m):
+        ln = base + (1 if s < rem else 0)
+        slices.append((start, start + ln - 1, ln))
+        start += ln
+    parts = ["""unitv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 y -> y * y)))) AS u
+  FROM embeddings
+)""", f"""seeds AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+         u
+  FROM unitv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}
+)"""]
+    for s, (st, en, ln) in enumerate(slices):
+        d2 = (f"list_sum(list_transform(range(1, {ln + 1}), "
+              f"i -> (x.sv[i] - c.c[i]) * (x.sv[i] - c.c[i])))")
+        parts.append(f"""sub{s} AS MATERIALIZED (
+  SELECT vec_id, list_slice(u, {st}, {en}) AS sv FROM unitv
+), a{s} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM sub{s} x CROSS JOIN (
+      SELECT cid, list_slice(u, {st}, {en}) AS c FROM seeds) c
+  ) WHERE rn = 1
+), m{s} AS MATERIALIZED (
+  SELECT cid, list(mu ORDER BY d) AS c
+  FROM (
+    SELECT a.cid, t.i AS d, ROUND(AVG(x.sv[t.i]), 12) AS mu
+    FROM a{s} a JOIN sub{s} x USING (vec_id),
+         UNNEST(range(1, {ln + 1})) AS t(i)
+    GROUP BY a.cid, t.i) GROUP BY cid
+), b{s} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(m.c, p.c) AS c
+  FROM (SELECT cid, list_slice(u, {st}, {en}) AS c FROM seeds) p
+  LEFT JOIN m{s} m USING (cid)
+), enc{s} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM sub{s} x CROSS JOIN b{s} c
+  ) WHERE rn = 1
+), pl{s} AS MATERIALIZED (
+  SELECT x.vec_id AS probe_id, c.cid, {d2} AS d
+  FROM sub{s} x CROSS JOIN b{s} c WHERE x.vec_id < 10
+)""")
+    enc_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cid FROM enc{s}" for s in range(m)
+    )
+    pl_union = " UNION ALL ".join(
+        f"SELECT probe_id, {s} AS s, cid, d FROM pl{s}" for s in range(m)
+    )
+    return f"""WITH {','.join(parts)},
+enc AS MATERIALIZED ({enc_union}),
+pl AS MATERIALIZED ({pl_union}),
+pairs AS (
+  SELECT pl.probe_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list(pl.d ORDER BY e.s)), 6) AS adc_dist
+  FROM enc e JOIN pl ON pl.s = e.s AND pl.cid = e.cid
+  WHERE e.vec_id <> pl.probe_id
+  GROUP BY pl.probe_id, e.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT probe_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+  FROM pairs) WHERE rn <= {topk}"""
+
+
+@query("topk_cosine_pq", oracle=_pq_topk_oracle())
 def topk_cosine_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via product quantization + ADC (Jégou et al. 2011):
     dim floats become m byte codes at ingest (map-only), and each
@@ -3337,6 +3432,35 @@ def topk_cosine_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     return topk_pq(emb, probes, k=5, m=10, ksub=16, iters=1)
+
+
+@query("topk_cosine_pq_indexed", oracle=_pq_topk_oracle())
+def topk_cosine_pq_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k against the PERSISTED PQ index — the PQ half of
+    VERDICT r8 item 3, completing what `topk_cosine_ivf_indexed` did
+    for IVF: `save_pq_index` trains the per-subspace codebooks and
+    writes codebooks + byte codes, `topk_pq_from_index` probes with
+    zero training or encode work (measured 5.6× per probe batch at
+    sf1, SCALE_r08). Both this and the fresh `topk_cosine_pq` hash
+    against the SAME unrolled oracle, so persisted-vs-fresh drift
+    (codebook rot, a codes-table schema change, a LUT built against
+    stale meta) breaks a driver row even when each path alone stays
+    self-consistent.
+
+    Plan shape: build = fused k-means + map-only encode + two
+    parquet writes; probe = model-sized codebook collect, broadcast
+    LUT column, one ADC scan of the ~dim·8/m×-compressed codes."""
+    from prisma_migrator_spark.llm.similarity import (
+        save_pq_index,
+        topk_pq_from_index,
+    )
+    from prisma_migrator_spark.plans.ingest import _ingest_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    path = _ingest_dir("pq_index", sf_dir)
+    save_pq_index(emb, path, m=10, ksub=16, iters=1)
+    return topk_pq_from_index(spark, path, probes, k=5)
 
 
 # --- incremental LSH near-dup (index maintenance) ---------------------
