@@ -24,13 +24,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # errors), so the order is (1) never-driver-gated oracle-backed
 # queries — the three r9 shard-reader round-trips, the persisted-
 # index ANN gate, the two r8 evaluation queries that never got a
-# row — plus the three r9 CONVERSIONS whose last driver row still
-# says no_oracle (topk_cosine_ivf r1, corpus_clusters_labeled r8,
-# topk_cosine_pq never gated) and the two r9-new persisted-index
-# gates; then (2) the stalest-gated oracle-backed tail (all 12
-# r3-gated rows, the r4 row, and the 17 alphabetically-first r5
-# rows — after r9 no oracle-backed query's latest driver row
-# predates r5); then (3) rows-only at the 10/50 = 20% cap,
+# row — plus the five r9 CONVERSIONS whose last driver row still
+# says no_oracle (topk_cosine_ivf r1, topk_cosine_lsh r1,
+# corpus_clusters_labeled + topk_cosine_ivf_pq r8, topk_cosine_pq
+# never gated) and the two r9-new persisted-index gates; then (2)
+# the stalest-gated oracle-backed tail (all 12 r3-gated rows, the
+# r4 row, and the 15 alphabetically-first r5 rows — after r9 no
+# oracle-backed query's latest driver row predates r5); then (3)
+# rows-only at the 10/50 = 20% cap,
 # never-gated first (the new composed daily batch, the five r8
 # media/sketch queries that missed every window, the Bloom/HLL
 # pair) and the three r1-stale sketch entries. Everything past the
@@ -48,6 +49,8 @@ WINDOW_R9 = [
     "corpus_clusters_labeled",      # converted r9 (last row r8, rows-only)
     "topk_cosine_pq",               # converted r9 (never gated)
     "topk_cosine_pq_indexed",       # new r9, oracle-backed from birth
+    "topk_cosine_ivf_pq",           # converted r9 (last row r8, rows-only)
+    "topk_cosine_lsh",              # converted r9 (last row r1, rows-only)
     # -- (2) stalest oracle-backed: last driver row r3 --
     "bigram_logprob_score",
     "corpus_recipe",
@@ -79,8 +82,6 @@ WINDOW_R9 = [
     "doc_containment_pairs",
     "embedding_near_dup_lsh",
     "event_burst_dedup",
-    "event_value_outliers",
-    "events_decayed_score",
     # -- (3) rows-only, 10/50 cap: never-gated first --
     "daily_batch_pipeline",         # rows-only 1/10 (new r9)
     "incremental_distinct_users",   # rows-only 2/10
@@ -92,7 +93,8 @@ WINDOW_R9 = [
     # -- rows-only, last driver row r1 --
     "approx_distinct_parts",        # rows-only 8/10
     "approx_event_value_quantiles", # rows-only 9/10
-    "topk_cosine_lsh",              # rows-only 10/10
+    # -- rows-only, last driver row r7 --
+    "merge_phrases",                # rows-only 10/10
 ]
 
 

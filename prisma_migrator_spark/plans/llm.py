@@ -764,14 +764,83 @@ def hard_negatives_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("topk_cosine_lsh")  # rows-only: ANN recall checked in pytest
+def _lsh_topk_oracle(
+    num_planes: int = 8, dim: int = 64, topk: int = 5
+) -> str:
+    """Unrolled sign-LSH oracle for ``topk_cosine_lsh_q`` (converted
+    from rows-only in r9): the Rademacher planes are md5-DERIVED
+    (`llm/similarity.hyperplanes`: coefficient (p,d) = ±1 from the
+    first byte of md5("p:d")), so the whole pipeline is
+    SQL-expressible in-engine — plane synthesis, sign-bit bucket
+    concat (bit = dot > 0, planes in index order), multiprobe-1
+    bucket expansion (exact bucket + every Hamming-1 flip), bucket
+    equi-join candidates, exact cosine, top-k by (cosine DESC,
+    neighbor_id). Dot products fold left-to-right over the dim
+    range, the same float-parity guarantee every cosine oracle here
+    rides."""
+    return f"""WITH planes AS MATERIALIZED (
+  SELECT p.p,
+         list(CASE WHEN CAST(('0x' || substr(md5(p.p || ':' || d.d), 1, 2))
+                        AS INT) >= 128
+                   THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS c
+  FROM UNNEST(range(0, {num_planes})) AS p(p),
+       UNNEST(range(0, {dim})) AS d(d)
+  GROUP BY p.p
+),
+emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> e.v[i] * pl.c[i])) > 0
+              THEN '1' ELSE '0' END AS bit
+  FROM emb e CROSS JOIN planes pl
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY vec_id
+),
+pbk AS (
+  SELECT b.vec_id AS probe_id,
+         CASE WHEN f.i = -1 THEN b.bucket
+              ELSE substr(b.bucket, 1, f.i)
+                   || (CASE WHEN substr(b.bucket, f.i + 1, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(b.bucket, f.i + 2)
+         END AS bucket
+  FROM buckets b, UNNEST(range(-1, {num_planes})) AS f(i)
+  WHERE b.vec_id < 10
+),
+scored AS (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> pe.v[i] * ce.v[i]))
+               / (pe.nrm * ce.nrm), 6) AS cosine
+  FROM pbk p
+  JOIN buckets c ON c.bucket = p.bucket AND c.vec_id <> p.probe_id
+  JOIN emb pe ON pe.vec_id = p.probe_id
+  JOIN emb ce ON ce.vec_id = c.vec_id
+)
+SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= {topk}"""
+
+
+@query("topk_cosine_lsh", oracle=_lsh_topk_oracle())
 def topk_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     return topk_lsh(emb, probes, k=5)
 
 
-@query("topk_cosine_ivf")  # rows-only: ANN recall checked in pytest
+@query("topk_cosine_ivf")  # oracle late-registered below (r9): the
+# full-IVF unroll lives next to _kmeans_assign_parts
 def topk_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prisma_migrator_spark.llm.similarity import topk_ivf
 
@@ -780,8 +849,8 @@ def topk_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, probes, k=5, n_centroids=16, nprobe=4)
 
 
-@query("topk_cosine_ivf_pq")  # rows-only: ANN; recall pinned in pytest
-# on planted clusters (fixture embeddings are near-isotropic random)
+@query("topk_cosine_ivf_pq")  # oracle late-registered below (r9):
+# the IVFADC unroll composes _kmeans_assign_parts + _pq_subspace_parts
 def topk_cosine_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN composition (FAISS IVFADC): IVF cells prune
     which corpus rows a probe visits, PQ byte codes shrink what each
@@ -3341,6 +3410,30 @@ def _pq_topk_oracle(
     fixture embedding width (every oracle here states fixture-shaped
     SQL); slices replicate `_sub_slices` including the unequal
     remainder split 64 = 4·7 + 6·6."""
+    parts = _pq_subspace_parts(dim, m, ksub)
+    return f"""WITH {','.join(parts)},
+pairs AS (
+  SELECT qpl.probe_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list(qpl.d ORDER BY e.s)), 6) AS adc_dist
+  FROM qenc e JOIN qpl ON qpl.s = e.s AND qpl.cid = e.cid
+  WHERE e.vec_id <> qpl.probe_id
+  GROUP BY qpl.probe_id, e.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank
+FROM (
+  SELECT probe_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+  FROM pairs) WHERE rn <= {topk}"""
+
+
+def _pq_subspace_parts(dim: int, m: int, ksub: int) -> list[str]:
+    """WITH-clause parts for the per-subspace PQ unroll, ending in
+    ``qenc`` (vec_id, s, cid — the corpus byte codes) and ``qpl``
+    (probe_id, s, cid, d — the exact probe LUT). All names are
+    q-prefixed so the parts compose with `_kmeans_assign_parts`
+    (whose a1/m1 iteration CTEs would otherwise collide) in the
+    IVF×PQ oracle."""
     base, rem = divmod(dim, m)
     slices = []
     start = 1
@@ -3354,7 +3447,7 @@ def _pq_topk_oracle(
            x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                  y -> y * y)))) AS u
   FROM embeddings
-)""", f"""seeds AS MATERIALIZED (
+)""", f"""qseeds AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
          u
   FROM unitv ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}
@@ -3362,60 +3455,47 @@ def _pq_topk_oracle(
     for s, (st, en, ln) in enumerate(slices):
         d2 = (f"list_sum(list_transform(range(1, {ln + 1}), "
               f"i -> (x.sv[i] - c.c[i]) * (x.sv[i] - c.c[i])))")
-        parts.append(f"""sub{s} AS MATERIALIZED (
+        parts.append(f"""qsub{s} AS MATERIALIZED (
   SELECT vec_id, list_slice(u, {st}, {en}) AS sv FROM unitv
-), a{s} AS MATERIALIZED (
+), qa{s} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT x.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
                               ORDER BY {d2} ASC, c.cid ASC) AS rn
-    FROM sub{s} x CROSS JOIN (
-      SELECT cid, list_slice(u, {st}, {en}) AS c FROM seeds) c
+    FROM qsub{s} x CROSS JOIN (
+      SELECT cid, list_slice(u, {st}, {en}) AS c FROM qseeds) c
   ) WHERE rn = 1
-), m{s} AS MATERIALIZED (
+), qm{s} AS MATERIALIZED (
   SELECT cid, list(mu ORDER BY d) AS c
   FROM (
     SELECT a.cid, t.i AS d, ROUND(AVG(x.sv[t.i]), 12) AS mu
-    FROM a{s} a JOIN sub{s} x USING (vec_id),
+    FROM qa{s} a JOIN qsub{s} x USING (vec_id),
          UNNEST(range(1, {ln + 1})) AS t(i)
     GROUP BY a.cid, t.i) GROUP BY cid
-), b{s} AS MATERIALIZED (
+), qb{s} AS MATERIALIZED (
   SELECT p.cid, COALESCE(m.c, p.c) AS c
-  FROM (SELECT cid, list_slice(u, {st}, {en}) AS c FROM seeds) p
-  LEFT JOIN m{s} m USING (cid)
-), enc{s} AS MATERIALIZED (
+  FROM (SELECT cid, list_slice(u, {st}, {en}) AS c FROM qseeds) p
+  LEFT JOIN qm{s} m USING (cid)
+), qenc{s} AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT x.vec_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
                               ORDER BY {d2} ASC, c.cid ASC) AS rn
-    FROM sub{s} x CROSS JOIN b{s} c
+    FROM qsub{s} x CROSS JOIN qb{s} c
   ) WHERE rn = 1
-), pl{s} AS MATERIALIZED (
+), qpl{s} AS MATERIALIZED (
   SELECT x.vec_id AS probe_id, c.cid, {d2} AS d
-  FROM sub{s} x CROSS JOIN b{s} c WHERE x.vec_id < 10
+  FROM qsub{s} x CROSS JOIN qb{s} c WHERE x.vec_id < 10
 )""")
     enc_union = " UNION ALL ".join(
-        f"SELECT vec_id, {s} AS s, cid FROM enc{s}" for s in range(m)
+        f"SELECT vec_id, {s} AS s, cid FROM qenc{s}" for s in range(m)
     )
     pl_union = " UNION ALL ".join(
-        f"SELECT probe_id, {s} AS s, cid, d FROM pl{s}" for s in range(m)
+        f"SELECT probe_id, {s} AS s, cid, d FROM qpl{s}" for s in range(m)
     )
-    return f"""WITH {','.join(parts)},
-enc AS MATERIALIZED ({enc_union}),
-pl AS MATERIALIZED ({pl_union}),
-pairs AS (
-  SELECT pl.probe_id, e.vec_id AS neighbor_id,
-         ROUND(list_sum(list(pl.d ORDER BY e.s)), 6) AS adc_dist
-  FROM enc e JOIN pl ON pl.s = e.s AND pl.cid = e.cid
-  WHERE e.vec_id <> pl.probe_id
-  GROUP BY pl.probe_id, e.vec_id
-)
-SELECT probe_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank
-FROM (
-  SELECT probe_id, neighbor_id, adc_dist,
-         ROW_NUMBER() OVER (PARTITION BY probe_id
-                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
-  FROM pairs) WHERE rn <= {topk}"""
+    parts.append(f"qenc AS MATERIALIZED ({enc_union})")
+    parts.append(f"qpl AS MATERIALIZED ({pl_union})")
+    return parts
 
 
 @query("topk_cosine_pq", oracle=_pq_topk_oracle())
@@ -6219,14 +6299,96 @@ SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
   FROM cand) WHERE rank <= {topk}"""
 
 
+def _ivf_pq_topk_oracle(
+    dim: int = 64,
+    k: int = 16,
+    iters: int = 1,
+    nprobe: int = 4,
+    m: int = 10,
+    ksub: int = 16,
+    rerank: int = 20,
+    topk: int = 5,
+) -> str:
+    """Unrolled IVFADC oracle for ``topk_cosine_ivf_pq_q`` (converted
+    from rows-only in r9): the two proven builders COMPOSE — the
+    shared cosine k-means unroll (:func:`_kmeans_assign_parts`)
+    supplies the inverted file (corpus cluster assignment + probe
+    cell ranking, ties to the higher cid exactly as the reversed
+    array_sort), the q-prefixed PQ unroll
+    (:func:`_pq_subspace_parts`) supplies the byte codes and exact
+    probe LUTs. ADC runs only over cluster-pruned candidates, the
+    top-``rerank`` ADC candidates per probe rejoin the raw vectors
+    for exact cosine (the FAISS refine stage), and top-``topk`` is
+    taken by (cosine DESC, neighbor_id). ADC folds in subspace order
+    (ordered list fold) and both quantizers ride the 12dp centroid
+    snap, so parity is exact, not probabilistic."""
+    parts = _kmeans_assign_parts(k, iters) + _pq_subspace_parts(
+        dim, m, ksub
+    )
+    cnorm = ("(CASE WHEN sqrt(list_sum(list_transform(c.c, x -> x * x))) = 0 "
+             "THEN 1.0 ELSE sqrt(list_sum(list_transform(c.c, x -> x * x))) END)")
+    return f"""WITH {','.join(parts)},
+pr AS (SELECT vec_id, v, nrm FROM emb WHERE vec_id < 10),
+cr AS (
+  SELECT p.vec_id AS probe_id, c.cid,
+         list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.c[i]))
+           / (p.nrm * {cnorm}) AS sim
+  FROM pr p CROSS JOIN c{iters} c
+),
+pc AS (
+  SELECT probe_id, cid FROM (
+    SELECT probe_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY sim DESC, cid DESC) AS rn
+    FROM cr) WHERE rn <= {nprobe}
+),
+pruned AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id
+  FROM pc JOIN assigned a
+    ON a.cluster_id = pc.cid AND a.vec_id <> pc.probe_id
+),
+adc AS (
+  SELECT p0.probe_id, p0.neighbor_id,
+         ROUND(list_sum(list(qpl.d ORDER BY e.s)), 6) AS adc_dist
+  FROM pruned p0
+  JOIN qenc e ON e.vec_id = p0.neighbor_id
+  JOIN qpl ON qpl.probe_id = p0.probe_id
+          AND qpl.s = e.s AND qpl.cid = e.cid
+  GROUP BY p0.probe_id, p0.neighbor_id
+),
+cand AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT probe_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+    FROM adc) WHERE rn <= {rerank}
+),
+exact AS (
+  SELECT c.probe_id, c.neighbor_id,
+         ROUND(list_sum(list_transform(range(1, len(pe.v) + 1),
+                                       i -> pe.v[i] * e.v[i]))
+               / (pe.nrm * e.nrm), 6) AS cosine
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.neighbor_id
+  JOIN emb pe ON pe.vec_id = c.probe_id
+)
+SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact) WHERE rank <= {topk}"""
+
+
 # Late oracle registration (VERDICT r8 item 8 spirit): the fresh
-# topk_cosine_ivf query is defined ABOVE _kmeans_assign_parts in this
-# module, so its conversion from rows-only to oracle-backed happens
-# here, where the unroll machinery exists. Same hyperparameters
-# (k=16, iters=1, nprobe=4, topk=5) as the query body.
+# topk_cosine_ivf and topk_cosine_ivf_pq queries are defined ABOVE
+# _kmeans_assign_parts in this module, so their conversions from
+# rows-only to oracle-backed happen here, where the unroll machinery
+# exists. Same hyperparameters as the query bodies (IVF k=16,
+# iters=1, nprobe=4, topk=5; IVFADC adds m=10, ksub=16, rerank=20).
 from prisma_migrator_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["topk_cosine_ivf"] = _ivf_topk_oracle()
+_ORACLES["topk_cosine_ivf_pq"] = _ivf_pq_topk_oracle()
 
 
 @query("topk_cosine_ivf_indexed", oracle=_ivf_topk_oracle())
