@@ -33,8 +33,15 @@ def eval_gram_set(eval_docs: DataFrame, k: int = 3) -> DataFrame:
 
     Deduped across docs (a gram appearing in many eval docs must count
     once per training doc), which also minimizes the broadcast size.
+    Eval sets are broadcast-small by definition, so the shingling
+    skips the parallelism repartition (r9): one task over a benchmark
+    is cheaper than the exchange that would spread it.
     """
-    return shingles(eval_docs, k=k, distinct=False).select("shingle").distinct()
+    return (
+        shingles(eval_docs, k=k, distinct=False, parallelize=False)
+        .select("shingle")
+        .distinct()
+    )
 
 
 def decontaminate(

@@ -64,6 +64,7 @@ def shingles(
     id_col: str = "doc_id",
     k: int = 3,
     distinct: bool = True,
+    parallelize: bool = True,
 ) -> DataFrame:
     """Word k-gram shingles per document (exploded).
 
@@ -78,10 +79,17 @@ def shingles(
     the CPU-heavy explode across all cores when the source is a
     single-split file; at scale the source has many splits and it is
     a no-op.
+
+    ``parallelize=False`` skips that check AND its repartition — for
+    callers whose input is known tiny (e.g. an eval benchmark set),
+    where the exchange plus partition-probe round trip costs more
+    than the single-task shingling it would spread (r9).
     """
     from prisma_migrator_spark.catalog import ensure_parallelism
 
-    tokenized = ensure_parallelism(df).select(
+    if parallelize:
+        df = ensure_parallelism(df)
+    tokenized = df.select(
         id_col, F.split(normalized_text(F.col(text_col)), " ").alias("__w")
     )
     w = F.col("__w")
@@ -147,12 +155,21 @@ def lsh_candidate_pairs(
     near-identical boilerplate that exact dedup already collapses,
     and true near-dups this common almost surely co-occur in a
     smaller band too). None = no cap (exact oracle parity).
+
+    Single-pass shape (r9, guide §2.3/§2.4): the full signature rides
+    WITH its id into the band shuffle, and the agreement count is
+    computed inside the per-bucket pair explode — so the
+    shingle→minhash pipeline runs exactly once and there is no
+    signature re-join (the r8 form joined ``sigs`` back twice to
+    attach h0..h7, which re-derived the whole minhash pipeline per
+    join side; the persist() meant to prevent that lost the race when
+    AQE ran the branches concurrently — measured duplicate ~8 CPU-s
+    stages at sf0.1). The banded shuffle carries num_hashes longs per
+    (doc, band) row — bounded, and strictly cheaper than re-deriving
+    or re-shuffling the signature table twice.
     """
-    # The signature frame is used three times (both join sides + the
-    # agreement re-join); persist it so the shingle->minhash pipeline
-    # runs once, not three times.
-    sigs = sigs.persist()
     n_bands = num_hashes // band_size
+    hs = [f"h{i}" for i in range(num_hashes)]
     bands = F.array(
         *[
             F.concat_ws(
@@ -163,50 +180,51 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    # (band, id) rows carry ONLY ids; pairs are exploded from the
-    # per-band member array so the shuffle happens once.
-    banded = sigs.select(id_col, F.explode(bands).alias("band"))
+    banded = sigs.select(id_col, *hs, F.explode(bands).alias("band"))
+    # per-band member array (sorted by id: struct comparison leads
+    # with id_col, so array_sort orders members ascending by id and
+    # the slice-pairing below yields id_a < id_b)
     buckets = banded.groupBy("band").agg(
-        F.array_sort(F.collect_list(id_col)).alias("__ids")
+        F.array_sort(F.collect_list(F.struct(id_col, *hs))).alias("__m")
     )
-    size_ok = F.size("__ids") >= 2
+    size_ok = F.size("__m") >= 2
     if max_bucket is not None:
-        size_ok = size_ok & (F.size("__ids") <= max_bucket)
-    ids = F.col("__ids")
+        size_ok = size_ok & (F.size("__m") <= max_bucket)
+    m = F.col("__m")
+
+    def _agree(x, y):
+        out = F.lit(0)
+        for h in hs:
+            out = out + F.when(x[h] == y[h], 1).otherwise(0)
+        return out
+
     pair_arr = F.flatten(
         F.transform(
-            ids,
+            m,
             lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(
+                    x[id_col].alias("id_a"),
+                    y[id_col].alias("id_b"),
+                    _agree(x, y).alias("agree"),
+                ),
             ),
         )
     )
-    pairs = (
+    # agree is functionally determined by (id_a, id_b) — every band a
+    # pair co-occurs in sees the same two signatures — so deduping on
+    # the ids alone is deterministic.
+    return (
         buckets.where(size_ok)
         .select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select("p.id_a", "p.id_b", "p.agree")
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(num_hashes)],
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
-    )
-    agree = sum(
-        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
+            F.round(F.col("agree") / F.lit(float(num_hashes)), 6).alias(
+                "jaccard_est"
+            ),
         )
     )
 

@@ -106,88 +106,92 @@ def flagship_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apps(parts) ranked by 0.7·normalized recommendation score +
     0.3·normalized category-rank score (reference lib.ts:337-415).
 
-    Scale shape — ONE scan, ONE wide shuffle. The reference's five
-    CTEs over the fact table (category_sizes, rank_scores,
-    recommendation_metrics, app_categories, latest_snapshots) all
-    factor through a (category, app) pair-level partial aggregate:
+    Scale shape — ONE wide shuffle, zero sorts before the output
+    ordering. The reference's five CTEs over the fact table
+    (category_sizes, rank_scores, recommendation_metrics,
+    app_categories, latest_snapshots) all fold into ONE app-keyed
+    ObjectHashAggregate over the dimension-enriched fact rows:
 
     - the row-level reciprocal-rank weight Σ 1/(pos+1)·log10(size+1)
-      distributes over pairs: log10 is constant within a pair, so the
-      per-pair Σ 1/(pos+1) pre-aggregate carries it (A2/A3);
-    - COUNT(DISTINCT app) per category (A1) becomes a plain COUNT over
-      pairs — no distinct-aggregate buffer;
+      (A2/A3) sums directly — the category size joins in as a
+      broadcast before the aggregate;
+    - COUNT(DISTINCT app) per category (A1) is its own tiny
+      two-phase distinct aggregate, broadcast back;
     - latest-per-key (DISTINCT ON, W2) ⇒ ``max(struct(ts, tiebreak...,
       payload...))`` — struct ordering is lexicographic by field, so
-      the max struct IS the latest row; max-of-max composes through
-      the pair level;
-    - sorted distinct categories (A4) ⇒ ``array_sort(collect_set)``
-      over pairs (each pair contributes its one category name).
+      the max struct IS the latest row;
+    - sorted distinct categories (A4) ⇒ ``array_sort(collect_set)``.
 
-    Total data movement: one wide shuffle of lineitem keyed
-    (l_suppkey, l_partkey) with map-side combine; everything after
-    operates on |pairs| rows (≪ |lineitem|): a tiny category-size agg
-    broadcast back, a broadcast dim join, a second small shuffle to
-    l_partkey, a 1-row global-max aggregate broadcast back. The
-    window-based translation costs 4 extra lineitem scans+shuffles —
-    measured 3× slower at sf0.1 and strictly worse at 100 TB.
+    Total data movement: one wide shuffle of per-app partial
+    aggregates (map-side combine collapses ~30:1 BEFORE the
+    exchange), a category-size aggregate broadcast back, a broadcast
+    dim join, a 1-row global-max aggregate broadcast back. The r8
+    variant staged a (category, app) pair-level aggregate first:
+    measured at sf0.1 that collapsed ~nothing (600k rows -> ~535k
+    pairs) while adding an Exchange and two SortAggregate sorts
+    (immutable max(struct) buffer); OPTIMIZATION_r09.md has the
+    before/after. The window-based translation costs 4 extra lineitem
+    scans+shuffles — measured 3× slower at sf0.1 and strictly worse
+    at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
 
-    recip = F.lit(1.0) / (F.col("l_linenumber") + F.lit(1))
-    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum(recip).alias("recip_sum"),
-        F.count("*").alias("cnt"),
-        F.max(
-            F.struct(
-                "l_shipdate",
-                "l_orderkey",
-                "l_linenumber",
-                "l_quantity",
-                "l_extendedprice",
-            )
-        ).alias("pair_latest"),
+    # category_sizes (lib.ts:342-346 / A1): COUNT(DISTINCT l_partkey)
+    # per category. One row per category -> broadcast.
+    sizes = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("total_apps")
     )
 
-    # category_sizes (lib.ts:342-346 / A1): COUNT(DISTINCT l_partkey)
-    # = COUNT(*) over the pair agg. One row per category -> broadcast.
-    sizes = pairs.groupBy("l_suppkey").agg(F.count("*").alias("total_apps"))
-
-    # supplier is a dim table -> broadcast; left join preserves pair
+    # supplier is a dim table -> broadcast; left join preserves row
     # multiplicity even for dangling FKs (collect_set skips null).
-    enriched = pairs.join(F.broadcast(sizes), "l_suppkey").join(
+    enriched = li.join(F.broadcast(sizes), "l_suppkey").join(
         F.broadcast(supp.select("s_suppkey", "s_name")),
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left",
     )
 
+    # ONE aggregation straight to the app level (r9, guide §2.3/§2.4).
+    # The r8 shape staged this through a (category, app) pair-level
+    # aggregate first — but the fixture (and any history table whose
+    # rows are mostly-unique (category, app) observations) collapses
+    # ~nothing at the pair level (sf0.1: 600k rows -> ~535k pairs), so
+    # the pair pass cost a full extra Exchange plus TWO sorts: its
+    # max(struct) payload has an immutable agg buffer, forcing
+    # SortAggregate for partial AND final. Aggregating directly by
+    # l_partkey collapses 30:1 in the partial pass (map-side combine
+    # before the only wide shuffle), and because collect_set rides in
+    # the same aggregate, Spark plans ObjectHashAggregate — no sort at
+    # all. Every reciprocal-rank term is multiplied by its category
+    # weight at row level, exactly the oracle's formulation.
+    recip = F.lit(1.0) / (F.col("l_linenumber") + F.lit(1))
     agged = (
         enriched.groupBy("l_partkey")
         .agg(
             # rank_scores (lib.ts:348-353 / A2) — PG LOG = log10
-            F.sum(F.col("recip_sum") * log10_1p(F.col("total_apps"))).alias(
+            F.sum(recip * log10_1p(F.col("total_apps"))).alias(
                 "weighted_category_score"
             ),
             # recommendation_metrics (lib.ts:355-362 / A3)
-            F.sum("cnt").cast("int").alias("recommendation_count"),
-            F.sum("recip_sum").alias("weighted_recommendation_score"),
+            F.count("*").cast("int").alias("recommendation_count"),
+            F.sum(recip).alias("weighted_recommendation_score"),
             # app_categories (lib.ts:363-369 / A4), sorted for determinism
             F.concat_ws(";", F.array_sort(F.collect_set("s_name"))).alias(
                 "categories"
             ),
-            # latest_snapshots (lib.ts:370-375 / W2): max of the pair
-            # maxima = ORDER BY l_shipdate DESC, l_orderkey DESC,
-            # l_linenumber DESC LIMIT 1 per app; the winning pair's
-            # s_name rides along after the (unique) tiebreakers.
+            # latest_snapshots (lib.ts:370-375 / W2): max struct =
+            # ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber
+            # DESC LIMIT 1 per app; the winning row's s_name rides
+            # along after the (unique) tiebreakers.
             F.max(
                 F.struct(
-                    F.col("pair_latest.l_shipdate").alias("l_shipdate"),
-                    F.col("pair_latest.l_orderkey").alias("l_orderkey"),
-                    F.col("pair_latest.l_linenumber").alias("l_linenumber"),
-                    F.col("s_name").alias("s_name"),
-                    F.col("pair_latest.l_quantity").alias("l_quantity"),
-                    F.col("pair_latest.l_extendedprice").alias("l_extendedprice"),
+                    "l_shipdate",
+                    "l_orderkey",
+                    "l_linenumber",
+                    "s_name",
+                    "l_quantity",
+                    "l_extendedprice",
                 )
             ).alias("latest"),
         )
@@ -277,11 +281,18 @@ def category_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_spend", F.coalesce("total_spend", F.lit(0.0)))
         .select("c_custkey", "c_nationkey", "c_acctbal", "total_spend")
     )
+    # COUNT(DISTINCT ps.c_custkey) == COUNT(*) here: c_custkey is the
+    # customer table's key (unique at every fixture SF — verified
+    # r9), and pop is customer LEFT JOIN a by-custkey aggregate, so
+    # each customer contributes exactly one row. The plain count drops
+    # Catalyst's two-phase distinct machinery (an Expand plus an extra
+    # (n_name, c_custkey)-keyed Exchange) from the plan — 2 fewer
+    # shuffles, identical result (oracle-gated at all three SFs).
     agg = (
         pop.join(F.broadcast(nation), pop.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.countDistinct("c_custkey").cast("int").alias("app_count"),
+            F.count(F.lit(1)).cast("int").alias("app_count"),
             F.avg("c_acctbal").alias("avg_pop_raw"),
             F.sum("total_spend").alias("total_spend_raw"),
         )

@@ -244,18 +244,46 @@ FROM kept k JOIN canonical c ON k.doc_id = c.doc_id
 def clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline: quality-score
     filter -> exact dedup (min-id canonical per content fingerprint)
-    -> per-doc stats. One groupBy + one semi-join over map-only
-    scoring; the full flow a 100 TB corpus actually runs before
-    tokenization."""
-    from prisma_migrator_spark.llm.text import quality_score, token_count
+    -> per-doc stats. ONE map pass over the text and ONE
+    fingerprint-keyed aggregation; the full flow a 100 TB corpus
+    actually runs before tokenization.
 
-    docs = load_table(spark, sf_dir, "documents")
-    kept = docs.where(F.round(quality_score(F.col("text")), 6) >= 0.3)
-    deduped = dedupe_exact(kept)
-    return deduped.select(
+    r9 shape (guide §2.3/§2.4): the r8 form ran quality_score +
+    fingerprint over the text three times (filter side, canonical-min
+    side, final projection) and paid a semi-join shuffle to pull the
+    canonical rows back. But every output column is functionally
+    determined by the fingerprint — same normalized text ⟹ same
+    whitespace-split token list (n_tokens, stopword ratio) and same
+    punctuation count (normalization only collapses whitespace) — so
+    the min-id row's stats ARE the group's stats: project (doc_id,
+    fp, n_tokens, quality) once, filter, and take min() per
+    fingerprint. Text never crosses a shuffle; the join disappears."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+    from prisma_migrator_spark.llm.text import (
+        content_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    stats = docs.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        content_fingerprint(t).alias("__fp"),
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+    kept = stats.where(F.col("quality") >= 0.3)
+    return (
+        kept.groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # identical within a fingerprint group (see docstring);
+            # min() keeps the aggregate deterministic and hash-exact
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("quality"),
+        )
+        .select("doc_id", "n_tokens", "quality")
     )
 
 

@@ -42,13 +42,19 @@ PINS = {
     "events_tumbling_hourly": (1, [3], False),
     "events_session_30m": (1, [3], False),
     "text_stats": (0, [2], False),
-    "clean_corpus": (1, [2, 2], False),
+    # r9: single-aggregation form — the canonical-row semi-join (and
+    # its second documents scan) folded into the fingerprint groupBy
+    "clean_corpus": (1, [2], False),
     # collect_list banding form: one fewer parquet scan than the old
     # band self-join (signatures computed once, bands exploded from it);
     # +1 r4: the bounded offset window's constant partition key now
     # counts as a hash exchange (was Exchange SinglePartition — same
     # 1-partition movement over n_buckets rows, now warning-free)
-    "minhash_lsh_pairs": (6, [2, 2, 2], False),
+    # r9 single-pass form: signatures ride the band shuffle and the
+    # agreement count is computed inside the bucket pair-explode, so
+    # the two signature re-joins (and their extra documents scans +
+    # exchanges) are gone — 1 scan, banded shuffle + dedup exchange
+    "minhash_lsh_pairs": (3, [2], False),
     "topk_cosine_bruteforce": (1, [2, 2], True),
     "decontaminate_eval": (3, [1, 2, 2], False),
     # +1 r4: bounded offset window's constant partition key counts as
