@@ -120,7 +120,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     key = None
     if sig is not None:
         try:
-            key = (spark.sparkContext.applicationId, os.path.abspath(path), sig)
+            # session timezone is part of the key: timezone-aware
+            # expressions (the NTZ cast below) capture it at ANALYSIS
+            # time, so a handle analyzed under one zone is wrong in
+            # another (pinned by the NTZ timezone-independence test)
+            key = (
+                spark.sparkContext.applicationId,
+                spark.conf.get("spark.sql.session.timeZone", ""),
+                os.path.abspath(path),
+                sig,
+            )
         except Exception:
             key = None
     if key is not None and key in _DF_CACHE:
@@ -146,6 +155,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: Memo for :func:`ensure_parallelism`, keyed by the input DataFrame's
+#: object identity (+ the requested floor). The partition probe costs
+#: 100–150 ms of driver time per call (physical planning of the scan);
+#: with :data:`_DF_CACHE` handing back the SAME handle for repeated
+#: loads of a table, the probe result is stable per handle — so pay it
+#: once per (handle, floor). Values hold a strong ref to the input df
+#: so a recycled id() can never alias a dead entry.
+_ENSURED: dict[tuple[int, int | None], tuple[DataFrame, DataFrame]] = {}
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY if the plan currently has fewer
     partitions than the cluster has cores.
@@ -159,6 +178,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     tables relative to the per-row CPU), and never runs at 100 TB
     because such inputs always have >= cores splits.
     """
+    memo_key = (id(df), min_partitions)
+    hit = _ENSURED.get(memo_key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     try:
         sc = df.sparkSession.sparkContext
         target = min_partitions or sc.defaultParallelism
@@ -167,9 +190,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         # environments without RDD access (e.g. Spark Connect): leave
         # the plan alone rather than fail the query
         return df
-    if current >= min(target, 8):
-        return df
-    return df.repartition(target)
+    out = df if current >= min(target, 8) else df.repartition(target)
+    if len(_ENSURED) > 512:  # bound driver memory on churny sessions
+        _ENSURED.clear()
+    _ENSURED[memo_key] = (df, out)
+    return out
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

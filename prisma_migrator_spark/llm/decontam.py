@@ -53,23 +53,32 @@ def decontaminate(
     """Per training doc: ``n_eval_grams_hit`` (distinct shared n-grams)
     and ``contaminated`` — every training doc appears, zero hits
     included. Docs shorter than ``k`` tokens have no grams and count 0.
+
+    One-pass shape (r9, guide §2.3/§2.4): the former zero-fill was a
+    second scan of ``train_docs`` left-joined onto the hit counts.
+    Instead the broadcast membership probe is a LEFT join on the gram
+    stream itself and the count is conditional — every doc reaches the
+    aggregate (``keep_empty`` emits a NULL-gram row for sub-k docs,
+    which the null-skipping count tallies as 0), so the pipeline is
+    ONE text scan, one broadcast probe, one aggregation.
     """
-    # distinct=False + count_distinct: per-doc gram dedup folds into
-    # the ONE aggregation shuffle instead of paying its own
-    grams = shingles(train_docs, k=k, id_col=id_col, distinct=False)
-    hits = (
-        grams.join(F.broadcast(eval_grams), "shingle")
-        .groupBy(id_col)
-        .agg(F.count_distinct("shingle").alias("n_eval_grams_hit"))
+    grams = shingles(
+        train_docs, k=k, id_col=id_col, distinct=False, keep_empty=True
     )
-    return (
-        train_docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_eval_grams_hit", F.lit(0)).alias("n_eval_grams_hit"),
-            (F.coalesce("n_eval_grams_hit", F.lit(0)) > 0).alias("contaminated"),
-        )
+    probe = F.broadcast(
+        eval_grams.select(F.col("shingle").alias("__eg"))
+    )
+    hits = (
+        grams.join(probe, F.col("shingle") == F.col("__eg"), "left")
+        .groupBy(id_col)
+        # count_distinct skips nulls: unmatched grams (__eg null) and
+        # the keep_empty NULL-gram rows both contribute 0
+        .agg(F.count_distinct("__eg").alias("n_eval_grams_hit"))
+    )
+    return hits.select(
+        id_col,
+        "n_eval_grams_hit",
+        (F.col("n_eval_grams_hit") > 0).alias("contaminated"),
     )
 
 

@@ -65,8 +65,14 @@ def shingles(
     k: int = 3,
     distinct: bool = True,
     parallelize: bool = True,
+    keep_empty: bool = False,
 ) -> DataFrame:
     """Word k-gram shingles per document (exploded).
+
+    ``keep_empty=True`` emits one NULL-shingle row for a document with
+    fewer than ``k`` tokens (``explode_outer`` over an empty gram
+    array) instead of dropping it — so per-doc aggregations downstream
+    see EVERY document and zero-fill joins become unnecessary (r9).
 
     ``distinct=False`` skips the per-doc dedup shuffle — correct for
     consumers insensitive to shingle multiplicity (MIN-based minhash),
@@ -97,9 +103,18 @@ def shingles(
         F.sequence(F.lit(0), F.size(w) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
     )
-    exploded = tokenized.where(F.size(w) >= k).select(
-        id_col, F.explode(gram).alias("shingle")
-    )
+    if keep_empty:
+        # guard the sequence: size(w) < k would make it DESCEND
+        safe = F.when(F.size(w) >= k, gram).otherwise(
+            F.array().cast("array<string>")
+        )
+        exploded = tokenized.select(
+            id_col, F.explode_outer(safe).alias("shingle")
+        )
+    else:
+        exploded = tokenized.where(F.size(w) >= k).select(
+            id_col, F.explode(gram).alias("shingle")
+        )
     return exploded.dropDuplicates([id_col, "shingle"]) if distinct else exploded
 
 

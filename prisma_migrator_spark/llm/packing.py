@@ -44,14 +44,29 @@ def global_running_offset(
     to ``sum(len) OVER (ORDER BY order_col) - len``.
 
     ``order_col`` must be unique per row (it is the tiebreak that makes
-    the packing deterministic).
+    the packing deterministic), and integer-valued (the range
+    bucketing does integer span arithmetic on it).
+
+    r9 (guide §1.2/§2.4): the id range used to size the buckets was an
+    EAGER ``df.agg(min, max).first()`` — a separate driver-blocking
+    job that recomputed ``df``'s whole upstream (for pack_stream: a
+    full extra tokenization pass of the corpus just to learn the id
+    range). It is now a 1-row aggregate broadcast INTO the plan: the
+    range subtree prunes to the order column only, runs inside the
+    same job, and the driver never blocks. Bucket assignment is
+    unchanged (same span arithmetic, now as column expressions).
     """
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
-    if lo is None:  # empty input: no offsets to compute
-        return df.withColumn("start_off", F.lit(0).cast("long"))
-    span = (int(hi) - int(lo)) // n_buckets + 1
-    b = ((F.col(order_col) - F.lit(int(lo))) / F.lit(span)).cast("long")
-    bucketed = df.withColumn("__b", b)
+    rng = df.groupBy().agg(
+        F.min(order_col).cast("long").alias("__lo"),
+        F.max(order_col).cast("long").alias("__hi"),
+    )
+    span = (F.col("__hi") - F.col("__lo") - F.pmod(F.col("__hi") - F.col("__lo"), F.lit(n_buckets))) / F.lit(n_buckets) + F.lit(1)
+    b = ((F.col(order_col) - F.col("__lo")) / span).cast("long")
+    bucketed = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn("__b", b)
+        .drop("__lo", "__hi")
+    )
 
     from prisma_migrator_spark.operators.ranking import bounded_global_window
 
@@ -91,9 +106,13 @@ def pack_stream(
     no stream positions).
     """
     n = F.col(len_col)
+    # offsets run over ALL docs (zero-length docs add 0 to every
+    # prefix sum), so the range probe's scan prunes to the order
+    # column — filtering first would drag the token counting into it
+    # (r9); the n >= 1 drop happens before the span explode below.
     with_off = global_running_offset(
-        docs_with_len.where(n >= 1), len_col, order_col, n_buckets
-    )
+        docs_with_len, len_col, order_col, n_buckets
+    ).where(n >= 1)
     first_p = F.floor(F.col("start_off") / ctx)
     last_p = F.floor((F.col("start_off") + n - 1) / ctx)
     packs = with_off.select(

@@ -63,57 +63,81 @@ def asof_join(
     Implemented as the merge-sorted union (the scale-correct plan, vs
     the naive per-row range join that explodes to |L|·|R| candidates):
 
-    1. dedupe right to one row per (key, ts) — deterministic via
-       ``right_tiebreakers`` (max wins);
-    2. union the two sides tagged 0 (right) / 1 (left), sorted within
-       each key by (ts, tag) — a right row at exactly left's ts sorts
-       first, giving <= semantics;
-    3. running ``last(payload, ignorenulls=True)`` over the sorted
-       stream carries each right row's values forward to every later
-       left row.
+    1. union the two sides tagged 0 (right) / 1 (left), sorted within
+       each key by (ts, tag, tiebreakers, payload) — a right row at
+       exactly left's ts sorts first, giving <= semantics, and at
+       equal ts the max-tiebreaker right row sorts LAST so it wins;
+    2. running ``last(struct(payload), ignorenulls=True)`` over the
+       sorted stream carries the winning right row's values forward to
+       every later left row.
 
-    Cost: ONE shuffle of |L|+|R'| rows keyed on ``on`` + a
-    per-partition sort — the same shape as a window dedup, regardless
-    of how many right rows precede each left row.
+    Cost: ONE shuffle of |L|+|R| rows keyed on ``on`` + a
+    per-partition sort, regardless of how many right rows precede each
+    left row. (r9, guide §2.4: the former separate
+    latest-per-(key, ts) dedup pass over the right side — a
+    SortAggregate with its own exchange and two sorts — folds into the
+    window's sort order: ordering right rows ascending by tiebreakers
+    then payload makes "last row before the left row" and "max
+    tiebreaker per (key, ts)" the same row, deterministically.
+    Carrying the payload as ONE struct also makes the fill row-wise —
+    a null payload FIELD on the winning row stays null, exactly ASOF
+    semantics — where per-column ``last`` would back-fill it from an
+    older row.)
     """
-    from prisma_migrator_spark.operators.dedup import latest_per_key
     from pyspark.sql import Window
 
     on = list(on)
     payload = list(payload)
-    r = right.select(*on, right_ts, *payload)
-    if right_tiebreakers:
-        r = latest_per_key(r, [*on, right_ts], right_tiebreakers[0],
-                           tiebreakers=right_tiebreakers[1:])
-    else:
-        r = r.dropDuplicates([*on, right_ts])
+    tbs = [t for t in right_tiebreakers]
+    r_cols = list(dict.fromkeys([*tbs, *payload]))
+    r = right.select(*on, right_ts, *r_cols)
 
     ts_type = dict(left.dtypes)[left_ts]
     left_only = [c for c in left.columns if c not in on]
+    p_struct = F.struct(*payload)
+    p_type = r.select(p_struct.alias("__p")).schema["__p"].dataType
+    tb_names = [f"__tb{i}" for i in range(len(tbs))]
+    r_dtypes = dict(r.dtypes)
     lt = left.select(
         *on,
         F.col(left_ts).cast(ts_type).alias("__t"),
         F.lit(1).alias("__is_left"),
         *left_only,
-        *[F.lit(None).cast(dict(r.dtypes)[p]).alias(p) for p in payload],
+        *[
+            F.lit(None).cast(r_dtypes[t]).alias(n)
+            for t, n in zip(tbs, tb_names)
+        ],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     rt = r.select(
         *on,
         F.col(right_ts).cast(ts_type).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
-        *payload,
+        *[F.col(t).alias(n) for t, n in zip(tbs, tb_names)],
+        p_struct.alias("__p"),
     )
     tagged = lt.unionByName(rt)
+    # exact right-side duplicates (same key, ts, every tiebreaker):
+    # order by the payload struct itself so the winner is pinned —
+    # the same full-row determinism the old max(struct) dedup had.
+    # Skipped when the payload is not orderable (MapType), matching
+    # the old row_number fallback's tiebreaker-only determinism.
+    from prisma_migrator_spark.operators.dedup import _orderable
+
+    order_cols = ["__t", "__is_left", *tb_names]
+    if _orderable(p_type):
+        order_cols.append("__p")
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__is_left")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for p in payload:
-        tagged = tagged.withColumn(p, F.last(p, ignorenulls=True).over(w))
-    return tagged.where(F.col("__is_left") == 1).select(
-        *on, *left_only, *payload
+    carried = tagged.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
+    return carried.where(F.col("__is_left") == 1).select(
+        *on,
+        *left_only,
+        *[F.col(f"__p.{p}").alias(p) for p in payload],
     )
 
 

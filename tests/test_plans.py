@@ -56,10 +56,19 @@ PINS = {
     # exchanges) are gone — 1 scan, banded shuffle + dedup exchange
     "minhash_lsh_pairs": (3, [2], False),
     "topk_cosine_bruteforce": (1, [2, 2], True),
-    "decontaminate_eval": (3, [1, 2, 2], False),
+    # r9 one-pass form: the zero-fill left join (and its 1-col train
+    # doc_id scan) folds into the gram aggregation via keep_empty
+    # shingles + a conditional distinct count
+    "decontaminate_eval": (3, [2, 2], False),
     # +1 r4: bounded offset window's constant partition key counts as
     # a hash exchange now (n_buckets rows — see minhash_lsh_pairs note)
-    "pack_stream_512": (3, [2, 2], False),
+    # r9: the id-range probe moved from an eager driver job (a full
+    # extra tokenization pass) INTO the plan as a broadcast 1-row
+    # min/max — it shows up as two doc_id-only scans (the broadcast
+    # subtree is printed per consumer), each a trivial 1-column read,
+    # and the 1-row broadcast attach is the accepted BNLJ-of-one-row
+    # pattern (same as flagship's global-max normalization)
+    "pack_stream_512": (3, [1, 1, 2, 2], True),
     # --- round-3 additions ---
     # n_windows is map-side (array length on the 2-col spine scan);
     # only dup-hash window rows reach the per-doc aggregate
