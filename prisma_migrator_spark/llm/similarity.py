@@ -714,56 +714,6 @@ def _book_dists(sub: Column, book: list[list[float]]) -> Column:
     return F.transform(_book_lit(book), lambda c: _sq_l2(sub, c))
 
 
-def _train_l2_centroids(
-    sub: DataFrame,
-    ksub: int,
-    iters: int,
-    id_col: str,
-    dim: int,
-) -> list[list[float]]:
-    """Distributed L2 k-means on a subvector frame (column
-    ``embedding``): md5-ordered deterministic seeds, then ``iters``
-    assign-by-min-squared-L2 + per-cluster mean rounds. Same shape as
-    `train_ivf_centroids` but with the L2 geometry PQ requires —
-    cosine assignment quantizes direction only and throws away
-    subvector magnitude, which is exactly what ADC distances need
-    (measured: recall@5 0.06 with cosine books vs 0.5+ with L2)."""
-    seeds = bounded_collect(
-        sub.select(
-            "embedding", F.md5(F.col(id_col).cast("string")).alias("__r")
-        )
-        .orderBy("__r")
-        .limit(ksub),
-        ksub,
-        "seed sample is limit(ksub)",
-    )
-    cents = [list(r["embedding"]) for r in seeds]
-    for _ in range(iters):
-        dists = _book_dists(F.col("embedding"), cents)
-        assigned = sub.withColumn(
-            "cluster_id",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
-        means = bounded_collect(
-            group_centroids(assigned, "cluster_id", "embedding", dim=dim),
-            ksub,
-            "one row per codebook centroid",
-        )
-        # Refreshed means snap to 12dp BEFORE the next assignment
-        # pass, on BOTH engines (the SQL unrolls apply the same
-        # ROUND): a distributed AVG is partition-order
-        # nondeterministic in the last ulp, so without the snap an
-        # argmax tie within ~1e-16 could flip an assignment between
-        # runs or engines. 12dp absorbs summation-order noise and is
-        # far below any real assignment margin.
-        new = {
-            r["cluster_id"]: [round(x, 12) for x in r["centroid"]]
-            for r in means
-        }
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
-    return cents
-
-
 def train_pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -786,9 +736,15 @@ def train_pq_codebooks(
     cluster_id, subvec) entries, then a single dim-unrolled
     HashAggregate (`group_centroids` keyed on the (sub_id, cluster)
     struct) yields all m·ksub means at once. m sequential trainings
-    would launch m·iters jobs; this launches iters. Falls back to
-    per-subspace loops only when dim % m != 0 (unequal slice widths
-    can't share one exploded frame)."""
+    would launch m·iters jobs; this launches iters. Unequal slice
+    widths (dim % m != 0 — the registered m=10 over dim=64) share the
+    exploded frame by zero-padding shorter subvectors to the widest
+    slice: a padded dim's mean is exactly 0.0 and is sliced off
+    driver-side, so the collected books are identical to per-subspace
+    training (which r9 profiling showed cost ~2·m sequential
+    single-task driver jobs per training — the whole wall of the PQ
+    gate queries). Refreshed means snap to 12dp like every k-means
+    trainer here (the unrolled oracles apply the same ROUND)."""
     slices = _sub_slices(dim, m)
     unit = _unit(F.col(vec_col).cast("array<double>"))
     seed_rows = bounded_collect(
@@ -804,20 +760,7 @@ def train_pq_codebooks(
         [list(r["u"])[st - 1 : st - 1 + ln] for r in seed_rows]
         for (st, ln) in slices
     ]
-    if len({ln for _, ln in slices}) != 1:
-        return [
-            _train_l2_centroids(
-                corpus.select(
-                    id_col, F.slice(unit, st, ln).alias("embedding")
-                ),
-                ksub,
-                iters,
-                id_col,
-                ln,
-            )
-            for (st, ln) in slices
-        ]
-    ln = slices[0][1]
+    ln_max = max(ln for _, ln in slices)
     base = corpus.select(unit.alias("u"))
     for _ in range(iters):
         entries = []
@@ -825,11 +768,16 @@ def train_pq_codebooks(
             sub = F.slice(F.col("u"), st, l)
             dists = _book_dists(sub, books[s])
             cid = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            sv = (
+                sub
+                if l == ln_max
+                else F.concat(sub, F.array(*[F.lit(0.0)] * (ln_max - l)))
+            )
             entries.append(
                 F.struct(
                     F.lit(s).alias("sub_id"),
                     cid.alias("cluster_id"),
-                    sub.alias("sv"),
+                    sv.alias("sv"),
                 )
             )
         exploded = (
@@ -837,12 +785,19 @@ def train_pq_codebooks(
             .select(F.struct("e.sub_id", "e.cluster_id").alias("__g"), F.col("e.sv").alias("sv"))
         )
         means = bounded_collect(
-            group_centroids(exploded, "__g", "sv", dim=ln),
+            group_centroids(exploded, "__g", "sv", dim=ln_max),
             len(slices) * ksub,
             "one row per (subvector, centroid) codebook entry",
         )
+        # Same 12dp snap as train_ivf_centroids
+        # (and the ROUND in the unrolled oracles): absorbs
+        # partition-order summation noise before the next assignment.
         for r in means:
-            books[r["__g"]["sub_id"]][r["__g"]["cluster_id"]] = list(r["centroid"])
+            s = r["__g"]["sub_id"]
+            l = slices[s][1]
+            books[s][r["__g"]["cluster_id"]] = [
+                round(x, 12) for x in list(r["centroid"])[:l]
+            ]
     return books
 
 

@@ -3424,7 +3424,7 @@ def _pq_topk_oracle(
     """Unrolled PQ+ADC oracle for ``topk_cosine_pq_q`` (converted
     from rows-only in r9) and ``topk_cosine_pq_indexed_q``: one L2
     k-means stage per subspace (iters=1, the registered setting),
-    mirroring `llm/similarity._train_l2_centroids` exactly — unit
+    mirroring `llm/similarity.train_pq_codebooks` exactly — unit
     normalization in doubles, ONE md5-ordered limit-ksub seed sample
     of FULL vectors sliced per subspace, squared-L2 argmin with
     first-index (cid ASC) tie-break, per-dim means snapped to
