@@ -35,6 +35,22 @@ across queries instead of biasing one. Emitted keys:
 - ``queries_isolated`` / ``value_isolated`` — alias of the medians
   (kept so r5/r6 tooling keeps parsing; single-pass before r7)
 
+r10 hardening (VERDICT r9 items 1+3 — measurement protocol only, the
+timed action/methodology is unchanged; additions-only JSON keys):
+
+- an inter-replica SETTLE (``sync`` + ``BENCH_SETTLE_SEC`` sleep,
+  default 2 s) before every fresh-JVM leg — the r9 driver run and the
+  r10 baseline both show the FIRST replica absorbing host warm-up
+  (e.g. flagship 10.09 s replica 1 vs 2.59/2.81 s replicas 2-3);
+- SPREAD-AWARE replicas: any query whose max/min over the base
+  replicas exceeds ``BENCH_SPREAD_FLAG`` (1.5, the BASELINE.md
+  host-noise threshold) gets extra legs up to ``BENCH_ISO_N_MAX``
+  (default 5) so one polluted leg cannot own the median;
+- the JSON line now also reports ``cpus`` / ``default_parallelism`` /
+  ``master`` (harness-contract auditability: proves the
+  ``$SPARK_GRAFT_CPUS`` master is honored) and per-query replica
+  counts (``queries_iso_n``).
+
 ``BENCH_ISOLATE=0`` skips the isolated pass (quick iteration);
 ``BENCH_ISO_N=<n>`` sets the replica count;
 ``BENCH_ONLY=<name>`` restricts to one query (the subprocess leg).
@@ -74,12 +90,25 @@ HEADLINE = [
 ]
 
 
+def _settle() -> None:
+    """Quiesce the host before a fresh-JVM leg: flush dirty pages so
+    background writeback doesn't land inside the timed window, then a
+    short sleep so the previous JVM's teardown (GC, tmp cleanup)
+    finishes. VERDICT r9 item 1."""
+    try:
+        os.sync()
+    except OSError:
+        pass
+    time.sleep(float(os.environ.get("BENCH_SETTLE_SEC", "2")))
+
+
 def _run_one_isolated(name: str) -> float:
     """One fresh-JVM run of one query: re-invoke this script with
     BENCH_ONLY set; the subprocess pays its own session spin-up and
     warm-up, and only its steady-state number is kept."""
     import subprocess
 
+    _settle()
     env = {**os.environ, "BENCH_ONLY": name, "BENCH_ISOLATE": "0"}
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
@@ -93,18 +122,38 @@ def _run_one_isolated(name: str) -> float:
 
 
 def run_isolated(
-    names: list[str], n: int
-) -> tuple[dict[str, float], dict[str, list[float]]]:
+    names: list[str], n: int, n_max: int, spread_flag: float
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, int]]:
     """Replicated fresh-JVM pass: ``n`` runs per query, ROUND-ROBIN
     ordered so a host-condition drift mid-bench spreads across all
-    queries instead of biasing whichever one it lands on. Returns
-    (per-query median, per-query [min, max] spread)."""
+    queries instead of biasing whichever one it lands on; queries
+    whose max/min spread still exceeds ``spread_flag`` after the base
+    replicas get extra legs (up to ``n_max`` total) so a single
+    polluted leg cannot own the median. Returns (per-query median,
+    per-query [min, max] spread, per-query replica count)."""
     samples: dict[str, list[float]] = {name: [] for name in names}
     for rep in range(n):
         for name in names:
             t = _run_one_isolated(name)
             samples[name].append(t)
             print(f"  [isolated {rep + 1}/{n}] {name}: {t:.2f}s",
+                  file=sys.stderr, flush=True)
+    # spread-aware extension pass (VERDICT r9 item 1): round-robin over
+    # the still-flagged queries so extra legs interleave too
+    while True:
+        flagged = [
+            name for name in names
+            if len(samples[name]) < n_max
+            and max(samples[name]) / max(min(samples[name]), 1e-9)
+            > spread_flag
+        ]
+        if not flagged:
+            break
+        for name in flagged:
+            t = _run_one_isolated(name)
+            samples[name].append(t)
+            print(f"  [isolated +{len(samples[name])}/{n_max}] "
+                  f"{name}: {t:.2f}s (spread-flagged)",
                   file=sys.stderr, flush=True)
     medians = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -113,7 +162,8 @@ def run_isolated(
         name: [round(min(ts), 3), round(max(ts), 3)]
         for name, ts in samples.items()
     }
-    return medians, spread
+    counts = {name: len(ts) for name, ts in samples.items()}
+    return medians, spread, counts
 
 
 def main() -> None:
@@ -167,15 +217,27 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # harness-contract audit keys (VERDICT r9 item 3): prove the
+        # driver's $SPARK_GRAFT_CPUS reached the master URL
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if not only and os.environ.get("BENCH_ISOLATE", "1") != "0":
         spark.stop()  # free the suite JVM before the per-query ones
         n = int(os.environ.get("BENCH_ISO_N", "3"))
-        medians, spread = run_isolated(names, n)
+        n_max = max(n, int(os.environ.get("BENCH_ISO_N_MAX", "5")))
+        spread_flag = float(os.environ.get("BENCH_SPREAD_FLAG", "1.5"))
+        medians, spread, counts = run_isolated(names, n, n_max, spread_flag)
         result["queries_isolated_median"] = medians
         result["value_isolated_median"] = round(sum(medians.values()), 3)
         result["queries_isolated_spread"] = spread
         result["iso_replicas"] = n
+        result["iso_replicas_max"] = n_max
+        result["iso_settle_sec"] = float(
+            os.environ.get("BENCH_SETTLE_SEC", "2")
+        )
+        result["queries_iso_n"] = counts
         # legacy keys (single-pass before r7) now alias the medians
         result["queries_isolated"] = medians
         result["value_isolated"] = result["value_isolated_median"]

@@ -71,16 +71,23 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 
 def _path_signature(path: str) -> tuple | None:
     """Content signature for the cache key: stat of the file, or of
-    every parquet member for a directory table."""
+    EVERY file under a directory table — recursive (ADVICE r9), so a
+    partitioned/nested layout (key=val subdirs) whose member is
+    rewritten in place misses the cache instead of serving a stale
+    handle. All files count, not just ``*.parquet``: a changed
+    ``_SUCCESS``/metadata sidecar is a rewrite signal too."""
     try:
         st = os.stat(path)
         if os.path.isdir(path):
-            members = tuple(
-                (f, *_stat_pair(os.path.join(path, f)))
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet")
-            )
-            return (st.st_mtime_ns, members)
+            members = []
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                members.extend(
+                    (os.path.join(rel, f), *_stat_pair(os.path.join(root, f)))
+                    for f in sorted(files)
+                )
+            return (st.st_mtime_ns, tuple(members))
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
@@ -151,6 +158,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
     if key is not None:
+        # eviction (ADVICE r9): entries keyed to another applicationId
+        # belong to a stopped/replaced session and can never hit again
+        # — drop them so long-lived multi-session processes don't grow
+        # the cache without bound. A same-session size bound guards the
+        # rewritten-file churn case.
+        app_id = key[0]
+        for k in [k for k in _DF_CACHE if k[0] != app_id]:
+            del _DF_CACHE[k]
+        if len(_DF_CACHE) > 256:
+            _DF_CACHE.clear()
         _DF_CACHE[key] = df
     return df
 

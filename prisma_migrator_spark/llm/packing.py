@@ -56,12 +56,28 @@ def global_running_offset(
     same job, and the driver never blocks. Bucket assignment is
     unchanged (same span arithmetic, now as column expressions).
     """
+    # loud contract check (ADVICE r9): the range bucketing does integer
+    # span arithmetic on order_col — a non-integral column would
+    # mis-bucket silently under float division, so reject it here.
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_running_offset: order_col {order_col!r} must be an "
+            f"integral column (got {dtype!r}); cast it upstream"
+        )
     rng = df.groupBy().agg(
         F.min(order_col).cast("long").alias("__lo"),
         F.max(order_col).cast("long").alias("__hi"),
     )
-    span = (F.col("__hi") - F.col("__lo") - F.pmod(F.col("__hi") - F.col("__lo"), F.lit(n_buckets))) / F.lit(n_buckets) + F.lit(1)
-    b = ((F.col(order_col) - F.col("__lo")) / span).cast("long")
+    # bucket = (order - lo) DIV span with span = (hi - lo) DIV n + 1 —
+    # pure LONG arithmetic (ADVICE r9: the former double division is
+    # exact only while the span fits 2^53; DIV is exact for any long
+    # range). Bucket boundaries are identical for in-range inputs, and
+    # start_off is invariant to them anyway (any order-monotone
+    # contiguous bucketing yields the same two-level prefix sum).
+    b = F.expr(
+        f"(`{order_col}` - __lo) DIV ((__hi - __lo) DIV {int(n_buckets)} + 1)"
+    )
     bucketed = (
         df.crossJoin(F.broadcast(rng))
         .withColumn("__b", b)

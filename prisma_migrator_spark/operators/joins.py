@@ -55,6 +55,7 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     right_tiebreakers: Sequence[str] = (),
+    dedup_right: bool = False,
 ) -> DataFrame:
     """Backward as-of LEFT join: each left row picks up ``payload``
     from the latest right row with ``right_ts <= left_ts`` per key —
@@ -83,6 +84,16 @@ def asof_join(
     a null payload FIELD on the winning row stays null, exactly ASOF
     semantics — where per-column ``last`` would back-fill it from an
     older row.)
+
+    ``dedup_right=True`` (VERDICT r9 item 6) reinstates the
+    latest-per-(key, ts) pre-dedup of the right side BEFORE the union:
+    the merge window then shuffles |R'| deduped rows instead of |R|.
+    The winner per (key, ts) is the max-(tiebreakers, payload) row —
+    exactly the row the merged window's sort order would keep — so the
+    result is identical; pay the extra aggregate pass only when the
+    right side is duplicate-heavy enough that shrinking the union
+    shuffle beats it (at 100 TB: dup factor ≳ 2 on a shuffle-bound
+    join). Default False keeps the r9 single-shuffle plan.
     """
     from pyspark.sql import Window
 
@@ -96,6 +107,40 @@ def asof_join(
     left_only = [c for c in left.columns if c not in on]
     p_struct = F.struct(*payload)
     p_type = r.select(p_struct.alias("__p")).schema["__p"].dataType
+
+    from prisma_migrator_spark.operators.dedup import _orderable
+
+    if dedup_right:
+        if _orderable(p_type):
+            # winner = max (tiebreakers…, payload struct) per (key, ts)
+            # — the same total order (same null placement) the window
+            # below applies, so the kept row is the row it would pick.
+            m = F.max(
+                F.struct(*[F.col(t) for t in tbs], p_struct.alias("__pp"))
+            ).alias("__m")
+            r = r.groupBy(*on, right_ts).agg(m).select(
+                *on,
+                right_ts,
+                *[
+                    (
+                        F.col(f"__m.{c}")
+                        if c in tbs
+                        else F.col("__m.__pp").getField(c)
+                    ).alias(c)
+                    for c in r_cols
+                ],
+            )
+        else:
+            # non-orderable payload (MapType): tiebreaker-only
+            # determinism, matching the windowed path's own fallback.
+            w_d = Window.partitionBy(*on, right_ts).orderBy(
+                *[F.col(t).desc() for t in tbs] or [F.lit(1)]
+            )
+            r = (
+                r.withColumn("__rn", F.row_number().over(w_d))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
     tb_names = [f"__tb{i}" for i in range(len(tbs))]
     r_dtypes = dict(r.dtypes)
     lt = left.select(
@@ -123,8 +168,6 @@ def asof_join(
     # the same full-row determinism the old max(struct) dedup had.
     # Skipped when the payload is not orderable (MapType), matching
     # the old row_number fallback's tiebreaker-only determinism.
-    from prisma_migrator_spark.operators.dedup import _orderable
-
     order_cols = ["__t", "__is_left", *tb_names]
     if _orderable(p_type):
         order_cols.append("__p")

@@ -106,6 +106,52 @@ def test_asof_join_interleaved(spark):
     assert got == {"e1": 30, "e2": 100, "e3": None, "e4": None}
 
 
+def test_asof_join_dedup_right_identical(spark):
+    """`dedup_right=True` (VERDICT r9 item 6) pre-collapses duplicate
+    right rows before the union shuffle; the result must be IDENTICAL
+    to the default single-shuffle path, including the (key, ts)
+    duplicate case where the max-(tiebreaker, payload) row wins."""
+    from prisma_migrator_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=5, name="e1"),
+            Row(k=1, t=10, name="e2"),
+            Row(k=1, t=2, name="e3"),
+            Row(k=2, t=7, name="e4"),
+        ]
+    )
+    # duplicate-heavy right side: repeated (k, rt) rows with ties on
+    # the tiebreaker broken by the payload struct
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=3, v=30, u="a"),
+            Row(k=1, rt=3, v=30, u="z"),   # tb tie -> payload max "z"
+            Row(k=1, rt=3, v=29, u="q"),   # loses on tb
+            Row(k=1, rt=10, v=100, u="b"),
+            Row(k=1, rt=10, v=99, u="c"),
+            Row(k=1, rt=20, v=200, u="d"),
+        ]
+    )
+    kw = dict(
+        on=["k"], left_ts="t", right_ts="rt",
+        payload=["v", "u"], right_tiebreakers=["v"],
+    )
+    base = asof_join(left, right, **kw)
+    dedup = asof_join(left, right, dedup_right=True, **kw)
+    key = lambda r: (r.k, r.t, r.name)  # noqa: E731
+    assert sorted(base.collect(), key=key) == sorted(
+        dedup.collect(), key=key
+    )
+    got = {r.name: (r.v, r.u) for r in dedup.collect()}
+    assert got == {
+        "e1": (30, "z"),
+        "e2": (100, "b"),
+        "e3": (None, None),
+        "e4": (None, None),
+    }
+
+
 def test_latest_per_key_null_order_key_loses(spark):
     df = spark.createDataFrame(
         [Row(k=1, ts=None, v="null-ts"), Row(k=1, ts=3, v="real")],
