@@ -1011,8 +1011,10 @@ def embedding_lsh_near_dup_pairs(
 
     v = F.col(vec_col).cast("array<double>")
 
+    from prisma_migrator_spark.operators.literals import double_array
+
     def bit(j: int):
-        plane = F.array(*[F.lit(x) for x in planes[j]])
+        plane = double_array(planes[j])
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, s: x * s),
             F.lit(0.0),

@@ -132,9 +132,11 @@ def project(
     dot(x, v_k) - dot(mean, v_k)`` — the mean term folds into a scalar
     constant, so each component costs one ``zip_with`` + ``aggregate``
     over the array, no shuffle, no Python."""
+    from prisma_migrator_spark.operators.literals import double_array
+
     out = df
     for k, comp in enumerate(comps, start=1):
-        weights = F.array(*[F.lit(float(w)) for w in comp])
+        weights = double_array(comp)
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col).cast("array<double>"),

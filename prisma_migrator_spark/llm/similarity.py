@@ -147,9 +147,11 @@ def lsh_buckets(
     at ingest time this is a free extra column."""
     planes = hyperplanes(num_planes, dim)
     v = F.col(vec_col).cast("array<double>")
+    from prisma_migrator_spark.operators.literals import double_array
+
     bits = []
     for p in range(num_planes):
-        coeffs = F.array(*[F.lit(c) for c in planes[p]])
+        coeffs = double_array(planes[p])
         proj = _dot(v, coeffs)
         bits.append(F.when(proj > 0, "1").otherwise("0"))
     return emb.withColumn("bucket", F.concat(*bits))
@@ -162,9 +164,18 @@ def _centroid_literals(cents: list[list[float]]) -> tuple[Column, Column]:
     assignment becomes a map-only expression, no join, no shuffle."""
     import math
 
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    norms = F.array(
-        *[F.lit(math.sqrt(sum(x * x for x in c)) or 1.0) for c in cents]
+    # r10 (§1.2 driver work): built as ONE parsed SQL expression via
+    # operators.literals instead of C·dim ``F.lit`` py4j round trips
+    # (16 centroids × dim 64 ≈ 1050 JVM calls ≈ 1 s of pure driver
+    # time per ivf_assign, measured; bit-identical literals).
+    from prisma_migrator_spark.operators.literals import (
+        double_array,
+        double_matrix,
+    )
+
+    mat = double_matrix(cents)
+    norms = double_array(
+        math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents
     )
     return mat, norms
 
@@ -656,16 +667,34 @@ def group_centroids(
     if dim is None:
         row = df.select(F.size(vec_col)).first()
         dim = int(row[0]) if row else 0
-    v = F.col(vec_col)
-    sums = [
-        F.sum(F.element_at(v, i + 1).cast("double")).alias(f"__s{i}")
-        for i in range(dim)
-    ]
-    agg = df.groupBy(group_col).agg(F.count("*").alias("n_vectors"), *sums)
-    centroid = F.array(
-        *[F.col(f"__s{i}") / F.col("n_vectors") for i in range(dim)]
+    if dim == 0:  # degenerate empty-vector frame
+        return df.groupBy(group_col).agg(
+            F.count("*").alias("n_vectors")
+        ).select(group_col, "n_vectors", F.array().alias("centroid"))
+    # r10 (§1.2 driver work): the dim-unrolled sums are built as ONE
+    # parsed struct-of-aggregates expression instead of ~4·dim py4j
+    # round trips per call (re-paid every k-means iteration); the
+    # HashAggregate buffer is the same dim double sums, values
+    # identical (sum(cast(element_at)) / count unchanged).
+    vq = f"`{vec_col}`"
+    sums = F.expr(
+        "struct("
+        + ", ".join(
+            f"sum(cast(element_at({vq}, {i + 1}) as double)) as __s{i}"
+            for i in range(dim)
+        )
+        + ")"
     )
-    return agg.select(group_col, "n_vectors", centroid.alias("centroid"))
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_vectors"), sums.alias("__sums")
+    )
+    return agg.selectExpr(
+        f"`{group_col}`",
+        "n_vectors",
+        "array("
+        + ", ".join(f"__sums.__s{i} / n_vectors" for i in range(dim))
+        + ") as centroid",
+    )
 
 
 # --- product quantization (PQ) ----------------------------------------
@@ -702,10 +731,12 @@ def _book_lit(book: list[list[float]]) -> Column:
     `transform` LOOP over the array — expression-tree size O(1) per
     subspace instead of O(ksub) unrolled aggregates, which at
     m=25 x ksub=32 made janino compile megabyte classes (measured
-    196s -> ~20s end-to-end for the same plan)."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-    )
+    196s -> ~20s end-to-end for the same plan). Built as one parsed
+    SQL literal (operators.literals, §1.2): the F.lit form cost
+    ksub·width py4j calls per subspace."""
+    from prisma_migrator_spark.operators.literals import double_matrix
+
+    return double_matrix(book)
 
 
 def _book_dists(sub: Column, book: list[list[float]]) -> Column:
@@ -1149,7 +1180,9 @@ def mmr_topk(
 
     from prisma_migrator_spark.operators.driver_state import bounded_collect
 
-    pv = F.array(*[F.lit(float(x)) for x in probe_vec])
+    from prisma_migrator_spark.operators.literals import double_array
+
+    pv = double_array(probe_vec)
     pnorm = math.sqrt(sum(x * x for x in probe_vec)) or 1.0
     scored = (
         corpus.select(

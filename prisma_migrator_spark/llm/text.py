@@ -58,7 +58,9 @@ def punct_count(text: Column) -> Column:
 
 def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     """Occurrences of stopword tokens (array-filter, no explode)."""
-    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    from prisma_migrator_spark.operators.literals import string_array
+
+    sw = string_array(stopwords or STOPWORDS_EN)
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
 
 
@@ -77,7 +79,9 @@ def quality_score(text: Column) -> Column:
 
 
 def marker_count(text: Column, markers: list[str]) -> Column:
-    sw = F.array(*[F.lit(w) for w in markers])
+    from prisma_migrator_spark.operators.literals import string_array
+
+    sw = string_array(markers)
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
 
 
@@ -526,7 +530,9 @@ def merge_phrases(tokens_col: Column, phrases: list[tuple[str, str]]) -> Column:
     phrase tokens). One ``F.aggregate`` fold — JVM-side, zero
     shuffle, zero Python; deterministic (a fused token never
     re-merges, so overlapping phrase chains resolve left-to-right)."""
-    keys = F.array(*[F.lit(f"{a} {b}") for a, b in phrases])
+    from prisma_migrator_spark.operators.literals import string_array
+
+    keys = string_array(f"{a} {b}" for a, b in phrases)
     return F.aggregate(
         tokens_col,
         F.array().cast("array<string>"),

@@ -306,3 +306,53 @@ def test_bucketed_interval_join_randomized_cross_check(spark):
             ).collect()
         )
         assert got == brute, f"width={width}"
+
+
+def test_bulk_literals_bit_identical_to_f_lit(spark):
+    """operators.literals builds array literals with ONE parsed
+    expression instead of a py4j round trip per element (§1.2); the
+    values must be BIT-identical to the F.lit form — repr round-trips
+    doubles and Spark's parser is correctly rounded, pinned here over
+    awkward values (subnormals, -0.0, exponents, quote/backslash
+    strings)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from prisma_migrator_spark.operators.literals import (
+        double_array,
+        double_matrix,
+        string_array,
+    )
+
+    vals = [
+        0.0, -0.0, 1e-12, 1.0 - 1e-12, -1.8356827628043464,
+        3.7352964113127336, 5e-324, 1.7976931348623157e308,
+        -2.2250738585072014e-308, 0.1 + 0.2, 1e16 + 1.0, -7.5e-5,
+    ]
+    one = spark.range(1)
+    old = one.select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("a")
+    ).collect()[0]["a"]
+    new = one.select(double_array(vals).alias("a")).collect()[0]["a"]
+    assert [struct.pack("d", x) for x in old] == [
+        struct.pack("d", x) for x in new
+    ]
+
+    rows = [vals[:4], vals[4:8], vals[8:]]
+    old_m = one.select(
+        F.array(
+            *[F.array(*[F.lit(float(v)) for v in r]) for r in rows]
+        ).alias("m")
+    ).collect()[0]["m"]
+    new_m = one.select(double_matrix(rows).alias("m")).collect()[0]["m"]
+    assert [struct.pack("d", x) for r in old_m for x in r] == [
+        struct.pack("d", x) for r in new_m for x in r
+    ]
+
+    strs = ["plain", "it's", 'back\\slash', "new\nline", "tab\there", "ünïcødé"]
+    old_s = one.select(
+        F.array(*[F.lit(s) for s in strs]).alias("s")
+    ).collect()[0]["s"]
+    new_s = one.select(string_array(strs).alias("s")).collect()[0]["s"]
+    assert old_s == new_s == strs
