@@ -48,17 +48,34 @@ def roc_auc(
         F.sum(lab).alias("n_pos"),
         F.sum(1 - lab).alias("n_neg"),
     )
-    lo, hi = g.agg(F.min("__s"), F.max("__s")).first()
-    if lo is None:
-        return g.sparkSession.createDataFrame(
-            [(0, 0, None)], "n_pos bigint, n_neg bigint, auc double"
-        )
-    span = (float(hi) - float(lo)) / n_buckets or 1.0
+    # r10 (guide §1.2, VERDICT r9 item 8): the score range used to
+    # size the buckets was an EAGER ``g.agg(min, max).first()`` — a
+    # driver-blocking job that recomputed the whole upstream (for the
+    # classifier queries: a full featurize+score pass) once at BUILD
+    # time and again at action time. It now rides the plan as a 1-row
+    # broadcast, like ``llm.packing.global_running_offset``. Result
+    # bits are unchanged: min/max/double subtraction/division are the
+    # same IEEE-754 ops the driver did, and the AUC is invariant to
+    # the bucket function anyway (any score-monotone bucketing yields
+    # the same two-level prefix sum; the numerator stays exact
+    # integer arithmetic). All-null/empty inputs produce NULL buckets
+    # that drop at the bucket join, and the final COALESCE keeps the
+    # old literal (0, 0, NULL) row shape.
+    rng = g.groupBy().agg(
+        F.min("__s").cast("double").alias("__lo"),
+        F.max("__s").cast("double").alias("__hi"),
+    )
+    span_raw = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    span = F.when(span_raw == 0.0, F.lit(1.0)).otherwise(span_raw)
     b = F.least(
-        F.floor((F.col("__s") - F.lit(float(lo))) / F.lit(span)),
+        F.floor((F.col("__s") - F.col("__lo")) / span),
         F.lit(n_buckets - 1),
     ).cast("long")
-    bucketed = g.withColumn("__b", b)
+    bucketed = (
+        g.crossJoin(F.broadcast(rng))
+        .withColumn("__b", b)
+        .drop("__lo", "__hi")
+    )
 
     totals = bucketed.groupBy("__b").agg(F.sum("n_neg").alias("__t"))
     w_b = bounded_global_window(
@@ -88,8 +105,8 @@ def roc_auc(
     )
     pairs = 2 * F.col("n_pos") * F.col("n_neg")
     return agg.select(
-        F.col("n_pos").cast("bigint").alias("n_pos"),
-        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
         F.when(
             pairs > 0,
             F.round(F.col("__num").cast("double") / pairs.cast("double"), 6),
@@ -106,21 +123,33 @@ def calibration_bins(
     """Reliability-diagram bins: equal-width bins over the observed
     score range, per bin the row count, mean score, and positive
     rate — the "is a 0.9 score actually right 90% of the time" report.
-    One scalar range agg + one (bin) HashAggregate."""
-    lo, hi = df.agg(F.min(score_col), F.max(score_col)).first()
-    if lo is None:
-        return df.sparkSession.createDataFrame(
-            [],
-            "bin int, n bigint, mean_score double, pos_rate double",
-        )
-    span = (float(hi) - float(lo)) / n_bins or 1.0
+    One in-plan range agg + one (bin) HashAggregate.
+
+    r10 (guide §1.2, VERDICT r9 item 8): the bin range was an EAGER
+    ``df.agg(min, max).first()`` recomputing the whole upstream at
+    build time; it now rides the plan as a 1-row broadcast (same
+    pattern as :func:`roc_auc`). Bin bits unchanged: the cast-widen /
+    subtract / divide are the identical IEEE-754 double ops the
+    driver did; an empty input yields an empty grouped frame exactly
+    like the old literal empty return."""
+    rng = df.groupBy().agg(
+        F.min(score_col).cast("double").alias("__lo"),
+        F.max(score_col).cast("double").alias("__hi"),
+    )
+    span_raw = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    span = F.when(span_raw == 0.0, F.lit(1.0)).otherwise(span_raw)
     lab = F.col(label_col).cast("long")
     b = F.least(
-        F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(span)),
+        F.floor((F.col(score_col) - F.col("__lo")) / span),
         F.lit(n_bins - 1),
     ).cast("int")
     return (
-        df.groupBy(b.alias("bin"))
+        df.crossJoin(F.broadcast(rng))
+        # all-null scores: the old eager path returned an EMPTY frame
+        # (lo is None); a non-null range keeps every row, including
+        # null-score rows in the null bin, exactly as before
+        .where(F.col("__lo").isNotNull())
+        .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.avg(F.col(score_col).cast("double")), 6).alias(
