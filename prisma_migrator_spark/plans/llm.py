@@ -4050,6 +4050,28 @@ _QC_ITERS = 30
 _QC_LR = 2.0
 
 
+def _train_view(feats: DataFrame) -> DataFrame:
+    """Narrowed view of the PERSISTED feature frame for the gradient
+    loop (r10, guide §2.2/§1.2 + VERDICT r9 item 4): featurization
+    materializes at full scan parallelism (the CPU-heavy pass), but
+    each of the 30 gradient aggregates then re-reads the cache —
+    32 partitions of ~16 rows each at the sf0.01 gate, so per
+    iteration ~33 tasks of pure scheduling overhead (measured
+    327 ms/iter; 180 ms/iter after a 4:1 coalesce). The coalesce is
+    a NARROW read of the cached blocks (no shuffle, featurize cost
+    unchanged), index-chunked and deterministic, and scale-adaptive:
+    partition count stays proportional to the cached block count, so
+    a 100 TB feature frame keeps thousands of read tasks while the
+    gate-sized frame stops paying 33 task launches per iteration.
+    Partial-sum merge ORDER changes (4 cached blocks fold per task
+    before the final merge), so weights move in the last float bit —
+    within the trainer's documented float-summation-order contract
+    (parity pin tolerance 1e-6; VERDICT r9 item 4 accepts 12dp-snap
+    identity) — and every declared 6dp output was verified
+    row-identical across sf0.001/0.01/0.1 (OPTIMIZATION_r10.md)."""
+    return feats.coalesce(max(8, feats.rdd.getNumPartitions() // 4))
+
+
 @query("quality_classifier_scores")  # rows-only: an iterative GD
 # trainer is not SQL-expressible (the weights depend on n_iters
 # sequential aggregates); pytest pins loss decrease, sign/direction
@@ -4097,7 +4119,8 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats.count()  # eager: static frame scanned once per iteration
     try:
         w, _losses = train_logreg(
-            feats, dim=len(terms) + 2, lr=_QC_LR, n_iters=_QC_ITERS
+            _train_view(feats), dim=len(terms) + 2, lr=_QC_LR,
+            n_iters=_QC_ITERS
         )
     finally:
         feats.unpersist(blocking=False)
@@ -7300,7 +7323,8 @@ def classifier_holdout_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats.count()
     try:
         w, _losses = train_logreg(
-            feats, dim=len(terms) + 2, lr=_QC_LR, n_iters=_QC_ITERS
+            _train_view(feats), dim=len(terms) + 2, lr=_QC_LR,
+            n_iters=_QC_ITERS
         )
     finally:
         feats.unpersist(blocking=False)
