@@ -14,6 +14,7 @@ from the corpus, a stage reorder) cannot pass.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from prisma_migrator_spark.catalog import load_table
@@ -41,6 +42,7 @@ def _row(rows, stage):
     return (int(r["n_rows"]), int(r["id_sum"]), int(r["val_sum"]))
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_daily_batch_pipeline_matches_stage_recompute(spark, sf_dir):
     from prisma_migrator_spark.llm.dedup import (
         incremental_hamming_pairs,

@@ -677,6 +677,7 @@ def test_streaming_ingest_dedup_ttl_bounds_state(spark, tmp_path):
     assert emitted == [("A", 1), ("A", 5), ("B", 2), ("C", 4)]
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_streaming_dedup_ttl_state_size_stays_bounded(spark, tmp_path):
     """VERDICT r1 #10: prove eviction bounds MEMORY, not just that
     horizons re-emit. Sustained input of all-unique fingerprints with
@@ -2632,6 +2633,7 @@ def test_containment_guard_trips(spark):
         _doc_containment(docs, df_cap=None, max_candidate_pairs=5)
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_ivf_pq_composition_recall_and_refine(spark):
     """IVF×PQ (the FAISS IVFADC shape) on planted clusters: the
     composed index must preserve the coarse geometry essentially
@@ -2841,6 +2843,7 @@ def test_image_near_dup_pairs_recall_and_precision(spark, sf_dir):
     assert all(r.hamming <= 7 for r in rows)
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_incremental_image_near_dup_delta_only_decode_and_parity(spark, sf_dir):
     """The incremental form finds EXACTLY the pairs the full
     recompute finds restricted to delta-touching pairs (same
@@ -2968,6 +2971,7 @@ def test_pq_persisted_index_matches_fresh(spark, sf_dir, tmp_path):
     assert loaded == fresh and len(fresh) > 0
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_incremental_hamming_pairs_edges_and_cap_parity(spark):
     """Edge contracts on synthetic bit-string signatures: (a) empty
     delta -> empty output (no history re-pairing); (b) empty index ->
@@ -3434,6 +3438,7 @@ def test_audio_fingerprint_drops_undecodable(spark):
     assert [r.doc_id for r in out] == [1]
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_band_arity_two_finds_identical_pairs(spark, sf_dir):
     """Multi-index hashing (band-PAIR keys, the >=20k-doc saturation
     dial) returns EXACTLY the same pair set as single-band keys on

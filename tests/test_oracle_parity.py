@@ -14,6 +14,7 @@ def test_oracle_parity(spark, sf_dir, name):
     compare(spark, QUERIES[name], ORACLES[name], sf_dir)
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_all_queries_run(spark, sf_dir):
     """Queries without an oracle still must run and return a schema —
     and NO registered query may return a top-level array/map/struct

@@ -282,6 +282,7 @@ def _unpartitioned_window_specs(plan: str) -> list[str]:
     return bad
 
 
+@pytest.mark.slow  # multi-minute: default-deselected tier (pytest.ini)
 def test_no_rowwise_python_udf_registry_wide(spark):
     """Arrow-batched Pandas UDFs only — a row-at-a-time BatchEvalPython
     in ANY registered query is the 10-100x slow path. Same sweep also
