@@ -7851,10 +7851,93 @@ semantic_contamination_report_q.__doc__ = (
 # --- phrase merging (PMI applied to the corpus) ------------------------------
 
 
-@query("merge_phrases")  # rows-only: the phrase list is mined by the
-# PMI query (itself oracle-gated) and folded via an array aggregate
-# DuckDB's list_reduce cannot express (array-typed accumulator);
-# pytest pins the fold against a pure-Python reference
+_MERGE_PHRASES_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents WHERE length(trim(text)) > 0
+), big AS (
+  SELECT u.b['w1'] AS w1, u.b['w2'] AS w2
+  FROM toks, UNNEST(list_transform(range(1, len(ts)),
+                                   i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS u(b)
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+), lc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cl FROM bc GROUP BY w1),
+rc AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cr FROM bc GROUP BY w2),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nb FROM bc),
+pmi50 AS (
+  SELECT bc.w1, bc.w2, bc.c,
+         ROUND(LN(bc.c * (SELECT nb FROM n)
+                  / (lc.cl * CAST(rc.cr AS DOUBLE))), 6) AS pmi
+  FROM bc JOIN lc USING (w1) JOIN rc USING (w2)
+  WHERE bc.c >= 5
+  ORDER BY pmi DESC, bc.w1, bc.w2
+  LIMIT 50
+),
+-- the registered phrase list: the PMI query's top-50, re-filtered and
+-- re-limited exactly as merge_phrases_q collects it
+phr AS (
+  SELECT w1 || ' ' || w2 AS key FROM pmi50
+  WHERE pmi >= 2.0 AND c >= 5
+  ORDER BY pmi DESC, w1, w2 LIMIT 64
+),
+-- one row per 0-based token position j
+pos AS (
+  SELECT doc_id, ts, u.j FROM toks, LATERAL UNNEST(range(len(ts))) AS u(j)
+),
+-- m: the RAW adjacent pair (ts[j-1], ts[j]) is a listed phrase. The
+-- greedy fold merges at j iff m[j] and position j-1 was not itself
+-- consumed by a merge; within each maximal run of consecutive m=1
+-- positions that resolves to the 1st, 3rd, 5th... member (a fused
+-- token never re-merges: no fixture token contains '_', verified at
+-- every SF, so no key can match a fused left side)
+m AS (
+  SELECT p.doc_id, p.ts, p.j,
+         CASE WHEN p.j >= 1 AND EXISTS (
+             SELECT 1 FROM phr
+             WHERE phr.key = p.ts[p.j] || ' ' || p.ts[p.j + 1]
+         ) THEN 1 ELSE 0 END AS f
+  FROM pos p
+),
+runs AS (
+  SELECT doc_id, ts, j,
+         j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS isl
+  FROM m WHERE f = 1
+),
+merged_at AS (
+  SELECT doc_id, j,
+         (ROW_NUMBER() OVER (PARTITION BY doc_id, isl ORDER BY j) % 2 = 1
+         ) AS hit
+  FROM runs
+),
+hits AS (SELECT doc_id, j FROM merged_at WHERE hit),
+-- output tokens: position j emits unless it is a merge's right half;
+-- it emits the fused pair when j+1 merges into it
+out AS (
+  SELECT p.doc_id, p.j,
+         CASE WHEN nx.j IS NOT NULL
+              THEN p.ts[p.j + 1] || '_' || p.ts[p.j + 2]
+              ELSE p.ts[p.j + 1] END AS tok
+  FROM pos p
+  LEFT JOIN hits me ON me.doc_id = p.doc_id AND me.j = p.j
+  LEFT JOIN hits nx ON nx.doc_id = p.doc_id AND nx.j = p.j + 1
+  WHERE me.j IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(len(t.ts) - COUNT(o.j) AS BIGINT) AS n_merged,
+       md5(string_agg(o.tok, ' ' ORDER BY o.j)) AS merged_fp
+FROM toks t JOIN out o ON o.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.ts)
+"""
+
+
+@query("merge_phrases", oracle=_MERGE_PHRASES_ORACLE)
+# Converted r10 (VERDICT r9 item 7): the greedy left-to-right fold IS
+# SQL-expressible as gaps-and-islands over the raw adjacent-pair
+# match flags — within a run of consecutive matches the fold merges
+# the 1st, 3rd, 5th... pair (a fused token never re-merges; no
+# fixture token contains '_', checked at every SF). The pure-Python
+# fold pin in pytest stays as defense in depth.
 def merge_phrases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase merging — PMI put to work: mine the corpus's strongest
     collocations (PMI >= 2, count >= 5, the `term_pmi_pairs` plan),
