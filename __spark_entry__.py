@@ -19,82 +19,76 @@ from prisma_migrator_spark.plans import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-9 driver window rotation (VERDICT r8 item 7; rule unchanged
-# since r7 items 3+4): no error-last-row entries exist (r8 gated 0
-# errors), so the order is (1) never-driver-gated oracle-backed
-# queries — the three r9 shard-reader round-trips, the persisted-
-# index ANN gate, the two r8 evaluation queries that never got a
-# row — plus the five r9 CONVERSIONS whose last driver row still
-# says no_oracle (topk_cosine_ivf r1, topk_cosine_lsh r1,
-# corpus_clusters_labeled + topk_cosine_ivf_pq r8, topk_cosine_pq
-# never gated) and the two r9-new persisted-index gates; then (2)
-# the stalest-gated oracle-backed tail (all 12 r3-gated rows, the
-# r4 row, and the 15 alphabetically-first r5 rows — after r9 no
-# oracle-backed query's latest driver row predates r5); then (3)
-# rows-only at the 10/50 = 20% cap,
-# never-gated first (the new composed daily batch, the five r8
-# media/sketch queries that missed every window, the Bloom/HLL
-# pair) and the three r1-stale sketch entries. Everything past the
-# window still runs in the replica gate (tools/drive_driver.py,
-# full registry; --twice adds the determinism double-run).
-WINDOW_R9 = [
-    # -- (1) never-gated or newly oracle-backed --
-    "jsonl_shard_ingest",
-    "webdataset_shard_ingest",
-    "arrow_shard_ingest",
-    "topk_cosine_ivf_indexed",
-    "source_unigram_jsd",
-    "kmeans_silhouette",
-    "topk_cosine_ivf",              # converted r9 (last row r1, rows-only)
-    "corpus_clusters_labeled",      # converted r9 (last row r8, rows-only)
-    "topk_cosine_pq",               # converted r9 (never gated)
-    "topk_cosine_pq_indexed",       # new r9, oracle-backed from birth
-    "topk_cosine_ivf_pq",           # converted r9 (last row r8, rows-only)
-    "topk_cosine_lsh",              # converted r9 (last row r1, rows-only)
-    # -- (2) stalest oracle-backed: last driver row r3 --
-    "bigram_logprob_score",
-    "corpus_recipe",
-    "cross_corpus_dedup",
-    "encode_token_ids",
-    "fuzzy_part_matches",
-    "gopher_repetition_flags",
-    "label_centroids",
-    "profile_lineitem_numeric",
-    "quality_deciles",
-    "repeated_spans",
-    "scd2_part_history",
-    "tfidf_cosine_pairs",
-    # -- last driver row r4 --
-    "incremental_sessions",
-    # -- last driver row r5 (alphabetical head) --
-    "apps_by_category",
-    "basket_lift_pairs",
-    "boilerplate_frac",
-    "category_difficulty",
-    "char_entropy_quality",
-    "copurchase_cap_report",
-    "copurchase_triangles_sampled",
-    "corpus_drift_terms",
-    "corpus_mixture_report",
-    "corpus_shuffle",
-    "corpus_split",
-    "decontaminate_eval",
-    "doc_containment_pairs",
-    "embedding_near_dup_lsh",
-    "event_burst_dedup",
-    # -- (3) rows-only, 10/50 cap: never-gated first --
-    "daily_batch_pipeline",         # rows-only 1/10 (new r9)
-    "incremental_distinct_users",   # rows-only 2/10
-    "cross_corpus_dedup_bloom",     # rows-only 3/10
-    "png_metadata",                 # rows-only 4/10
-    "wav_audio_metadata",           # rows-only 5/10
-    "image_metadata",               # rows-only 6/10
-    "video_frame_stats",            # rows-only 7/10
-    # -- rows-only, last driver row r1 --
-    "approx_distinct_parts",        # rows-only 8/10
-    "approx_event_value_quantiles", # rows-only 9/10
-    # -- rows-only, last driver row r7 --
-    "merge_phrases",                # rows-only 10/10
+# Round-10 driver window rotation (rule unchanged since r7 items
+# 3+4; r9 rotation documented in git history): no error or newly-
+# failing entries exist (r9 gated 40/40 oracle MATCH), so the order
+# is (1) the r10 CONVERSION — merge_phrases, whose last driver row
+# (r9) still says no_oracle, now oracle-backed via the
+# gaps-and-islands unroll — then (2) the stalest-gated oracle-backed
+# tail: after r9 no oracle-backed query's latest driver row predates
+# r5, so all 32 r5-gated rows plus the 8 alphabetically-first
+# r6-gated rows rotate in (this also re-gates pareto_parts_price_size
+# and the trainer-adjacent paths touched by the r10 optimization
+# work); then (3) rows-only, now at 9/50 = 18% — UNDER the agreed
+# 10/50 cap (VERDICT r9 item 7) — stalest first: the eight r7-gated
+# media/eval/iterative entries and one r8 row. Everything past the
+# window still runs in the replica gate (tools/drive_driver.py, full
+# registry; --twice adds the determinism double-run).
+WINDOW_R10 = [
+    # -- (1) converted to oracle-backed this round --
+    "merge_phrases",
+    # -- (2) stalest oracle-backed: last driver row r5 --
+    "event_value_outliers",
+    "events_decayed_score",
+    "events_gapfill_6h",
+    "events_hopping_1h_15m",
+    "events_json_props",
+    "flagship_popularity",
+    "length_bucketed_batches",
+    "lineitem_key_skew_report",
+    "minhash_lsh_pairs",
+    "multimodal_meta",
+    "negative_samples",
+    "order_cluster_sample",
+    "order_pctrank_by_priority",
+    "order_price_histogram",
+    "orders_above_cust_avg",
+    "pack_stream_512",
+    "pareto_parts_price_size",
+    "part_price_changes",
+    "part_running_balance",
+    "quality_model_score",
+    "region_counts_unpivot",
+    "retention_cohorts_daily",
+    "revenue_cube",
+    "ship_lag_percentiles",
+    "stratified_sample_k",
+    "supplier_nation_share",
+    "term_postings",
+    "token_budget_selection",
+    "unigram_logprob_score",
+    "user_value_ses",
+    "video_frames",
+    "weighted_sample_100",
+    # -- stalest oracle-backed: last driver row r6 (alphabetical head) --
+    "anti_join_customers",
+    "apps_by_category_open",
+    "asof_last_order",
+    "bm25_topk",
+    "copurchase_communities",
+    "copurchase_triangles",
+    "copurchase_triangles_capped",
+    "corr_matrix_lineitem",
+    # -- (3) rows-only, 9/50 = 18% (< the 10/50 cap): stalest first --
+    "ann_recall_report",            # rows-only 1/9 (last row r7)
+    "classifier_holdout_auc",       # rows-only 2/9 (last row r7)
+    "compression_ratio_quality",    # rows-only 3/9 (last row r7)
+    "embedding_pca2",               # rows-only 4/9 (last row r7)
+    "fluency_isotonic_calibration", # rows-only 5/9 (last row r7)
+    "image_near_dup_pairs",         # rows-only 6/9 (last row r7)
+    "quality_classifier_scores",    # rows-only 7/9 (last row r7)
+    "video_near_dup_pairs",         # rows-only 8/9 (last row r7)
+    "audio_near_dup_pairs",         # rows-only 9/9 (last row r8)
 ]
 
 
@@ -105,10 +99,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    window-rotated error-first then staleness (see WINDOW_R9)."""
-    missing = [n for n in WINDOW_R9 if n not in QUERIES]
-    assert not missing, f"WINDOW_R9 names not in registry: {missing}"
-    rotated = {name: QUERIES[name] for name in WINDOW_R9}
+    window-rotated error-first then staleness (see WINDOW_R10)."""
+    missing = [n for n in WINDOW_R10 if n not in QUERIES]
+    assert not missing, f"WINDOW_R10 names not in registry: {missing}"
+    rotated = {name: QUERIES[name] for name in WINDOW_R10}
     rotated.update({n: q for n, q in QUERIES.items() if n not in rotated})
     return rotated
 
