@@ -170,8 +170,16 @@ PINS = {
     # --- round-5c additions ---
     # skyline: champs agg + bucket totals + two __b-keyed window
     # exchanges over the distinct-price frame; frontier broadcasts
-    # into the semi join; all three part scans column-pruned
-    "pareto_parts_price_size": (5, [2, 2, 3], False),
+    # into the semi join; all part scans column-pruned. r10: the axis
+    # range probe moved INTO the plan as a 1-row broadcast (it was a
+    # separate eager driver job the pin never saw). The plan already
+    # duplicated the champs subtree (the two 2-col scans); the range
+    # subtree rides each copy, so two 1-column pruned scans join the
+    # pin — one fewer driver-blocking job per call.
+    # (allow_nlj: the BNLJ is the 1-row range broadcast — the same
+    # benign BNLJ-of-one-row the pack_stream pin allows, not a
+    # cartesian over data)
+    "pareto_parts_price_size": (5, [1, 1, 2, 2, 3], True),
     # part_copurchase_pagerank, semantic_canonical_docs,
     # copurchase_communities, and (r6) copurchase_triangles are NOT
     # pinnable this way: their persisted/checkpointed state (ranks /
