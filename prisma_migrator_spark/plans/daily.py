@@ -264,7 +264,7 @@ def daily_batch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phash before stage 6), so the pHash decode — the heaviest
     # build — overlaps the whole ingest/exact/minhash chain. Bytes
     # written and every stage row are identical to the serial form.
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=5)
     try:
         fut_fp = pool.submit(
             _write_fp_index, spark, history, os.path.join(base, "fp_index")
@@ -275,6 +275,10 @@ def daily_batch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fut_phash = pool.submit(
             _write_phash_index, spark, history, os.path.join(base, "phash_index")
         )
+        # the banded-join sizing probe (docs.count) is independent of
+        # every stage; run it on the pool too instead of blocking the
+        # chain between stage 5 and the phash await (r10)
+        fut_arity = pool.submit(_sig_band_arity, docs)
 
         # 1. delta ingest: export -> damage -> read back through the reader
         shards = os.path.join(base, "delta_jsonl")
@@ -339,7 +343,7 @@ def daily_batch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # 6. modality dedup vs the stored pHash index: decode ONLY the
         # |delta| survivors; history contributes signatures from the store
-        arity, maxham, cap = _sig_band_arity(docs)
+        arity, maxham, cap = fut_arity.result()
         phash_index = fut_phash.result()
     finally:
         pool.shutdown(wait=True)
