@@ -103,6 +103,51 @@ def main() -> None:
     names = sys.argv[2:] or [*HEADLINE, *DEDUP_FAMILY]
     missing = [n for n in names if n not in QUERIES]
     assert not missing, f"unknown queries: {missing}"
+    legs = os.environ.get("SCALE_BENCH_CPUS_LEGS")
+    if legs:
+        # r10 (VERDICT r9 item 3): core-scaling legs at an SF where
+        # data work dominates. The driver's own low-core probe runs at
+        # sf0.1, where per-query wall is mostly fixed driver/stage
+        # cost, so every ratio lands near 1 and trips
+        # `suspect_cpus_ignored`; this mode re-runs the SAME in-suite
+        # protocol once per core count (fresh process each, master
+        # local[N] via SPARK_GRAFT_CPUS) at the caller's SF — sf1+ —
+        # and prints per-query low/high ratios that measure
+        # parallelism instead of the driver floor.
+        import subprocess
+
+        per_leg: dict[str, dict[str, float]] = {}
+        for n_cpus in legs.split(","):
+            n_cpus = n_cpus.strip()
+            env = {
+                k: v for k, v in os.environ.items()
+                if k != "SCALE_BENCH_CPUS_LEGS"
+            }
+            env["SPARK_GRAFT_CPUS"] = n_cpus
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir, *names],
+                capture_output=True, text=True, env=env,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(f"leg cpus={n_cpus} failed")
+            per_leg[n_cpus] = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )["queries"]
+            print(f"  [leg cpus={n_cpus}] total "
+                  f"{sum(per_leg[n_cpus].values()):.1f}s",
+                  file=sys.stderr, flush=True)
+        lo, hi = legs.split(",")[-1].strip(), legs.split(",")[0].strip()
+        ratios = {
+            name: round(per_leg[lo][name] / max(per_leg[hi][name], 1e-9), 2)
+            for name in names
+        }
+        print(json.dumps({
+            "sf_dir": sf_dir,
+            "cpus_legs": {k: v for k, v in per_leg.items()},
+            "ratio_low_over_high": ratios,
+        }))
+        return
     if os.environ.get("SCALE_BENCH_ISOLATE") == "1" and len(names) > 1:
         # Fresh JVM per query: suite-order contamination (accumulated
         # GC pressure / checkpoint & broadcast blocks clearCache does
