@@ -4068,7 +4068,11 @@ def _train_view(feats: DataFrame) -> DataFrame:
     within the trainer's documented float-summation-order contract
     (parity pin tolerance 1e-6; VERDICT r9 item 4 accepts 12dp-snap
     identity) — and every declared 6dp output was verified
-    row-identical across sf0.001/0.01/0.1 (OPTIMIZATION_r10.md)."""
+    row-identical across sf0.001/0.01/0.1 (OPTIMIZATION_r10.md).
+    On a CLUSTER the coalescer groups parent partitions by locality,
+    so the fold grouping (and the last weight bit) can differ across
+    placements — same class of nondeterminism as any partial-agg
+    merge order; the declared outputs round at 6dp on top of it."""
     return feats.coalesce(max(8, feats.rdd.getNumPartitions() // 4))
 
 
