@@ -314,3 +314,25 @@ def test_pareto_frontier_2d_constructed(spark):
     assert {
         r.id for r in pareto_frontier_2d(one, "price", "size").collect()
     } == {1, 2}
+
+
+def test_customer_custkey_unique_nonnull_fixture_invariant(spark, sf_dir):
+    """Pins the fixture invariant category_difficulty's r9 rewrite
+    rests on (ADVICE r9): COUNT(DISTINCT c_custkey) was replaced by
+    count(*) over a frame that is one row per customer, which is only
+    sound while c_custkey is unique and non-null in the customer
+    table. A future fixture regeneration that violates either breaks
+    HERE, not silently in the oracle comparison."""
+    from prisma_migrator_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    total, distinct, nulls = cust.select(
+        F.count(F.lit(1)),
+        F.countDistinct("c_custkey"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)),
+    ).first()
+    assert nulls == 0, "c_custkey has NULLs - the count(*) rewrite is unsound"
+    assert total == distinct, (
+        f"c_custkey not unique ({total} rows, {distinct} distinct) - "
+        "the count(*) rewrite is unsound"
+    )
