@@ -475,9 +475,9 @@ def simhash_near_dup_pairs(
     ALL pairs with hamming ≤ 3. The self-join is keyed on (band
     index, band value); cost is Σ bucket², not n². 16-bit signatures
     saturate beyond a few hundred docs (every band bucket fills up) —
-    use ``n_bits=64`` for real corpora; the join carries ids only
-    (signatures re-join after the pair-distinct, exactly like
-    :func:`lsh_candidate_pairs`).
+    use ``n_bits=64`` for real corpora; the join carries the
+    signature with the rep id, exactly like
+    :func:`lsh_candidate_pairs` (r10 — no post-distinct re-joins).
 
     ``max_bucket`` is the stop-band frequency cap — the scale knob.
     SimHash signs concentrate (common tokens dominate every doc's bit
@@ -502,6 +502,27 @@ def simhash_near_dup_pairs(
         max_hamming=max_hamming,
         max_bucket=max_bucket,
     )
+
+
+def hamming_bits(a: Column, b: Column, n_bits: int) -> Column:
+    """Hamming distance between two ``n_bits``-char '0'/'1' strings:
+    XOR-popcount over ≤32-bit chunks — ``bit_count(conv(chunk_a, 2)
+    ^ conv(chunk_b, 2))`` summed across chunks. Identical integer to
+    the per-character compare (each differing position flips exactly
+    one XOR bit), at ~n_bits/32 expressions instead of n_bits CASE
+    WHEN substring terms — the 64-term form made the pair stage's
+    whole-stage codegen compile-heavy (r10; measured in the cold
+    simhash64 pass)."""
+    terms = []
+    for i in range(0, n_bits, 32):
+        w = min(32, n_bits - i)
+        ca = F.conv(F.substring(a, i + 1, w), 2, 10).cast("long")
+        cb = F.conv(F.substring(b, i + 1, w), 2, 10).cast("long")
+        terms.append(F.bit_count(ca.bitwiseXOR(cb)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 #: Signature frames pinned by :func:`hamming_band_pairs`, released at
@@ -546,8 +567,10 @@ def hamming_band_pairs(
     distance ``B - band_arity`` has at least ``band_arity`` intact
     bands and therefore shares at least one intact key — recall is
     EXACT for ``max_hamming <= B - band_arity``. The self-join is
-    keyed on the band combination and carries ids only (signatures
-    re-join after the pair-distinct); cost is Σ bucket², bounded to
+    keyed on the band combination and carries (rep id, signature) —
+    the signature rides the shuffle so the Hamming distance computes
+    once per deduplicated pair with NO rep-frame re-joins (r10, the
+    r9 lsh_candidate_pairs shape); cost is Σ bucket², bounded to
     Σ min(bucket, cap)² by ``max_bucket`` (see
     :func:`simhash_near_dup_pairs` for the stop-band argument).
 
@@ -608,7 +631,21 @@ def hamming_band_pairs(
         )
         for combo in combinations(range(n_bands), band_arity)
     ]
-    banded = reps.select("__rid", F.explode(F.array(*keys)).alias("band"))
+    # r10 (guide §2.3/§2.4 — the r9 lsh_candidate_pairs pattern ported
+    # here): the SIGNATURE rides the band shuffle alongside the rep id
+    # instead of re-joining twice after the pair-distinct. The dedup
+    # key is unchanged — sh_a/sh_b are functionally determined by
+    # ra/rb, so every candidate row for a (ra, rb) pair carries
+    # identical signatures and dropDuplicates([ra, rb]) yields the
+    # same pair set with the same attached strings — and the Hamming
+    # distance computes ONCE per distinct pair, after the dedup, from
+    # the carried columns. Cost trade, same as minhash: each banded
+    # row widens by one n_bits-char string (bounded), while BOTH
+    # rep-frame re-joins and their exchanges/broadcast builds
+    # disappear from the plan.
+    banded = reps.select(
+        F.col("__rid"), F.col(sig_col), F.explode(F.array(*keys)).alias("band")
+    )
     if max_bucket is not None:
         ok = (
             banded.groupBy("band")
@@ -625,24 +662,17 @@ def hamming_band_pairs(
             & (F.col("a.__rid") < F.col("b.__rid")),
         )
         .select(
-            F.col("a.__rid").alias("ra"), F.col("b.__rid").alias("rb")
+            F.col("a.__rid").alias("ra"),
+            F.col("b.__rid").alias("rb"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
         )
         .dropDuplicates(["ra", "rb"])
     )
-    sa = reps.select(F.col("__rid").alias("ra"), F.col(sig_col).alias("sh_a"))
-    sb = reps.select(F.col("__rid").alias("rb"), F.col(sig_col).alias("sh_b"))
-    hamming = sum(
-        F.when(
-            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(n_bits)
-    )
-    near_reps = (
-        rep_pairs.join(sa, "ra")
-        .join(sb, "rb")
-        .select("ra", "rb", hamming.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-    )
+    hamming = hamming_bits(F.col("sh_a"), F.col("sh_b"), n_bits)
+    near_reps = rep_pairs.select(
+        "ra", "rb", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
     # membership map: every doc -> its signature's representative id
     mem = sigs.join(reps, sig_col).select(
         F.col(id_col).alias("__mid"), "__rid"
@@ -760,7 +790,8 @@ def incremental_hamming_pairs(
         for combo in combinations(range(n_bands), band_arity)
     ]
     banded = reps.select(
-        "__rid", "__touch", F.explode(F.array(*keys)).alias("band")
+        "__rid", "__touch", F.col(sig_col),
+        F.explode(F.array(*keys)).alias("band"),
     )
     if max_bucket is not None:
         # cap statistics over ALL reps — byte-identical to the cold
@@ -773,6 +804,20 @@ def incremental_hamming_pairs(
         )
         banded = banded.join(ok, "band")
     delta_banded = banded.where(F.col("__touch") == 1)
+    # r10 (same shape change as hamming_band_pairs): the signatures
+    # ride the pair join instead of re-joining the rep frame twice.
+    # least/greatest over (rid, sig) STRUCTS orders lexicographically
+    # by the unique rid, so each side's signature stays attached to
+    # the correct endpoint; sh_a/sh_b are functionally determined by
+    # (ra, rb), so the pair-distinct is unchanged.
+    pa = F.least(
+        F.struct(F.col("a.__rid"), F.col(f"a.{sig_col}")),
+        F.struct(F.col("b.__rid"), F.col(f"b.{sig_col}")),
+    )
+    pb = F.greatest(
+        F.struct(F.col("a.__rid"), F.col(f"a.{sig_col}")),
+        F.struct(F.col("b.__rid"), F.col(f"b.{sig_col}")),
+    )
     rep_pairs = (
         delta_banded.alias("a")
         .join(
@@ -781,22 +826,16 @@ def incremental_hamming_pairs(
             & (F.col("a.__rid") != F.col("b.__rid")),
         )
         .select(
-            F.least("a.__rid", "b.__rid").alias("ra"),
-            F.greatest("a.__rid", "b.__rid").alias("rb"),
+            pa["__rid"].alias("ra"),
+            pb["__rid"].alias("rb"),
+            pa[sig_col].alias("sh_a"),
+            pb[sig_col].alias("sh_b"),
         )
         .dropDuplicates(["ra", "rb"])
     )
-    sa = reps.select(F.col("__rid").alias("ra"), F.col(sig_col).alias("sh_a"))
-    sb = reps.select(F.col("__rid").alias("rb"), F.col(sig_col).alias("sh_b"))
-    hamming = sum(
-        F.when(
-            F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(n_bits)
-    )
+    hamming = hamming_bits(F.col("sh_a"), F.col("sh_b"), n_bits)
     near_reps = (
-        rep_pairs.join(sa, "ra")
-        .join(sb, "rb")
+        rep_pairs
         .select("ra", "rb", hamming.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
