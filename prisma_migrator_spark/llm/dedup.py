@@ -1436,10 +1436,11 @@ def incremental_lsh_pairs(
     + band keys per doc, written once at ingest like
     ``cross_corpus_dedup``'s fingerprint index); per batch the work
     is: signatures for |delta| docs, one band-keyed join of delta
-    bands against the index (hash join — the delta side is small),
-    one in-batch banding of the delta, and the agreement re-join.
-    History text is never re-shingled, history signatures never
-    recomputed. Output matches the full recompute restricted to
+    bands against the index (hash join — the delta side is small,
+    and both sides carry their signature struct so the agreement
+    computes at the collision row — no re-join), and one in-batch
+    banding of the delta. History text is never re-shingled, history
+    signatures never recomputed. Output matches the full recompute restricted to
     pairs with at least one delta member — which is what the
     registered query's oracle checks."""
     n_bands = num_hashes // band_size
@@ -1461,50 +1462,47 @@ def incremental_lsh_pairs(
     # with the DataFrame — the same discipline as the iterative plans.
     existing_sigs = existing_sigs.localCheckpoint()
     delta_sigs = delta_sigs.localCheckpoint()
+    # r10 (the r9 lsh_candidate_pairs shape, ported): both sides carry
+    # their full signature STRUCT through the band join, so the
+    # agreement count computes at the collision row and the
+    # re-derivation join of index ∪ delta signatures disappears.
+    # Agreement is symmetric, so the structs need no endpoint
+    # ordering; jaccard_est is functionally determined by the pair,
+    # so deduping on the ids alone stays deterministic.
+    hs = [f"h{i}" for i in range(num_hashes)]
     eb = existing_sigs.select(
-        F.col(id_col).alias("__old"), F.explode(bands).alias("band")
+        F.col(id_col).alias("__old"),
+        F.struct(*hs).alias("__so"),
+        F.explode(bands).alias("band"),
     )
     db = delta_sigs.select(
-        F.col(id_col).alias("__new"), F.explode(bands).alias("band")
+        F.col(id_col).alias("__new"),
+        F.struct(*hs).alias("__sn"),
+        F.explode(bands).alias("band"),
     )
     if max_bucket is not None:
         ok = eb.groupBy("band").agg(F.count(F.lit(1)).alias("__n")).where(
             F.col("__n") <= max_bucket
         ).select("band")
         eb = eb.join(ok, "band")
+    agree = sum(
+        F.when(F.col("__sn")[h] == F.col("__so")[h], 1).otherwise(0)
+        for h in hs
+    )
     cross = (
         db.join(eb, "band")
         .select(
             F.least("__new", "__old").alias("id_a"),
             F.greatest("__new", "__old").alias("id_b"),
+            F.round(agree / F.lit(float(num_hashes)), 6).alias(
+                "jaccard_est"
+            ),
         )
     )
     in_batch = lsh_candidate_pairs(
         delta_sigs, id_col, num_hashes, band_size, max_bucket
-    ).select("id_a", "id_b")
-    pairs = cross.unionByName(in_batch).dropDuplicates(["id_a", "id_b"])
-    all_sigs = existing_sigs.unionByName(delta_sigs)
-    sa = all_sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{i}").alias(f"ah{i}") for i in range(num_hashes)],
     )
-    sb = all_sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
-    )
-    agree = sum(
-        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("jaccard_est"),
-        )
-    )
+    return cross.unionByName(in_batch).dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_expr(text_col: Column, n_bits: int = 16) -> Column:
