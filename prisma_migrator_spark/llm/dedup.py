@@ -320,15 +320,43 @@ def simhash(
     id_col: str = "doc_id",
     n_bits: int = 16,
 ) -> DataFrame:
-    """n-bit SimHash per document.
+    """n-bit SimHash per document — the ROW-LOCAL form (r10).
 
     Bit j of token t comes from one nibble of md5(t) (see
     :func:`simhash_bit_source`) — a portable ±1 projection both Spark
     and the DuckDB oracle compute identically. Document bit j = sign
-    of Σ_tokens (±1). Emitted as an n-char '0'/'1' string
-    (hash-stable). 16 bits saturates beyond a few hundred docs; use
-    64 bits for real corpora (wider signature, same plan: one explode
-    + one groupBy with n partial-aggregated sums)."""
+    of Σ_tokens (±1). Emitted as an n-char '0'/'1' string.
+
+    r10 (guide §2.4): computed via :func:`simhash_expr` — the per-doc
+    ±1 sums are INTEGER and fold inside one ``aggregate``
+    higher-order function over the token array, so the signature is
+    map-side with ZERO shuffle. The historical explode+groupBy plan
+    (kept as :func:`simhash_agg`, the pin's independent reference)
+    exploded every token into its own row, paid a corpus-wide
+    (doc, word-packed-hash) materialization, a per-doc shuffle and
+    two aggregate stages for sums that never needed to leave the row
+    — all its exploded tokens stay in the emitting task anyway.
+    Measured at sf0.1 (n_bits=64): warm 1.7–2.3 s → 1.0–1.1 s, cold
+    (codegen) 8.8 → 1.5 s. Bit-identity is pinned by
+    ``test_simhash_expr_matches_agg_plan`` (integer sums are
+    order-independent, same md5 nibbles)."""
+    from prisma_migrator_spark.catalog import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        id_col, simhash_expr(F.col(text_col), n_bits).alias("simhash")
+    )
+
+
+def simhash_agg(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+) -> DataFrame:
+    """The explode+groupBy SimHash plan — :func:`simhash`'s original
+    form, kept as the independent reference for the bit-identity pin
+    and for pathological inputs where a single document's token
+    stream should not fold in one task."""
     from prisma_migrator_spark.catalog import ensure_parallelism
 
     df = ensure_parallelism(df)

@@ -3856,14 +3856,15 @@ def test_homoglyph_fold_pairs_adversarial_twins(spark, sf_dir):
 
 
 def test_simhash_expr_matches_agg_plan(spark, sf_dir):
-    """simhash_expr (shuffle-free higher-order-function form) is
-    BIT-IDENTICAL to the explode+groupBy simhash at both widths —
-    same md5 nibbles, same ±1 sums, row-local."""
-    from prisma_migrator_spark.llm.dedup import simhash, simhash_expr
+    """The row-local simhash (r10 default, HOF form) is BIT-IDENTICAL
+    to the explode+groupBy reference plan (simhash_agg) at both
+    widths — same md5 nibbles, same ±1 integer sums. simhash_agg is
+    kept precisely so this pin has an independent reference."""
+    from prisma_migrator_spark.llm.dedup import simhash_agg, simhash_expr
 
     docs = load_table(spark, sf_dir, "documents")
     for nb in (16, 64):
-        a = {r.doc_id: r.simhash for r in simhash(docs, n_bits=nb).collect()}
+        a = {r.doc_id: r.simhash for r in simhash_agg(docs, n_bits=nb).collect()}
         b = {
             r.doc_id: r.sh
             for r in docs.select(
